@@ -1,0 +1,56 @@
+"""pyprob_tpu — a TPU-native, trace-based universal probabilistic
+programming framework with the capabilities of pyprob (see SURVEY.md).
+
+Models are ordinary Python programs calling ``sample`` / ``observe`` /
+``factor`` / ``tag``.  Inference engines: importance sampling, inference
+compilation (amortized IS with feedforward/LSTM proposal networks trained
+data-parallel over a TPU mesh), and single-site MCMC (LMH/RMH).  Model
+programs additionally compile under ``jax.vmap``/``jax.jit`` to run
+thousands of particles per TPU chip (the "compiled tier"); arbitrary
+non-traceable programs and remote PPX simulators run on the interpreter
+tier with identical semantics.
+"""
+
+from .util import (
+    __version__,
+    TraceMode,
+    PriorInflation,
+    InferenceEngine,
+    InferenceNetwork,
+    ObserveEmbedding,
+    Optimizer,
+    LearningRateScheduler,
+    seed,
+    set_verbosity,
+    set_dtype,
+)
+from .state import sample, observe, factor, tag
+from .address import AddressDictionary
+from .model import Model, RemoteModel, ConditionalModel, ParallelModel
+from . import distributions
+from . import util
+
+__all__ = [
+    "__version__",
+    "TraceMode",
+    "PriorInflation",
+    "InferenceEngine",
+    "InferenceNetwork",
+    "ObserveEmbedding",
+    "Optimizer",
+    "LearningRateScheduler",
+    "seed",
+    "set_verbosity",
+    "set_dtype",
+    "sample",
+    "observe",
+    "factor",
+    "tag",
+    "AddressDictionary",
+    "Model",
+    "RemoteModel",
+    "ConditionalModel",
+    "ParallelModel",
+    "distributions",
+    "util",
+]

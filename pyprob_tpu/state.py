@@ -1,0 +1,474 @@
+"""Trace-recording execution core (interpreter tier).
+
+Counterpart of the reference runtime (reference: pyprob/state.py:96-354):
+module-level ``sample`` / ``observe`` / ``factor`` / ``tag`` called from
+arbitrary user model programs, with per-engine behavior:
+
+* PRIOR / PRIOR_FOR_INFERENCE_NETWORK — draw from (optionally inflated) prior
+* POSTERIOR + IMPORTANCE_SAMPLING — prior proposals, weight from observes
+* POSTERIOR + IC — proposal from the inference network, per-site importance
+  weight = prior logpdf - proposal logpdf
+* POSTERIOR + LMH/RMH — single-site resample (RMH: Normal / TruncatedNormal
+  random-walk kernel mixed with the prior at alpha=0.5, with forward/reverse
+  transition correction), value reuse with rescoring fallback elsewhere
+
+The interpreter tier runs distribution math on the host (numpy backend) so a
+random choice costs microseconds, not a device round-trip.  The compiled
+tier installs a handler (``pyprob_tpu.vectorized``) that intercepts these
+same entry points during ``jax.vmap`` tracing.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import warnings
+
+import numpy as np
+
+from . import util
+from .util import TraceMode, PriorInflation, InferenceEngine
+from .address import extract_address
+from .distributions import Normal, Categorical, Uniform, TruncatedNormal, Factor
+from .trace import Variable, Trace
+
+
+class _Context:
+    def __init__(self):
+        self.trace_mode = TraceMode.PRIOR
+        self.inference_engine = InferenceEngine.IMPORTANCE_SAMPLING
+        self.prior_inflation = PriorInflation.DISABLED
+        self.likelihood_importance = 1.0
+        self.current_trace = None
+        self.root_function_name = None
+        self.inference_network = None
+        self.previous_variable = None
+        self.observed_variables = {}
+        self.execution_start = None
+        self.metropolis_hastings_trace = None
+        self.metropolis_hastings_site_address = None
+        self.metropolis_hastings_site_transition_log_prob = 0
+        self.address_dictionary = None
+
+
+_ctx = _Context()
+
+# Handler installed by the compiled (vmap) tier; when set, sample/observe/
+# factor/tag delegate to it instead of the interpreter context.
+_handler = None
+
+
+def _set_handler(handler):
+    global _handler
+    prev = _handler
+    _handler = handler
+    return prev
+
+
+def _inflate(distribution):
+    """Prior inflation for IS proposal spreading
+    (reference: state.py:87-93)."""
+    if _ctx.prior_inflation == PriorInflation.ENABLED:
+        if isinstance(distribution, Categorical):
+            n = distribution.num_categories
+            return Categorical(probs=np.full(n, 1.0 / n, dtype=util.dtype()))
+        elif isinstance(distribution, Normal):
+            return Normal(distribution.mean, distribution.stddev * 3)
+    return None
+
+
+def _build_address(address, distribution, trace):
+    if address is None:
+        address_base = (
+            extract_address(_ctx.root_function_name)
+            + "__"
+            + distribution.address_suffix
+        )
+    else:
+        address_base = address + "__" + distribution.address_suffix
+    if _ctx.address_dictionary is not None:
+        address_base = _ctx.address_dictionary.address_to_id(address_base)
+    instance = trace.last_instance(address_base) + 1
+    return address_base, address_base + "__" + str(instance), instance
+
+
+def tag(value, name=None, address=None):
+    if _handler is not None:
+        return _handler.tag(value, name=name, address=address)
+    trace = _ctx.current_trace
+    if trace is None:
+        return
+    if address is None:
+        address_base = extract_address(_ctx.root_function_name) + "__None"
+    else:
+        address_base = address + "__None"
+    if _ctx.address_dictionary is not None:
+        address_base = _ctx.address_dictionary.address_to_id(address_base)
+    instance = trace.last_instance(address_base) + 1
+    full_address = address_base + "__" + str(instance)
+    variable = Variable(
+        distribution=None,
+        value=value,
+        address_base=address_base,
+        address=full_address,
+        instance=instance,
+        log_prob=0.0,
+        tagged=True,
+        name=name,
+    )
+    trace.add(variable)
+
+
+def factor(log_prob=None, log_prob_func=None, name=None, address=None):
+    dist = Factor(log_prob=log_prob, log_prob_func=log_prob_func)
+    return observe(dist, name=name, address=address)
+
+
+def observe(distribution, value=None, name=None, address=None):
+    if _handler is not None:
+        return _handler.observe(distribution, value=value, name=name, address=address)
+    trace = _ctx.current_trace
+    if trace is None:
+        return
+    distribution = distribution.to_numpy() if _needs_host(distribution) else distribution
+    address_base, full_address, instance = _build_address(
+        address, distribution, trace
+    )
+
+    if name in _ctx.observed_variables:
+        value = _ctx.observed_variables[name]
+    elif value is not None:
+        pass
+    elif (
+        _ctx.trace_mode == TraceMode.PRIOR_FOR_INFERENCE_NETWORK
+        and distribution is not None
+    ):
+        value = distribution.sample(util.get_rng())
+    else:
+        value = None
+
+    if value is None and not isinstance(distribution, Factor):
+        observed = False
+        log_prob = None
+        log_importance_weight = None
+    else:
+        observed = True
+        if value is not None:
+            value = util.to_array(value)
+        log_prob = _ctx.likelihood_importance * distribution.log_prob(value, sum=True)
+        if _ctx.inference_engine in (
+            InferenceEngine.IMPORTANCE_SAMPLING,
+            InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+        ):
+            log_importance_weight = float(log_prob)
+        else:
+            log_importance_weight = None
+
+    variable = Variable(
+        distribution=distribution,
+        value=value,
+        address_base=address_base,
+        address=full_address,
+        instance=instance,
+        log_prob=log_prob,
+        log_importance_weight=log_importance_weight,
+        observed=observed,
+        name=name,
+    )
+    trace.add(variable)
+    return variable.value
+
+
+def _needs_host(distribution):
+    """True if the distribution carries device arrays that should be pulled
+    to the host for fast interpreter-tier math."""
+    import jax
+
+    for leaf in distribution._leaves():
+        if isinstance(leaf, jax.Array):
+            return True
+    return False
+
+
+def sample(distribution, name=None, address=None, control=True):
+    if _handler is not None:
+        return _handler.sample(
+            distribution, name=name, address=address, control=control
+        )
+    trace = _ctx.current_trace
+    if trace is None:
+        return distribution.sample(util.get_rng())
+    distribution = distribution.to_numpy() if _needs_host(distribution) else distribution
+    rng = util.get_rng()
+
+    # MCMC engines control every sample site (reference: state.py:165-166)
+    if _ctx.inference_engine in (
+        InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    ):
+        control = True
+
+    address_base, full_address, instance = _build_address(
+        address, distribution, trace
+    )
+
+    if name in _ctx.observed_variables:
+        # Sample site overridden by a named observation
+        value = util.to_array(_ctx.observed_variables[name])
+        log_prob = _ctx.likelihood_importance * distribution.log_prob(value, sum=True)
+        if _ctx.inference_engine in (
+            InferenceEngine.IMPORTANCE_SAMPLING,
+            InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+        ):
+            log_importance_weight = float(log_prob)
+        else:
+            log_importance_weight = None
+        variable = Variable(
+            distribution=distribution,
+            value=value,
+            address_base=address_base,
+            address=full_address,
+            instance=instance,
+            log_prob=log_prob,
+            log_importance_weight=log_importance_weight,
+            observed=True,
+            name=name,
+        )
+        trace.add(variable)
+        return variable.value
+
+    reused = False
+    observed = False
+    if _ctx.trace_mode == TraceMode.POSTERIOR:
+        engine = _ctx.inference_engine
+        if engine == InferenceEngine.IMPORTANCE_SAMPLING:
+            value, log_prob, log_importance_weight = _sample_from_prior(
+                distribution, rng
+            )
+        elif engine == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK:
+            if control:
+                stub = Variable(
+                    distribution=distribution,
+                    value=None,
+                    address_base=address_base,
+                    address=full_address,
+                    instance=instance,
+                    log_prob=0.0,
+                    control=True,
+                    name=name,
+                )
+                proposal = _ctx.inference_network._infer_step(
+                    stub, prev_variable=_ctx.previous_variable
+                )
+                value = proposal.sample(rng)
+                value = np.asarray(value).reshape(distribution.batch_shape or ())
+                log_prob = distribution.log_prob(value, sum=True)
+                proposal_log_prob = proposal.log_prob(value, sum=True)
+                if util.has_nan_or_inf(log_prob):
+                    warnings.warn(
+                        f"Prior log_prob has NaN/inf. dist: {distribution} value: {value}"
+                    )
+                if util.has_nan_or_inf(proposal_log_prob):
+                    warnings.warn(
+                        f"Proposal log_prob has NaN/inf. dist: {proposal} value: {value}"
+                    )
+                log_importance_weight = float(log_prob) - float(proposal_log_prob)
+                variable = Variable(
+                    distribution=distribution,
+                    value=value,
+                    address_base=address_base,
+                    address=full_address,
+                    instance=instance,
+                    log_prob=log_prob,
+                    log_importance_weight=log_importance_weight,
+                    control=control,
+                    name=name,
+                )
+                _ctx.previous_variable = variable
+                trace.add(variable)
+                return variable.value
+            else:
+                value = distribution.sample(rng)
+                log_prob = distribution.log_prob(value, sum=True)
+                log_importance_weight = None
+        else:  # LMH / RMH
+            log_importance_weight = None
+            mh_trace = _ctx.metropolis_hastings_trace
+            if mh_trace is None:
+                value = distribution.sample(rng)
+                log_prob = distribution.log_prob(value, sum=True)
+            elif full_address == _ctx.metropolis_hastings_site_address:
+                value, log_prob = _mh_site_resample(distribution, rng, full_address)
+            elif full_address not in mh_trace.variables_dict_address:
+                value = distribution.sample(rng)
+                log_prob = distribution.log_prob(value, sum=True)
+            else:
+                value = mh_trace.variables_dict_address[full_address].value
+                reused = True
+                try:
+                    # Rescoring fallback: changed parameters/shape may make
+                    # the reused value unscorable (reference: state.py:271-276)
+                    log_prob = distribution.log_prob(value, sum=True)
+                    if util.has_nan_or_inf(log_prob):
+                        raise ValueError("nan/inf rescore")
+                except Exception:
+                    value = distribution.sample(rng)
+                    log_prob = distribution.log_prob(value, sum=True)
+                    reused = False
+    else:  # PRIOR / PRIOR_FOR_INFERENCE_NETWORK
+        value, log_prob, log_importance_weight = _sample_from_prior(
+            distribution, rng
+        )
+
+    variable = Variable(
+        distribution=distribution,
+        value=value,
+        address_base=address_base,
+        address=full_address,
+        instance=instance,
+        log_prob=log_prob,
+        log_importance_weight=log_importance_weight,
+        control=control,
+        name=name,
+        observed=observed,
+        reused=reused,
+    )
+    trace.add(variable)
+    return variable.value
+
+
+def _sample_from_prior(distribution, rng):
+    inflated = _inflate(distribution)
+    if inflated is None:
+        value = distribution.sample(rng)
+        log_prob = distribution.log_prob(value, sum=True)
+        return value, log_prob, None
+    value = inflated.sample(rng)
+    log_prob = distribution.log_prob(value, sum=True)
+    log_importance_weight = float(log_prob) - float(
+        inflated.log_prob(value, sum=True)
+    )
+    return value, log_prob, log_importance_weight
+
+
+def _mh_site_resample(distribution, rng, address):
+    """Resample the chosen MH site.
+
+    LMH: fresh draw from the prior.  RMH: alpha=0.5 mixture of a local
+    random-walk kernel (Normal / TruncatedNormal for Uniform priors) and the
+    prior, with the forward/reverse transition log-ratio accumulated for the
+    acceptance test (reference: state.py:235-262).
+    """
+    _ctx.metropolis_hastings_site_transition_log_prob = 0.0
+    engine = _ctx.inference_engine
+    if engine == InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS:
+        if isinstance(distribution, Normal):
+            kernel = lambda x: Normal(x, distribution.stddev)
+        elif isinstance(distribution, Uniform):
+            kernel = lambda x: TruncatedNormal(
+                x,
+                0.1 * (distribution.high - distribution.low),
+                low=distribution.low,
+                high=distribution.high,
+            )
+        else:
+            kernel = None
+
+        if kernel is not None:
+            old_variable = _ctx.metropolis_hastings_trace.variables_dict_address[
+                address
+            ]
+            old_value = old_variable.value
+            old_log_prob = old_variable.log_prob
+            forward = kernel(old_value)
+            alpha = 0.5
+            if rng.random() < alpha:
+                value = forward.sample(rng)
+            else:
+                value = distribution.sample(rng)
+            log_prob = distribution.log_prob(value, sum=True)
+            reverse = kernel(value)
+            # transition log-ratio: log q(old|new) - log q(new|old) with the
+            # alpha-mixture kernel q(.|x) = alpha k(.|x) + (1-alpha) p(.)
+            t = (
+                np.log(
+                    alpha * np.exp(reverse.log_prob(old_value, sum=True))
+                    + (1 - alpha) * np.exp(old_log_prob)
+                )
+                + log_prob
+            )
+            t = t - (
+                np.log(
+                    alpha * np.exp(forward.log_prob(value, sum=True))
+                    + (1 - alpha) * np.exp(log_prob)
+                )
+                + old_log_prob
+            )
+            _ctx.metropolis_hastings_site_transition_log_prob = t
+            return value, log_prob
+    # LMH, or RMH with no kernel for this distribution type
+    value = distribution.sample(rng)
+    log_prob = distribution.log_prob(value, sum=True)
+    return value, log_prob
+
+
+def _init_traces(
+    func,
+    trace_mode=TraceMode.PRIOR,
+    prior_inflation=PriorInflation.DISABLED,
+    inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+    inference_network=None,
+    observe=None,
+    metropolis_hastings_trace=None,
+    address_dictionary=None,
+    likelihood_importance=1.0,
+):
+    _ctx.trace_mode = trace_mode
+    _ctx.inference_engine = inference_engine
+    _ctx.prior_inflation = prior_inflation
+    _ctx.likelihood_importance = likelihood_importance
+    _ctx.address_dictionary = address_dictionary
+    _ctx.root_function_name = func.__code__.co_name
+    if observe is None:
+        _ctx.observed_variables = {}
+    else:
+        if any(v is None for v in observe.values()):
+            raise RuntimeError(f"Observe has missing value(s): {observe}")
+        _ctx.observed_variables = observe
+    _ctx.inference_network = inference_network
+    if inference_network is None:
+        if (
+            inference_engine
+            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        ):
+            raise ValueError(
+                "Cannot run IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK without an inference network."
+            )
+    else:
+        inference_network._infer_init(_ctx.observed_variables)
+
+    if inference_engine in (
+        InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    ):
+        _ctx.metropolis_hastings_trace = metropolis_hastings_trace
+        _ctx.metropolis_hastings_site_transition_log_prob = None
+        if metropolis_hastings_trace is not None:
+            rng = util.get_rng()
+            variables = metropolis_hastings_trace.variables_controlled
+            variable = variables[int(rng.integers(len(variables)))]
+            _ctx.metropolis_hastings_site_address = variable.address
+
+
+def _begin_trace():
+    _ctx.execution_start = time.time()
+    _ctx.current_trace = Trace()
+    _ctx.previous_variable = None
+
+
+def _end_trace(result):
+    execution_time_sec = time.time() - _ctx.execution_start
+    _ctx.current_trace.end(result, execution_time_sec)
+    trace = _ctx.current_trace
+    _ctx.current_trace = None
+    return trace

@@ -1,0 +1,27 @@
+import os
+
+# Multi-chip sharding is tested on a virtual 8-device CPU mesh; the real TPU
+# is reserved for bench.py.  XLA_FLAGS must be set before backend init; the
+# platform override goes through jax.config because the environment
+# preimports jax with a remote-TPU plugin registered.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+import pyprob_tpu  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed_everything():
+    # Global determinism fixture (reference: tests/conftest.py:6-8)
+    pyprob_tpu.seed(123)
+    yield

@@ -1,0 +1,98 @@
+"""Trace structure tests (reference: tests/test_trace.py:33-48)."""
+
+import math
+
+import numpy as np
+
+import pyprob_tpu as pp
+from pyprob_tpu.distributions import Normal, Uniform
+
+
+class TraceTestModel(pp.Model):
+    def forward(self):
+        val = pp.sample(Normal(0.0, 1.0))
+        val = val + pp.sample(Normal(0.0, 1.0), control=False)
+        pp.tag(val, name="v_tagged")
+        pp.observe(Normal(val, 1.0), name="obs0")
+        return val
+
+
+def test_trace_counts():
+    m = TraceTestModel()
+    trace = m.sample()
+    assert trace.length == 4
+    assert trace.length_controlled == 1
+    # uncontrolled: the control=False sample + the valueless observe site
+    assert len(trace.variables_uncontrolled) == 2
+    assert len(trace.variables_tagged) == 1
+    # prior mode with no observed value: observe site not marked observed
+    assert len(trace.variables_observed) == 0
+
+
+def test_trace_named_access():
+    m = TraceTestModel()
+    trace = m.sample()
+    assert "v_tagged" in trace
+    assert np.isfinite(float(trace["v_tagged"]))
+
+
+def test_trace_observed_with_value():
+    m = TraceTestModel()
+    trace = next(
+        m._trace_generator(
+            trace_mode=pp.TraceMode.POSTERIOR,
+            inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING,
+            observe={"obs0": 0.5},
+        )
+    )
+    assert len(trace.variables_observed) == 1
+    assert np.isclose(float(trace.log_importance_weight), float(trace.log_prob_observed))
+
+
+def test_address_determinism():
+    m = TraceTestModel()
+    t1 = m.sample()
+    t2 = m.sample()
+    assert [v.address for v in t1.variables] == [v.address for v in t2.variables]
+
+
+def test_address_instances():
+    class LoopModel(pp.Model):
+        def forward(self):
+            total = 0.0
+            for _ in range(3):
+                total = total + pp.sample(Normal(0.0, 1.0))
+            return total
+
+    trace = LoopModel().sample()
+    assert trace.length_controlled == 3
+    instances = [v.instance for v in trace.variables_controlled]
+    assert instances == [1, 2, 3]
+    bases = {v.address_base for v in trace.variables_controlled}
+    assert len(bases) == 1  # same call site
+
+
+def test_explicit_address():
+    class AddrModel(pp.Model):
+        def forward(self):
+            x = pp.sample(Normal(0.0, 1.0), address="site_x")
+            return x
+
+    trace = AddrModel().sample()
+    assert trace.variables[0].address == "site_x__Normal__1"
+
+
+def test_trace_hash_groups_by_structure():
+    class TwoPathModel(pp.Model):
+        def forward(self):
+            x = pp.sample(Uniform(0.0, 1.0))
+            if float(x) < 0.5:
+                y = pp.sample(Normal(0.0, 1.0))
+            else:
+                y = pp.sample(Normal(0.0, 1.0))
+                z = pp.sample(Normal(0.0, 1.0))
+            return y
+
+    m = TwoPathModel()
+    hashes = {m.sample().trace_hash() for _ in range(50)}
+    assert len(hashes) == 2
