@@ -1,0 +1,393 @@
+"""Vectorized single-site Metropolis-Hastings: many parallel chains per chip.
+
+The reference's LMH/RMH runs one strictly sequential chain in Python
+(reference: pyprob/model.py:118-177).  Here, for models with static trace
+structure, the whole chain step — site selection, program replay with value
+substitution, acceptance test — is a jitted function ``lax.scan``-ed over
+steps and ``vmap``-ed over chains, so hundreds of chains advance in
+lockstep on one TPU chip.  Cross-chip chain sharding just shards the chain
+axis over the mesh (see pyprob_tpu.parallel).
+
+Because the structure is static, the reference's acceptance formula
+(reference: model.py:151-162) simplifies: the trace-length terms cancel and
+every controlled site except the perturbed one is "reused", giving
+
+    log a = sum_{k != j} (lp_k' - lp_k) + t_j + (obs' - obs)
+
+with t_j the RMH forward/reverse transition correction
+(reference: state.py:235-256), zero for LMH.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import state, util
+from ..util import TraceMode, InferenceEngine
+from ..address import extract_address
+from ..distributions import Normal, Uniform, TruncatedNormal, Empirical, Factor
+from ..vectorized import VectorizedHandler, SiteRecord, run_traced, _TraceabilityCache
+from ..trace import Variable, Trace
+
+_RMH_ALPHA = 0.5
+
+
+def _rmh_kernel(distribution, x):
+    if isinstance(distribution, Normal):
+        return Normal(x, distribution.stddev)
+    if isinstance(distribution, Uniform):
+        return TruncatedNormal(
+            x,
+            0.1 * (distribution.high - distribution.low),
+            low=distribution.low,
+            high=distribution.high,
+        )
+    return None
+
+
+class ReplayHandler(VectorizedHandler):
+    """Replays forward() substituting stored chain values at every
+    controlled site except the perturbed one."""
+
+    def __init__(
+        self,
+        key,
+        observed,
+        root_function_name,
+        engine,
+        current_values,
+        current_log_probs,
+        perturb_index,
+    ):
+        super().__init__(
+            key=key,
+            trace_mode=TraceMode.POSTERIOR,
+            inference_engine=engine,
+            observed=observed,
+            root_function_name=root_function_name,
+        )
+        self.current_values = current_values
+        self.current_log_probs = current_log_probs
+        self.perturb_index = perturb_index  # traced int
+        self.controlled_counter = 0
+        self.reused_log_prob_diff = jnp.zeros((), util.dtype())
+        self.transition_term = jnp.zeros((), util.dtype())
+
+    def sample(self, distribution, name=None, address=None, control=True):
+        control = True  # MCMC engines control every site (reference: state.py:165-166)
+        if name is not None and name in self.observed:
+            return super().sample(distribution, name=name, address=address)
+
+        base, full, instance = self._make_address(
+            address, distribution.address_suffix
+        )
+        i = self.controlled_counter
+        self.controlled_counter += 1
+        is_site = jnp.asarray(i) == self.perturb_index
+
+        cur_value = self.current_values[full]
+        cur_lp = self.current_log_probs[full]
+
+        key = self._next_key()
+        if self.inference_engine == InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS:
+            kernel_fwd = _rmh_kernel(distribution, cur_value)
+        else:
+            kernel_fwd = None
+
+        if kernel_fwd is None:
+            proposed = distribution._sample_jax(key, ())
+            t_term = jnp.zeros((), util.dtype())
+        else:
+            k1, k2, k3 = jax.random.split(key, 3)
+            walk = kernel_fwd._sample_jax(k1, ())
+            fresh = distribution._sample_jax(k2, ())
+            use_walk = jax.random.uniform(k3, ()) < _RMH_ALPHA
+            proposed = jnp.where(use_walk, walk, fresh)
+            prop_lp = distribution.log_prob(proposed, sum=True)
+            kernel_rev = _rmh_kernel(distribution, proposed)
+            # log q(old|new) + log p(new) - log q(new|old) - log p(old)
+            # with q(.|x) = alpha k(.|x) + (1-alpha) p(.)
+            log_q_rev = jnp.logaddexp(
+                jnp.log(_RMH_ALPHA) + kernel_rev.log_prob(cur_value, sum=True),
+                jnp.log(1 - _RMH_ALPHA) + cur_lp,
+            )
+            log_q_fwd = jnp.logaddexp(
+                jnp.log(_RMH_ALPHA) + kernel_fwd.log_prob(proposed, sum=True),
+                jnp.log(1 - _RMH_ALPHA) + prop_lp,
+            )
+            t_term = log_q_rev + prop_lp - log_q_fwd - cur_lp
+
+        value = jnp.where(is_site, proposed, cur_value)
+        log_prob = distribution.log_prob(value, sum=True)
+        self.transition_term = self.transition_term + jnp.where(
+            is_site, t_term, 0.0
+        )
+        # reused sites: accumulate candidate-vs-current log-prob difference
+        self.reused_log_prob_diff = self.reused_log_prob_diff + jnp.where(
+            is_site, 0.0, log_prob - cur_lp
+        )
+        self.log_prob_total = self.log_prob_total + log_prob
+        self._record(
+            SiteRecord(
+                address_base=base,
+                address=full,
+                instance=instance,
+                name=name,
+                control=True,
+                observed=False,
+                tagged=False,
+                distribution_name=distribution.name,
+                distribution=distribution,
+            ),
+            value,
+            log_prob,
+        )
+        return value
+
+
+def _discover_structure(model, observe, engine, args, kwargs):
+    """Trace forward() once to learn the static site list and shapes."""
+
+    def single(key, obs):
+        outputs, handler = run_traced(
+            model,
+            key,
+            obs,
+            TraceMode.POSTERIOR,
+            engine,
+            args=args,
+            kwargs=kwargs,
+        )
+        return outputs
+
+    obs_arrays = {
+        k: jnp.asarray(v, util.dtype()) for k, v in (observe or {}).items()
+    }
+    sites_box = []
+
+    def probe(key, obs):
+        outputs, handler = run_traced(
+            model, key, obs, TraceMode.POSTERIOR, engine, args=args, kwargs=kwargs
+        )
+        if not sites_box:
+            sites_box.append(handler.sites)
+        return outputs
+
+    init_fn = jax.jit(jax.vmap(probe, in_axes=(0, None)))
+    return init_fn, obs_arrays, sites_box
+
+
+def vectorized_mcmc_posterior(
+    model,
+    num_traces,
+    inference_engine,
+    map_func=None,
+    observe=None,
+    file_name=None,
+    initial_trace=None,
+    thinning_steps=None,
+    num_chains=None,
+    burn_in=None,
+    args=(),
+    kwargs=None,
+):
+    """Run C parallel chains x S steps with C*S ~= num_traces.
+
+    Returns an Empirical over post-burn-in states of all chains, or None if
+    the model is not traceable (caller falls back to the interpreter tier).
+    """
+    if _TraceabilityCache.known_untraceable(model):
+        return None
+    kwargs = kwargs or {}
+    if num_chains is None:
+        # enough chains to fill the chip, but >= ~256 steps per chain so
+        # each chain actually burns in and mixes
+        num_chains = int(min(max(1, num_traces // 256), 1024))
+    num_steps = max(1, num_traces // num_chains)
+    if burn_in is None:
+        # chains are warm-started from importance-resampled prior draws
+        # (approximate posterior samples), so only a short burn-in is needed
+        burn_in = max(8, num_steps // 10)
+    if thinning_steps is None:
+        thinning_steps = 1
+    t0 = time.time()
+
+    init_fn, obs_arrays, sites_box = _discover_structure(
+        model, observe, inference_engine, args, kwargs
+    )
+    # Warm-start pool: much larger than the chain count so the resampled
+    # initial states are diverse approximate posterior draws.
+    init_pool = int(max(num_chains, min(16384, 64 * num_chains)))
+    try:
+        init_keys = util.next_keys(init_pool)
+        init_out = init_fn(init_keys, obs_arrays)
+    except (
+        jax.errors.ConcretizationTypeError,
+        jax.errors.TracerArrayConversionError,
+        jax.errors.TracerBoolConversionError,
+        jax.errors.TracerIntegerConversionError,
+        NotImplementedError,
+        TypeError,
+    ) as e:
+        util.log_print(
+            f"[pyprob_tpu] model {model.name!r} is not jax-traceable "
+            f"({type(e).__name__}); falling back to sequential MCMC."
+        )
+        _TraceabilityCache.mark(model, False)
+        return None
+    sites = sites_box[0]
+    # MCMC controls every non-observed sample site
+    controlled_addresses = [
+        s.address
+        for s in sites
+        if (not s.observed) and (not s.tagged) and s.distribution_name is not None
+    ]
+    K = len(controlled_addresses)
+    if K == 0:
+        raise RuntimeError(
+            "Cannot run MCMC with no controlled sample sites in the model."
+        )
+
+    root_name = model.forward.__code__.co_name
+
+    def step(carry, step_key):
+        values, lps, obs_lp, result = carry
+        k_site, k_run, k_accept = jax.random.split(step_key, 3)
+        j = jax.random.randint(k_site, (), 0, K)
+        handler = ReplayHandler(
+            key=k_run,
+            observed=obs_arrays,
+            root_function_name=root_name,
+            engine=inference_engine,
+            current_values=values,
+            current_log_probs=lps,
+            perturb_index=j,
+        )
+        prev = state._set_handler(handler)
+        try:
+            cand_result = model.forward(*args, **kwargs)
+        finally:
+            state._set_handler(prev)
+        cand_values = {
+            s.address: v
+            for s, v in zip(handler.sites, handler.values)
+            if s.address in lps
+        }
+        cand_lps = {
+            s.address: lp
+            for s, lp in zip(handler.sites, handler.log_probs)
+            if s.address in lps
+        }
+        log_alpha = (
+            handler.reused_log_prob_diff
+            + handler.transition_term
+            + handler.log_prob_observed
+            - obs_lp
+        )
+        accept = jnp.log(
+            jax.random.uniform(k_accept, (), minval=1e-38)
+        ) < log_alpha
+        sel = lambda a, b: jax.tree_util.tree_map(
+            lambda x, y: jnp.where(accept, x, y), a, b
+        )
+        new_values = sel(cand_values, values)
+        new_lps = sel(cand_lps, lps)
+        new_obs = jnp.where(accept, handler.log_prob_observed, obs_lp)
+        new_result = sel(cand_result, result)
+        return (new_values, new_lps, new_obs, new_result), (new_result, accept)
+
+    def chain(init_values, init_lps, init_obs, init_result, chain_key):
+        step_keys = jax.random.split(chain_key, num_steps)
+        carry = (init_values, init_lps, init_obs, init_result)
+        _, (results, accepts) = jax.lax.scan(step, carry, step_keys)
+        return results, accepts
+
+    chain_fn = jax.jit(jax.vmap(chain))
+
+    # Importance-resampled warm start: the init pass drew each chain's
+    # state from the prior and scored the observations, which is exactly an
+    # IS run with prior proposals — resampling chains by those weights
+    # initializes every chain with an approximate posterior draw (a
+    # capability the batch tier makes free; no reference counterpart).
+    init_log_w = np.asarray(init_out["log_prob_observed"], dtype=np.float64)
+    probs = util.log_weights_to_probs(init_log_w)
+    resample_idx = util.get_rng().choice(init_pool, size=num_chains, p=probs)
+
+    init_values = {
+        a: jnp.asarray(np.asarray(init_out["values"][a])[resample_idx])
+        for a in controlled_addresses
+    }
+    init_lps = {
+        a: jnp.asarray(np.asarray(init_out["log_probs"][a])[resample_idx])
+        for a in controlled_addresses
+    }
+    init_obs = jnp.asarray(
+        np.asarray(init_out["log_prob_observed"])[resample_idx]
+    )
+    init_result = jax.tree_util.tree_map(
+        lambda r: jnp.asarray(np.asarray(r)[resample_idx]), init_out["result"]
+    )
+    chain_keys = util.next_keys(num_chains)
+
+    results, accepts = chain_fn(
+        init_values, init_lps, init_obs, init_result, chain_keys
+    )
+    results = jax.device_get(results)  # [C, S, ...]
+    accepts = np.asarray(jax.device_get(accepts))
+    accept_rate = float(accepts.mean())
+
+    # post-burn-in, thinned, chains interleaved
+    if map_func is not None and getattr(map_func, "__name__", "") != "trace_result":
+        warnings.warn(
+            "Vectorized MCMC returns result values; custom map_func over "
+            "full traces requires the interpreter tier."
+        )
+    emp = Empirical(file_name=file_name)
+    kept_steps = range(burn_in, num_steps, thinning_steps)
+    is_single_array = isinstance(results, np.ndarray)
+    for s_idx in kept_steps:
+        for c in range(num_chains):
+            if is_single_array:
+                value = results[c, s_idx]
+            else:
+                value = jax.tree_util.tree_map(
+                    lambda r: np.asarray(r[c][s_idx]), results
+                )
+            emp.add(value, log_weight=0.0)
+    emp.finalize()
+    duration = time.time() - t0
+    engine_name = (
+        "LMH"
+        if inference_engine == InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS
+        else "RMH"
+    )
+    total_steps = num_chains * num_steps
+    if util.verbosity() > 1:
+        util.log_print(
+            f"[compiled tier] {engine_name}: {num_chains} chains x {num_steps} "
+            f"steps = {total_steps:,} transitions in {duration:.3f}s "
+            f"({total_steps / max(duration, 1e-9):,.0f} transitions/s), "
+            f"accept {100 * accept_rate:.1f}%"
+        )
+    emp.rename(
+        f"Posterior, {engine_name} (compiled, {num_chains} chains), "
+        f"samples: {emp.length:,}, accepted: {100 * accept_rate:,.2f}%"
+    )
+    emp.add_metadata(
+        op="posterior",
+        num_traces=num_traces,
+        inference_engine=str(inference_engine),
+        num_chains=num_chains,
+        num_steps=num_steps,
+        burn_in=burn_in,
+        thinning_steps=thinning_steps,
+        acceptance_rate=accept_rate,
+        vectorized=True,
+    )
+    return emp

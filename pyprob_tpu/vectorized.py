@@ -1,0 +1,676 @@
+"""Compiled execution tier: batched trace execution under jax.vmap/jit.
+
+This is the TPU-native replacement for the reference's one-trace-at-a-time
+Python loop (reference: pyprob/model.py:47-88 hot loop).  The user's
+``Model.forward`` is traced **once** under ``jax.vmap``; every
+``pyprob_tpu.sample`` / ``observe`` call inside it is intercepted by a
+handler installed in ``pyprob_tpu.state`` and becomes a batched device op.
+N particles then execute as a single XLA program: per-site sampling and
+log-pdf scoring fuse onto the VPU/MXU, importance weights accumulate as a
+[N] vector on device, and ESS/normalization are single fused reductions.
+
+Models with data-dependent Python control flow (e.g. unbounded rejection
+loops) raise under tracing; callers fall back to the interpreter tier
+automatically, preserving the universal-PPL contract.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import state, util
+from .util import TraceMode, PriorInflation, InferenceEngine
+from .address import extract_address
+from .distributions import Normal, Categorical, Empirical, Factor
+from .trace import Variable, Trace
+
+
+class SiteRecord:
+    """Static (host-side) record of one sample/observe site encountered
+    while tracing forward()."""
+
+    __slots__ = (
+        "address_base",
+        "address",
+        "instance",
+        "name",
+        "control",
+        "observed",
+        "tagged",
+        "distribution_name",
+        "distribution",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
+
+
+class VectorizedHandler:
+    """Effect handler active while forward() is being traced.
+
+    Holds traced values (rng key, accumulating log-probs) as attributes —
+    mutation is fine because tracing is single-threaded and happens once.
+    """
+
+    def __init__(
+        self,
+        key,
+        trace_mode,
+        inference_engine,
+        observed,
+        root_function_name,
+        prior_inflation=PriorInflation.DISABLED,
+        likelihood_importance=1.0,
+        address_dictionary=None,
+        proposal_step=None,
+    ):
+        self.key = key
+        self.trace_mode = trace_mode
+        self.inference_engine = inference_engine
+        self.observed = observed or {}
+        self.root_function_name = root_function_name
+        self.prior_inflation = prior_inflation
+        self.likelihood_importance = likelihood_importance
+        self.address_dictionary = address_dictionary
+        self.proposal_step = proposal_step  # callable(site, dist, key) -> (value, proposal_log_prob) for IC
+        self.sites = []  # [SiteRecord]
+        self.values = []  # traced value per site
+        self.log_probs = []  # traced scalar log_prob per site (None for tags)
+        self.instance_counts = {}
+        self.log_importance_weight = jnp.zeros((), util.dtype())
+        self.log_prob_observed = jnp.zeros((), util.dtype())
+        self.log_prob_total = jnp.zeros((), util.dtype())
+
+    # -- internals ---------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _make_address(self, address, suffix):
+        if address is None:
+            base = extract_address(self.root_function_name) + "__" + suffix
+        else:
+            base = address + "__" + suffix
+        if self.address_dictionary is not None:
+            base = self.address_dictionary.address_to_id(base)
+        instance = self.instance_counts.get(base, 0) + 1
+        self.instance_counts[base] = instance
+        return base, base + "__" + str(instance), instance
+
+    def _inflate(self, distribution):
+        if self.prior_inflation == PriorInflation.ENABLED:
+            if isinstance(distribution, Categorical):
+                n = distribution.num_categories
+                return Categorical(probs=jnp.full((n,), 1.0 / n, util.dtype()))
+            if isinstance(distribution, Normal):
+                return Normal(distribution.mean, distribution.stddev * 3)
+        return None
+
+    def _record(self, site, value, log_prob):
+        self.sites.append(site)
+        self.values.append(value)
+        self.log_probs.append(log_prob)
+
+    # -- the effect API ----------------------------------------------------
+    def sample(self, distribution, name=None, address=None, control=True):
+        base, full, instance = self._make_address(
+            address, distribution.address_suffix
+        )
+        if name is not None and name in self.observed:
+            value = jnp.asarray(self.observed[name], util.dtype())
+            log_prob = self.likelihood_importance * distribution.log_prob(
+                value, sum=True
+            )
+            if self.inference_engine in (
+                InferenceEngine.IMPORTANCE_SAMPLING,
+                InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+            ):
+                self.log_importance_weight = self.log_importance_weight + log_prob
+            self.log_prob_observed = self.log_prob_observed + log_prob
+            self.log_prob_total = self.log_prob_total + log_prob
+            self._record(
+                SiteRecord(
+                    address_base=base,
+                    address=full,
+                    instance=instance,
+                    name=name,
+                    control=False,
+                    observed=True,
+                    tagged=False,
+                    distribution_name=distribution.name,
+                    distribution=distribution,
+                ),
+                value,
+                log_prob,
+            )
+            return value
+
+        key = self._next_key()
+        if (
+            self.trace_mode == TraceMode.POSTERIOR
+            and self.inference_engine
+            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            and control
+            and self.proposal_step is not None
+        ):
+            site = SiteRecord(
+                address_base=base,
+                address=full,
+                instance=instance,
+                name=name,
+                control=True,
+                observed=False,
+                tagged=False,
+                distribution_name=distribution.name,
+                distribution=distribution,
+            )
+            value, proposal_log_prob = self.proposal_step(site, distribution, key)
+            log_prob = distribution.log_prob(value, sum=True)
+            self.log_importance_weight = (
+                self.log_importance_weight + log_prob - proposal_log_prob
+            )
+            self.log_prob_total = self.log_prob_total + log_prob
+            self._record(site, value, log_prob)
+            return value
+
+        inflated = self._inflate(distribution) if control else None
+        proposal = inflated if inflated is not None else distribution
+        value = proposal._sample_jax(key, ())
+        log_prob = distribution.log_prob(value, sum=True)
+        if inflated is not None:
+            self.log_importance_weight = (
+                self.log_importance_weight
+                + log_prob
+                - inflated.log_prob(value, sum=True)
+            )
+        if control:
+            self.log_prob_total = self.log_prob_total + log_prob
+        self._record(
+            SiteRecord(
+                address_base=base,
+                address=full,
+                instance=instance,
+                name=name,
+                control=control,
+                observed=False,
+                tagged=False,
+                distribution_name=distribution.name,
+                distribution=distribution,
+            ),
+            value,
+            log_prob,
+        )
+        return value
+
+    def observe(self, distribution, value=None, name=None, address=None):
+        base, full, instance = self._make_address(
+            address, distribution.address_suffix
+        )
+        if name is not None and name in self.observed:
+            value = jnp.asarray(self.observed[name], util.dtype())
+        elif value is not None:
+            value = jnp.asarray(value, util.dtype())
+        elif (
+            self.trace_mode == TraceMode.PRIOR_FOR_INFERENCE_NETWORK
+            and not isinstance(distribution, Factor)
+        ):
+            value = distribution._sample_jax(self._next_key(), ())
+
+        if value is None and not isinstance(distribution, Factor):
+            self._record(
+                SiteRecord(
+                    address_base=base,
+                    address=full,
+                    instance=instance,
+                    name=name,
+                    control=False,
+                    observed=False,
+                    tagged=False,
+                    distribution_name=distribution.name,
+                    distribution=distribution,
+                ),
+                None,
+                None,
+            )
+            return None
+
+        log_prob = self.likelihood_importance * distribution.log_prob(
+            value, sum=True
+        )
+        if self.inference_engine in (
+            InferenceEngine.IMPORTANCE_SAMPLING,
+            InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+        ):
+            self.log_importance_weight = self.log_importance_weight + log_prob
+        self.log_prob_observed = self.log_prob_observed + log_prob
+        self.log_prob_total = self.log_prob_total + log_prob
+        self._record(
+            SiteRecord(
+                address_base=base,
+                address=full,
+                instance=instance,
+                name=name,
+                control=False,
+                observed=True,
+                tagged=False,
+                distribution_name=distribution.name,
+                distribution=distribution,
+            ),
+            value,
+            log_prob,
+        )
+        return value
+
+    def factor(self, log_prob=None, log_prob_func=None, name=None, address=None):
+        dist = Factor(log_prob=log_prob, log_prob_func=log_prob_func)
+        return self.observe(dist, name=name, address=address)
+
+    def tag(self, value, name=None, address=None):
+        if address is None:
+            base = extract_address(self.root_function_name) + "__None"
+        else:
+            base = address + "__None"
+        instance = self.instance_counts.get(base, 0) + 1
+        self.instance_counts[base] = instance
+        self._record(
+            SiteRecord(
+                address_base=base,
+                address=base + "__" + str(instance),
+                instance=instance,
+                name=name,
+                control=False,
+                observed=False,
+                tagged=True,
+                distribution_name=None,
+                distribution=None,
+            ),
+            jnp.asarray(value),
+            None,
+        )
+
+
+def run_traced(
+    model,
+    key,
+    observed,
+    trace_mode,
+    inference_engine,
+    prior_inflation=PriorInflation.DISABLED,
+    likelihood_importance=1.0,
+    proposal_step=None,
+    args=(),
+    kwargs=None,
+):
+    """Execute forward() once under the vectorized handler.  Called inside
+    jax tracing (vmap/jit); returns (result, outputs pytree, handler)."""
+    handler = VectorizedHandler(
+        key=key,
+        trace_mode=trace_mode,
+        inference_engine=inference_engine,
+        observed=observed,
+        root_function_name=model.forward.__code__.co_name,
+        prior_inflation=prior_inflation,
+        likelihood_importance=likelihood_importance,
+        address_dictionary=model._address_dictionary,
+        proposal_step=proposal_step,
+    )
+    prev = state._set_handler(handler)
+    try:
+        result = model.forward(*args, **(kwargs or {}))
+    finally:
+        state._set_handler(prev)
+    outputs = {
+        "result": result,
+        "log_importance_weight": handler.log_importance_weight,
+        "log_prob_observed": handler.log_prob_observed,
+        "log_prob_total": handler.log_prob_total,
+        "values": {
+            s.address: v
+            for s, v in zip(handler.sites, handler.values)
+            if v is not None
+        },
+        "log_probs": {
+            s.address: lp
+            for s, lp in zip(handler.sites, handler.log_probs)
+            if lp is not None
+        },
+    }
+    return outputs, handler
+
+
+_BATCH_LIMIT = 1 << 16  # particles per device dispatch (bounds HBM footprint)
+
+
+class _TraceabilityCache:
+    """Remembers per model class whether forward() is jax-traceable."""
+
+    _cache = {}
+
+    @classmethod
+    def known_untraceable(cls, model):
+        return cls._cache.get(type(model)) is False
+
+    @classmethod
+    def mark(cls, model, ok):
+        cls._cache[type(model)] = ok
+
+
+def _materialize_traces(sites, outputs_host, num, map_func, results_host):
+    """Build per-trace Python Trace objects from batched site arrays.
+
+    Only used when the caller wants full traces (map_func=None); the
+    results-only path skips this entirely.
+    """
+    traces = []
+    values = outputs_host["values"]
+    log_probs = outputs_host["log_probs"]
+    for i in range(num):
+        tr = Trace()
+        for s in sites:
+            v = values.get(s.address)
+            lp = log_probs.get(s.address)
+            variable = Variable(
+                distribution=None,
+                value=None if v is None else v[i],
+                address_base=s.address_base,
+                address=s.address,
+                instance=s.instance,
+                log_prob=None if lp is None else lp[i],
+                log_importance_weight=None,
+                control=s.control,
+                name=s.name,
+                observed=s.observed,
+                tagged=s.tagged,
+            )
+            tr.add(variable)
+        tr.end(results_host[i], None)
+        # overwrite aggregates with the device-accumulated ones
+        tr.log_importance_weight = float(
+            outputs_host["log_importance_weight"][i]
+        )
+        tr.log_prob_observed = outputs_host["log_prob_observed"][i]
+        tr.log_prob = outputs_host["log_prob_total"][i]
+        traces.append(tr)
+    return traces
+
+
+def _run_batched(
+    model,
+    num_traces,
+    observed,
+    trace_mode,
+    inference_engine,
+    prior_inflation,
+    likelihood_importance,
+    proposal_step=None,
+    args=(),
+    kwargs=None,
+):
+    """vmap+jit forward() over particle batches; returns host-side outputs
+    stacked to num_traces, plus the static site list."""
+    sites_box = []
+
+    def single(key, obs):
+        outputs, handler = run_traced(
+            model,
+            key,
+            obs,
+            trace_mode,
+            inference_engine,
+            prior_inflation,
+            likelihood_importance,
+            proposal_step=proposal_step,
+            args=args,
+            kwargs=kwargs,
+        )
+        if not sites_box:
+            sites_box.append(handler.sites)
+        return outputs
+
+    obs_arrays = {
+        k: jnp.asarray(v, util.dtype()) for k, v in (observed or {}).items()
+    }
+    run = jax.jit(jax.vmap(single, in_axes=(0, None)))
+
+    chunks = []
+    remaining = num_traces
+    while remaining > 0:
+        n = min(remaining, _BATCH_LIMIT)
+        keys = util.next_keys(n)
+        out = run(keys, obs_arrays)
+        chunks.append(jax.device_get(out))
+        remaining -= n
+    if len(chunks) == 1:
+        host = chunks[0]
+    else:
+        host = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *chunks
+        )
+    return host, sites_box[0]
+
+
+def vectorized_traces(
+    model,
+    num_traces,
+    trace_mode,
+    inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+    prior_inflation=PriorInflation.DISABLED,
+    map_func=None,
+    observe=None,
+    file_name=None,
+    likelihood_importance=1.0,
+    proposal_step=None,
+    rename=None,
+    args=(),
+    kwargs=None,
+):
+    """Vectorized counterpart of Model._traces.  Returns an Empirical, or
+    None if the model is not jax-traceable (caller falls back)."""
+    if _TraceabilityCache.known_untraceable(model):
+        return None
+    if observe is not None and any(v is None for v in observe.values()):
+        raise RuntimeError(f"Observe has missing value(s): {observe}")
+    t0 = time.time()
+    try:
+        host, sites = _run_batched(
+            model,
+            num_traces,
+            observe,
+            trace_mode,
+            inference_engine,
+            prior_inflation,
+            likelihood_importance,
+            proposal_step=proposal_step,
+            args=args,
+            kwargs=kwargs,
+        )
+    except (
+        jax.errors.ConcretizationTypeError,
+        jax.errors.TracerArrayConversionError,
+        jax.errors.TracerBoolConversionError,
+        jax.errors.TracerIntegerConversionError,
+        NotImplementedError,
+        TypeError,
+    ) as e:
+        util.log_print(
+            f"[pyprob_tpu] model {model.name!r} is not jax-traceable "
+            f"({type(e).__name__}); falling back to the interpreter tier."
+        )
+        _TraceabilityCache.mark(model, False)
+        return None
+    _TraceabilityCache.mark(model, True)
+
+    if trace_mode == TraceMode.PRIOR:
+        log_weights = np.ones(num_traces)
+    else:
+        log_weights = np.asarray(
+            host["log_importance_weight"], dtype=np.float64
+        )
+        bad = ~np.isfinite(log_weights)
+        if bad.any():
+            warnings.warn(
+                f"Discarding {bad.sum()} traces with nan/inf log_weight."
+            )
+            log_weights[bad] = -np.inf
+
+    results_host = host["result"]
+    emp = Empirical(file_name=file_name)
+    if map_func is None:
+        values = _materialize_traces(sites, host, num_traces, None, results_host)
+    elif getattr(map_func, "__name__", "") == "trace_result":
+        values = [np.asarray(results_host[i]) for i in range(num_traces)]
+    else:
+        values = [
+            map_func(t)
+            for t in _materialize_traces(
+                sites, host, num_traces, None, results_host
+            )
+        ]
+    for v, lw in zip(values, log_weights):
+        if np.isfinite(lw) or trace_mode == TraceMode.PRIOR:
+            emp.add(v, log_weight=float(lw))
+    emp.finalize()
+    duration = time.time() - t0
+    if util.verbosity() > 1:
+        util.log_print(
+            f"[compiled tier] {num_traces:,} traces in {duration:.3f}s "
+            f"({num_traces / max(duration, 1e-9):,.0f} traces/s), "
+            f"ESS {emp.effective_sample_size:,.1f}"
+        )
+    if rename:
+        emp.rename(rename)
+    return emp
+
+
+def vectorized_prior(
+    model,
+    num_traces,
+    prior_inflation=PriorInflation.DISABLED,
+    map_func=None,
+    file_name=None,
+    *args,
+    **kwargs,
+):
+    emp = vectorized_traces(
+        model,
+        num_traces,
+        TraceMode.PRIOR,
+        prior_inflation=prior_inflation,
+        map_func=map_func,
+        file_name=file_name,
+        args=args,
+        kwargs=kwargs,
+    )
+    if emp is not None:
+        emp.rename(f"Prior, traces: {emp.length:,}")
+        emp.add_metadata(
+            op="prior",
+            num_traces=num_traces,
+            prior_inflation=str(prior_inflation),
+            vectorized=True,
+        )
+    return emp
+
+
+def vectorized_posterior(
+    model,
+    num_traces,
+    inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+    map_func=None,
+    observe=None,
+    file_name=None,
+    initial_trace=None,
+    thinning_steps=None,
+    likelihood_importance=1.0,
+    *args,
+    **kwargs,
+):
+    """Vectorized posterior.  IS and IC run as full particle batches; MCMC
+    engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc)."""
+    if inference_engine == InferenceEngine.IMPORTANCE_SAMPLING:
+        emp = vectorized_traces(
+            model,
+            num_traces,
+            TraceMode.POSTERIOR,
+            inference_engine=inference_engine,
+            map_func=map_func,
+            observe=observe,
+            file_name=file_name,
+            likelihood_importance=likelihood_importance,
+            args=args,
+            kwargs=kwargs,
+        )
+        if emp is not None:
+            emp.rename(
+                f"Posterior, IS (compiled), traces: {emp.length:,}, "
+                f"ESS: {emp.effective_sample_size:,.2f}"
+            )
+            emp.add_metadata(
+                op="posterior",
+                num_traces=num_traces,
+                inference_engine=str(inference_engine),
+                effective_sample_size=emp.effective_sample_size,
+                vectorized=True,
+            )
+        return emp
+    if (
+        inference_engine
+        == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+    ):
+        network = model._inference_network
+        if network is None:
+            raise RuntimeError(
+                "No inference network available. Use learn_inference_network "
+                "or load_inference_network first."
+            )
+        proposal_step = network.make_vectorized_proposal_step(observe)
+        if proposal_step is None:
+            return None
+        emp = vectorized_traces(
+            model,
+            num_traces,
+            TraceMode.POSTERIOR,
+            inference_engine=inference_engine,
+            map_func=map_func,
+            observe=observe,
+            file_name=file_name,
+            likelihood_importance=likelihood_importance,
+            proposal_step=proposal_step,
+            args=args,
+            kwargs=kwargs,
+        )
+        if emp is not None:
+            emp.rename(
+                f"Posterior, IC (compiled), traces: {emp.length:,}, "
+                f"ESS: {emp.effective_sample_size:,.2f}"
+            )
+            emp.add_metadata(
+                op="posterior",
+                num_traces=num_traces,
+                inference_engine=str(inference_engine),
+                effective_sample_size=emp.effective_sample_size,
+                vectorized=True,
+            )
+        return emp
+    # MCMC: vmapped parallel chains
+    from .inference.mcmc import vectorized_mcmc_posterior
+
+    return vectorized_mcmc_posterior(
+        model,
+        num_traces=num_traces,
+        inference_engine=inference_engine,
+        map_func=map_func,
+        observe=observe,
+        file_name=file_name,
+        initial_trace=initial_trace,
+        thinning_steps=thinning_steps,
+        args=args,
+        kwargs=kwargs,
+    )

@@ -1,0 +1,162 @@
+"""Compiled (vmap) tier tests: vectorized prior/IS/MCMC against analytic
+posteriors, interpreter-tier agreement, and fallback behavior."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pyprob_tpu as pp
+from pyprob_tpu.distributions import Normal, Uniform, Categorical
+
+
+class GUM(pp.Model):
+    def forward(self):
+        mu = pp.sample(Normal(1.0, math.sqrt(5.0)))
+        likelihood = Normal(mu, math.sqrt(2.0))
+        pp.observe(likelihood, name="obs0")
+        pp.observe(likelihood, name="obs1")
+        return mu
+
+
+class MarsagliaGUM(pp.Model):
+    """Unbounded rejection loop with host control flow: NOT jax-traceable;
+    must fall back to the interpreter tier."""
+
+    def forward(self):
+        while True:
+            x = pp.sample(Uniform(-1.0, 1.0))
+            y = pp.sample(Uniform(-1.0, 1.0))
+            s = float(x) ** 2 + float(y) ** 2
+            if s < 1:
+                break
+        mu = 1.0 + math.sqrt(5.0) * (float(x) * math.sqrt(-2 * math.log(s) / s))
+        lik = Normal(mu, math.sqrt(2.0))
+        pp.observe(lik, name="obs0")
+        pp.observe(lik, name="obs1")
+        return mu
+
+
+OBS = {"obs0": 8, "obs1": 9}
+TRUE_MEAN = 7.25
+TRUE_STD = math.sqrt(1 / 1.2)
+
+
+def test_vectorized_prior():
+    m = GUM()
+    prior = m.prior_results(num_traces=10000, vectorized=True)
+    assert abs(float(prior.mean) - 1.0) < 0.15
+    assert abs(float(prior.stddev) - math.sqrt(5.0)) < 0.15
+
+
+def test_vectorized_is_posterior():
+    m = GUM()
+    post = m.posterior_results(num_traces=20000, observe=OBS, vectorized=True)
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.3
+    assert abs(float(post.stddev) - TRUE_STD) < 0.3
+    assert post.effective_sample_size > 0.005 * 20000
+
+
+def test_vectorized_matches_interpreter():
+    m = GUM()
+    p_vec = m.posterior_results(num_traces=20000, observe=OBS, vectorized=True)
+    p_int = m.posterior_results(num_traces=4000, observe=OBS, vectorized=False)
+    assert abs(float(p_vec.mean) - float(p_int.mean)) < 0.5
+
+
+def test_vectorized_full_traces():
+    m = GUM()
+    post = m.posterior(num_traces=500, observe=OBS, vectorized=True)
+    trace = post[0]
+    assert trace.length_controlled == 1
+    assert len(trace.variables_observed) == 2
+    assert np.isfinite(float(trace.log_importance_weight))
+    # weighted stats over mapped traces
+    mean = float(post.map(lambda t: float(t.result)).mean)
+    assert abs(mean - TRUE_MEAN) < 1.0
+
+
+def test_vectorized_lmh():
+    m = GUM()
+    post = m.posterior_results(
+        num_traces=50000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+    )
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.75
+    assert abs(float(post.stddev) - TRUE_STD) < 0.75
+
+
+def test_vectorized_rmh():
+    m = GUM()
+    post = m.posterior_results(
+        num_traces=50000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    )
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.3
+    assert abs(float(post.stddev) - TRUE_STD) < 0.3
+
+
+def test_vectorized_fallback_to_interpreter():
+    m = MarsagliaGUM()
+    post = m.posterior_results(num_traces=2000, observe=OBS, vectorized=True)
+    # fell back, still correct
+    assert abs(float(post.mean) - TRUE_MEAN) < 1.0
+    # cached: second call goes straight to interpreter without retracing
+    from pyprob_tpu.vectorized import _TraceabilityCache
+
+    assert _TraceabilityCache.known_untraceable(m)
+
+
+def test_vectorized_multisite_hmm():
+    class HMM(pp.Model):
+        def forward(self):
+            T = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
+            mus = jnp.asarray([-1.0, 1.0])
+            z = pp.sample(Categorical(probs=jnp.asarray([0.5, 0.5])))
+            zs = []
+            for t in range(4):
+                z = pp.sample(Categorical(probs=T[z]))
+                pp.observe(Normal(mus[z], 0.5), name=f"obs{t}")
+                zs.append(z)
+            return jnp.stack(zs)
+
+    m = HMM()
+    obs = {f"obs{t}": v for t, v in enumerate([-1.0, -1.0, 1.0, 1.0])}
+    post = m.posterior_results(num_traces=20000, observe=obs, vectorized=True)
+    marginals = np.asarray(post.mean)
+    assert marginals[0] < 0.1 and marginals[1] < 0.1
+    assert marginals[2] > 0.9 and marginals[3] > 0.9
+    post2 = m.posterior_results(
+        num_traces=20000,
+        observe=obs,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    )
+    marginals2 = np.asarray(post2.mean)
+    assert marginals2[0] < 0.15 and marginals2[3] > 0.85
+
+
+def test_vectorized_factor():
+    class FactorModel(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(0.0, 1.0))
+            pp.factor(log_prob_func=lambda _: -(mu**2))
+            return mu
+
+    m = FactorModel()
+    post = m.posterior_results(num_traces=20000, vectorized=True)
+    assert abs(float(post.mean)) < 0.1
+    assert abs(float(post.stddev) - math.sqrt(1.0 / 3.0)) < 0.1
+
+
+def test_vectorized_missing_observe_raises():
+    m = GUM()
+    with pytest.raises(RuntimeError):
+        m.posterior_results(
+            num_traces=10, observe={"obs0": None, "obs1": 9}, vectorized=True
+        )
