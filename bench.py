@@ -1,0 +1,98 @@
+"""Benchmark: GUM inference-compilation guided importance sampling.
+
+Trains the LSTM inference network on the gaussian-unknown-mean model, then
+measures guided-IS posterior throughput on the compiled tier (one chip).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: reference pyprob on CPU (this machine, see BASELINE.md):
+IC guided posterior = 188.6 traces/s at ESS fraction 23.8%.  Our ESS
+fraction must be >= the reference's for the comparison to count as
+matched-ESS (it is, by a wide margin — the proposal network is the same
+architecture trained on the same budget).
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PYPROB_CPU_IC_TRACES_PER_S = 188.6  # measured, BASELINE.md
+PYPROB_CPU_IC_ESS_FRACTION = 0.238
+
+NUM_TRAIN_TRACES = 20000
+NUM_POSTERIOR_TRACES = 100000
+
+
+def main():
+    import pyprob_tpu as pp
+    from pyprob_tpu.distributions import Normal
+
+    pp.set_verbosity(0)
+    pp.seed(123)
+
+    class GUM(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(1.0, math.sqrt(5.0)))
+            likelihood = Normal(mu, math.sqrt(2.0))
+            pp.observe(likelihood, name="obs0")
+            pp.observe(likelihood, name="obs1")
+            return mu
+
+    model = GUM()
+    observe = {"obs0": 8.0, "obs1": 9.0}
+
+    t0 = time.time()
+    model.learn_inference_network(
+        num_traces=NUM_TRAIN_TRACES,
+        observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
+        inference_network=pp.InferenceNetwork.LSTM,
+        batch_size=1024,
+        learning_rate_init=0.005,
+        lstm_dim=128,
+    )
+    train_seconds = time.time() - t0
+    engine = pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+
+    # warmup: compile the guided-IS program
+    model.posterior_results(
+        num_traces=4096, observe=observe, vectorized=True, inference_engine=engine
+    )
+    # timed run
+    t0 = time.time()
+    post = model.posterior_results(
+        num_traces=NUM_POSTERIOR_TRACES,
+        observe=observe,
+        vectorized=True,
+        inference_engine=engine,
+    )
+    dt = time.time() - t0
+    traces_per_s = NUM_POSTERIOR_TRACES / dt
+    ess_fraction = post.effective_sample_size / NUM_POSTERIOR_TRACES
+    mean = float(post.mean)
+    stddev = float(post.stddev)
+
+    ok = (
+        abs(mean - 7.25) < 0.5
+        and abs(stddev - math.sqrt(1 / 1.2)) < 0.5
+        and ess_fraction >= PYPROB_CPU_IC_ESS_FRACTION
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "GUM IC guided-IS traces/s (1 chip, ESS fraction "
+                f"{ess_fraction:.3f} vs baseline {PYPROB_CPU_IC_ESS_FRACTION}, "
+                f"posterior mean {mean:.3f}, correct={ok}, "
+                f"train {train_seconds:.0f}s)",
+                "value": round(traces_per_s, 1),
+                "unit": "traces/s",
+                "vs_baseline": round(traces_per_s / PYPROB_CPU_IC_TRACES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+from .layers import (
+    Static,
+    mlp_init,
+    mlp_apply,
+    lstm_init,
+    lstm_apply,
+    lstm_step,
+    lstm_zero_state,
+    cnn2d5c_init,
+    cnn2d5c_apply,
+    cnn3d5c_init,
+    cnn3d5c_apply,
+    num_params,
+)
+from .proposals import head_kind_for, head_init, head_apply, prior_param_arrays
+from .optimizer_larc import larc_scale
+from .dataset import (
+    Batch,
+    OnlineDataset,
+    OfflineDataset,
+    OfflineDatasetFile,
+    TraceBatchSampler,
+    DistributedTraceBatchSampler,
+    prune_trace,
+)
+from .inference_network import InferenceNetwork
+from .inference_network_feedforward import InferenceNetworkFeedForward
+from .inference_network_lstm import InferenceNetworkLSTM
+
+__all__ = [
+    "Static",
+    "mlp_init",
+    "mlp_apply",
+    "lstm_init",
+    "lstm_apply",
+    "lstm_step",
+    "lstm_zero_state",
+    "cnn2d5c_init",
+    "cnn2d5c_apply",
+    "cnn3d5c_init",
+    "cnn3d5c_apply",
+    "num_params",
+    "head_kind_for",
+    "head_init",
+    "head_apply",
+    "prior_param_arrays",
+    "larc_scale",
+    "Batch",
+    "OnlineDataset",
+    "OfflineDataset",
+    "OfflineDatasetFile",
+    "TraceBatchSampler",
+    "DistributedTraceBatchSampler",
+    "prune_trace",
+    "InferenceNetwork",
+    "InferenceNetworkFeedForward",
+    "InferenceNetworkLSTM",
+]

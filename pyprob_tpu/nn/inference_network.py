@@ -1,0 +1,840 @@
+"""Inference network base: observe embeddings, training loop, checkpointing.
+
+Counterpart of the reference base network and its ``optimize`` loop
+(reference: pyprob/nn/inference_network.py:25-599), redesigned TPU-first:
+
+* Parameters are plain dict pytrees (see ``pyprob_tpu.nn.layers``); the
+  per-address "polymorphism" grows the dict, and ``jax.jit`` retraces the
+  per-trace-type loss automatically because the pytree structure is part
+  of the compilation signature.
+* Each rectangular sub-batch (same controlled-address sequence) is packed
+  once on the host into stacked arrays and consumed by a single jitted
+  value-and-grad computation; the optimizer step is a second jitted
+  function over the whole parameter tree (optax).
+* Data-parallel training shards the packed sub-batch rows over a 1-D
+  ``jax.sharding.Mesh`` with ``shard_map`` + ``psum`` — the TPU-native
+  replacement for the reference's torch.distributed broadcast/allreduce
+  (reference: inference_network.py:290-341), including the sqrt(world)
+  learning-rate scaling (reference: inference_network.py:448).
+* Checkpoints are tar.gz files holding pickled numpy parameter trees plus
+  optimizer/scheduler state and counters, with the same save/load/continue
+  semantics as the reference tar.gz format
+  (reference: inference_network.py:162-263).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import shutil
+import tarfile
+import tempfile
+import time
+import uuid
+import warnings
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import util, __version__
+from ..util import Optimizer, LearningRateScheduler, ObserveEmbedding
+from . import dataset as dataset_module
+from .dataset import Batch, OfflineDataset, TraceBatchSampler, DistributedTraceBatchSampler
+from .layers import (
+    Static,
+    mlp_init,
+    mlp_apply,
+    cnn2d5c_init,
+    cnn2d5c_apply,
+    cnn3d5c_init,
+    cnn3d5c_apply,
+    num_params,
+)
+from .optimizer_larc import larc_scale
+
+_CHECKPOINT_MEMBER = "pyprob_tpu_inference_network"
+
+
+class InferenceNetwork:
+    def __init__(self, model, observe_embeddings={}, network_type=""):
+        self._model = model
+        self._network_type = network_type
+        self._observe_embeddings_spec = observe_embeddings
+        self._observe_meta = {}  # name -> dict(embedding kind, shapes, depth)
+        self._params = {"observe": {}, "observe_final": None}
+        self._observe_embedding_dim = None
+        self._layers_initialized = False
+        self._layers_pre_generated = False
+        self._head_train_iterations = {}  # address -> int
+        self._infer_observe = None
+        self._infer_observe_embedding = None
+
+        self._optimizer_type = None
+        self._opt_state = None
+        self._momentum = None
+        self._weight_decay = None
+        self._learning_rate_scheduler_type = None
+        self._learning_rate_init = None
+        self._learning_rate_end = None
+
+        self._total_train_seconds = 0.0
+        self._total_train_traces = 0
+        self._total_train_traces_end = None
+        self._total_train_iterations = 0
+        self._loss_init = None
+        self._loss_min = float("inf")
+        self._loss_max = None
+        self._loss_previous = float("inf")
+        self._history_train_loss = []
+        self._history_train_loss_trace = []
+        self._history_valid_loss = []
+        self._history_valid_loss_trace = []
+        self._history_num_params = []
+        self._history_num_params_trace = []
+        self._distributed_world_size = None
+        self._modified = util.get_time_stamp()
+        self._updates = 0
+
+        # jit caches (not checkpointed)
+        self._loss_grad_cache = {}
+        self._loss_cache = {}
+        self._update_fn = None
+        self._base_optimizer = None
+        self._dp_mesh = None  # jax Mesh for data-parallel training
+
+    # ------------------------------------------------------------------
+    # observe embeddings (reference: inference_network.py:80-148)
+    # ------------------------------------------------------------------
+    def _init_layers_observe_embedding(self, observe_embeddings, example_trace):
+        if len(observe_embeddings) == 0:
+            raise ValueError(
+                "At least one observe embedding is needed to initialize the "
+                "inference network."
+            )
+        if isinstance(observe_embeddings, (set, list, tuple)):
+            observe_embeddings = {o: {} for o in observe_embeddings}
+        total_dim = 0
+        for name, spec in observe_embeddings.items():
+            variable = example_trace.named_variables[name]
+            if "reshape" in spec:
+                input_shape = tuple(spec["reshape"])
+            else:
+                input_shape = tuple(np.shape(variable.value))
+                if input_shape == ():
+                    input_shape = (1,)
+            output_dim = int(spec.get("dim", 256))
+            embedding = spec.get("embedding", ObserveEmbedding.FEEDFORWARD)
+            depth = int(spec.get("depth", 2))
+            key = util.next_key()
+            if embedding == ObserveEmbedding.FEEDFORWARD:
+                layer = {
+                    "kind": Static("feedforward"),
+                    "p": mlp_init(key, input_shape, (output_dim,), num_layers=depth),
+                }
+            elif embedding == ObserveEmbedding.CNN2D5C:
+                layer = {
+                    "kind": Static("cnn2d5c"),
+                    "p": cnn2d5c_init(key, input_shape, (output_dim,)),
+                }
+            elif embedding == ObserveEmbedding.CNN3D5C:
+                layer = {
+                    "kind": Static("cnn3d5c"),
+                    "p": cnn3d5c_init(key, input_shape, (output_dim,)),
+                }
+            else:
+                raise ValueError(f"Unknown embedding: {embedding}")
+            self._params["observe"][name] = layer
+            self._observe_meta[name] = {
+                "embedding": embedding,
+                "input_shape": input_shape,
+                "output_dim": output_dim,
+                "depth": depth,
+            }
+            total_dim += output_dim
+        self._observe_embedding_dim = total_dim
+        util.log_print(f"Observe embedding dimension: {total_dim}")
+        self._params["observe_final"] = mlp_init(
+            util.next_key(), (total_dim,), (total_dim,), num_layers=2
+        )
+
+    @staticmethod
+    def _embed_observe_pure(params, obs):
+        """obs: {name: [B, ...]} -> [B, O].  Pure; jit-safe."""
+        pieces = []
+        for name in sorted(params["observe"].keys()):
+            layer = params["observe"][name]
+            x = obs[name]
+            kind = layer["kind"].value
+            if kind == "feedforward":
+                pieces.append(mlp_apply(layer["p"], x))
+            elif kind == "cnn2d5c":
+                pieces.append(cnn2d5c_apply(layer["p"], x))
+            else:
+                pieces.append(cnn3d5c_apply(layer["p"], x))
+        emb = jnp.concatenate(pieces, axis=1)
+        return mlp_apply(params["observe_final"], emb)
+
+    def _embed_observe(self, traces):
+        obs = self._pack_observes(traces)
+        return self._embed_observe_pure(self._params, obs)
+
+    def _pack_observes(self, traces):
+        obs = {}
+        for name in self._params["observe"].keys():
+            obs[name] = jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(
+                            t.named_variables[name].value, dtype=util.dtype()
+                        ).reshape(-1)
+                        for t in traces
+                    ]
+                )
+            )
+        return obs
+
+    def _infer_init(self, observe=None):
+        self._infer_observe = observe
+        obs = {
+            name: jnp.asarray(
+                np.asarray(observe[name], dtype=util.dtype()).reshape(1, -1)
+            )
+            for name in self._params["observe"].keys()
+        }
+        self._infer_observe_embedding = self._embed_observe_pure(
+            self._params, obs
+        )
+        self._infer_begin_trace()
+
+    def _infer_begin_trace(self):
+        """Hook: reset per-trace inference state (LSTM hidden, etc.)."""
+
+    # ------------------------------------------------------------------
+    # subclass hooks
+    # ------------------------------------------------------------------
+    def _init_layers(self):
+        raise NotImplementedError()
+
+    def _polymorph(self, batch):
+        raise NotImplementedError()
+
+    def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
+        raise NotImplementedError()
+
+    def _pack_sub_batch(self, sub_batch):
+        raise NotImplementedError()
+
+    def _make_sub_batch_loss(self, sub_batch):
+        """Return (static_key, loss_fn(params, packed) -> scalar)."""
+        raise NotImplementedError()
+
+    def make_vectorized_proposal_step(self, observe):
+        """Return a proposal_step(site, dist, key) callable usable inside the
+        compiled tier's traced forward, or None if unsupported."""
+        return None
+
+    # ------------------------------------------------------------------
+    # loss plumbing
+    # ------------------------------------------------------------------
+    def _sub_batch_prior_params(self, sub_batch, time_step):
+        from .proposals import prior_param_arrays
+
+        out = {}
+        for t_i, trace in enumerate(sub_batch):
+            v = trace.variables_controlled[time_step]
+            pp = prior_param_arrays(v.distribution)
+            for k, val in pp.items():
+                out.setdefault(k, []).append(
+                    np.asarray(val, dtype=util.dtype()).reshape(())
+                )
+        return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
+
+    @staticmethod
+    def _pad_packed(packed, target):
+        """Pad every [B, ...] leaf of a packed sub-batch up to ``target``
+        rows (edge replication) and attach a 1/0 row mask, so the rows
+        shard evenly over the mesh."""
+        sample = packed["obs"]
+        B = next(iter(sample.values())).shape[0] if sample else None
+        if B is None:
+            for step in packed["steps"]:
+                B = step["values"].shape[0]
+                break
+        pad = target - B
+        if pad > 0:
+            packed = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+                ),
+                packed,
+            )
+        packed = dict(packed)
+        packed["mask"] = jnp.concatenate(
+            [
+                jnp.ones((B,), util.dtype()),
+                jnp.zeros((max(pad, 0),), util.dtype()),
+            ]
+        )
+        return packed
+
+    def _make_dp_loss_grad(self, loss_fn):
+        """Data-parallel loss+grad: rows shard over the 'dp' mesh axis,
+        loss and grads psum back — the TPU-native replacement for the
+        reference's grad allreduce (reference: inference_network.py:296-325)."""
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self._dp_mesh
+
+        def fn(params, packed):
+            loss, grads = jax.value_and_grad(loss_fn)(params, packed)
+            loss = jax.lax.psum(loss, "dp")
+            grads = jax.lax.psum(grads, "dp")
+            return loss, grads
+
+        return jax.jit(
+            jax.shard_map(
+                fn,
+                mesh=mesh,
+                in_specs=(P(), P("dp")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def _loss_and_grad(self, batch):
+        """Full-batch loss + grads: one jitted computation per sub-batch
+        (cached by trace type), grads accumulated over sub-batches."""
+        total_loss = 0.0
+        total_grads = None
+        for sub_batch in batch.sub_batches:
+            key, loss_fn = self._make_sub_batch_loss(sub_batch)
+            packed = self._pack_sub_batch(sub_batch)
+            if self._dp_mesh is not None:
+                ndev = self._dp_mesh.size
+                target = ((len(sub_batch) + ndev - 1) // ndev) * ndev
+                packed = self._pad_packed(packed, target)
+                dp_key = ("dp",) + key
+                if dp_key not in self._loss_grad_cache:
+                    self._loss_grad_cache[dp_key] = self._make_dp_loss_grad(
+                        loss_fn
+                    )
+                loss, grads = self._loss_grad_cache[dp_key](
+                    self._params, packed
+                )
+                total_loss = total_loss + loss
+                if total_grads is None:
+                    total_grads = grads
+                else:
+                    total_grads = jax.tree_util.tree_map(
+                        lambda a, b: a + b, total_grads, grads
+                    )
+                continue
+            if key not in self._loss_grad_cache:
+                self._loss_grad_cache[key] = jax.jit(
+                    jax.value_and_grad(loss_fn)
+                )
+            loss, grads = self._loss_grad_cache[key](self._params, packed)
+            total_loss = total_loss + loss
+            if total_grads is None:
+                total_grads = grads
+            else:
+                total_grads = jax.tree_util.tree_map(
+                    lambda a, b: a + b, total_grads, grads
+                )
+        loss_value = float(total_loss) / batch.size
+        grads = jax.tree_util.tree_map(
+            lambda g: g / batch.size, total_grads
+        )
+        success = not (math.isnan(loss_value) or math.isinf(loss_value))
+        return success, loss_value, grads
+
+    def _loss(self, batch):
+        """Loss only (validation)."""
+        total_loss = 0.0
+        for sub_batch in batch.sub_batches:
+            key, loss_fn = self._make_sub_batch_loss(sub_batch)
+            packed = self._pack_sub_batch(sub_batch)
+            if key not in self._loss_cache:
+                self._loss_cache[key] = jax.jit(loss_fn)
+            total_loss = total_loss + float(
+                self._loss_cache[key](self._params, packed)
+            )
+        loss_value = total_loss / batch.size
+        success = not (math.isnan(loss_value) or math.isinf(loss_value))
+        return success, loss_value
+
+    # ------------------------------------------------------------------
+    # optimizer
+    # ------------------------------------------------------------------
+    def _create_optimizer(self, opt_state=None):
+        if self._optimizer_type is None:
+            return
+        wd = self._weight_decay or 0.0
+        if self._optimizer_type in (Optimizer.ADAM, Optimizer.ADAM_LARC):
+            # torch Adam semantics: L2 via grad += wd*p, then adam
+            base = optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.scale_by_adam(),
+            )
+        else:
+            base = optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.trace(decay=self._momentum or 0.9, nesterov=True),
+            )
+        self._base_optimizer = base
+        use_larc = self._optimizer_type in (
+            Optimizer.ADAM_LARC,
+            Optimizer.SGD_LARC,
+        )
+
+        def update(params, grads, state, lr):
+            if use_larc:
+                grads = larc_scale(
+                    grads, params, lr, weight_decay=wd
+                )
+            updates, state = base.update(grads, state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return params, state
+
+        self._update_fn = jax.jit(update)
+        if opt_state is not None:
+            self._opt_state = opt_state
+        else:
+            self._opt_state = base.init(self._params)
+
+    def _current_learning_rate(self):
+        """Poly LR decay by total train traces
+        (reference: inference_network.py:357-379)."""
+        lr_init = self._learning_rate_init
+        lr_end = self._learning_rate_end
+        t = self._learning_rate_scheduler_type
+        if t in (None, LearningRateScheduler.NONE):
+            return lr_init
+        iter_end = self._total_train_traces_end or 1e9
+        frac = min(self._total_train_traces / iter_end, 1.0)
+        power = 1.0 if t == LearningRateScheduler.POLY1 else 2.0
+        return (lr_init - lr_end) * ((1 - frac) ** power) + lr_end
+
+    @property
+    def learning_rate(self):
+        return self._current_learning_rate()
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference: inference_network.py:162-263)
+    # ------------------------------------------------------------------
+    def _state_dict(self):
+        to_np = lambda tree: jax.tree_util.tree_map(
+            lambda x: np.asarray(x)
+            if isinstance(x, (jnp.ndarray, jax.Array))
+            else x,
+            tree,
+        )
+        return {
+            "pyprob_tpu_version": __version__,
+            "jax_version": jax.__version__,
+            "network_type": self._network_type,
+            "class_name": type(self).__name__,
+            "params": to_np(self._params),
+            "opt_state": to_np(self._opt_state),
+            "observe_meta": self._observe_meta,
+            "observe_embedding_dim": self._observe_embedding_dim,
+            "observe_embeddings_spec": self._observe_embeddings_spec,
+            "layers_initialized": self._layers_initialized,
+            "layers_pre_generated": self._layers_pre_generated,
+            "head_train_iterations": self._head_train_iterations,
+            "optimizer_type": self._optimizer_type,
+            "momentum": self._momentum,
+            "weight_decay": self._weight_decay,
+            "learning_rate_scheduler_type": self._learning_rate_scheduler_type,
+            "learning_rate_init": self._learning_rate_init,
+            "learning_rate_end": self._learning_rate_end,
+            "total_train_seconds": self._total_train_seconds,
+            "total_train_traces": self._total_train_traces,
+            "total_train_traces_end": self._total_train_traces_end,
+            "total_train_iterations": self._total_train_iterations,
+            "loss_init": self._loss_init,
+            "loss_min": self._loss_min,
+            "loss_max": self._loss_max,
+            "loss_previous": self._loss_previous,
+            "history_train_loss": self._history_train_loss,
+            "history_train_loss_trace": self._history_train_loss_trace,
+            "history_valid_loss": self._history_valid_loss,
+            "history_valid_loss_trace": self._history_valid_loss_trace,
+            "history_num_params": self._history_num_params,
+            "history_num_params_trace": self._history_num_params_trace,
+            "modified": self._modified,
+            "updates": self._updates,
+            "subclass_state": self._subclass_state(),
+        }
+
+    def _subclass_state(self):
+        return {}
+
+    def _load_subclass_state(self, state):
+        pass
+
+    def _save(self, file_name):
+        self._modified = util.get_time_stamp()
+        self._updates += 1
+        data = self._state_dict()
+        tmp_dir = tempfile.mkdtemp(suffix=str(uuid.uuid4()))
+        tmp_file = os.path.join(tmp_dir, _CHECKPOINT_MEMBER)
+        with open(tmp_file, "wb") as f:
+            pickle.dump(data, f, protocol=pickle.HIGHEST_PROTOCOL)
+        tar = tarfile.open(file_name, "w:gz", compresslevel=2)
+        tar.add(tmp_file, arcname=_CHECKPOINT_MEMBER)
+        tar.close()
+        shutil.rmtree(tmp_dir)
+
+    @staticmethod
+    def _load(file_name):
+        from .inference_network_feedforward import InferenceNetworkFeedForward
+        from .inference_network_lstm import InferenceNetworkLSTM
+
+        try:
+            tar = tarfile.open(file_name, "r:gz")
+            tmp_dir = tempfile.mkdtemp(suffix=str(uuid.uuid4()))
+            tar.extract(_CHECKPOINT_MEMBER, tmp_dir)
+            tar.close()
+            with open(os.path.join(tmp_dir, _CHECKPOINT_MEMBER), "rb") as f:
+                data = pickle.load(f)
+            shutil.rmtree(tmp_dir)
+        except Exception as e:
+            raise RuntimeError(f"Cannot load inference network: {e}")
+
+        if data["pyprob_tpu_version"] != __version__:
+            warnings.warn(
+                f"Different pyprob_tpu versions (loaded network: "
+                f"{data['pyprob_tpu_version']}, current: {__version__})"
+            )
+        cls = {
+            "InferenceNetworkFeedForward": InferenceNetworkFeedForward,
+            "InferenceNetworkLSTM": InferenceNetworkLSTM,
+        }[data["class_name"]]
+        net = cls.__new__(cls)
+        InferenceNetwork.__init__(
+            net,
+            model=None,
+            observe_embeddings=data["observe_embeddings_spec"],
+            network_type=data["network_type"],
+        )
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree
+        )
+        net._params = to_dev(data["params"])
+        net._opt_state = to_dev(data["opt_state"])
+        net._observe_meta = data["observe_meta"]
+        net._observe_embedding_dim = data["observe_embedding_dim"]
+        net._layers_initialized = data["layers_initialized"]
+        net._layers_pre_generated = data["layers_pre_generated"]
+        net._head_train_iterations = data["head_train_iterations"]
+        net._optimizer_type = data["optimizer_type"]
+        net._momentum = data["momentum"]
+        net._weight_decay = data["weight_decay"]
+        net._learning_rate_scheduler_type = data["learning_rate_scheduler_type"]
+        net._learning_rate_init = data["learning_rate_init"]
+        net._learning_rate_end = data["learning_rate_end"]
+        net._total_train_seconds = data["total_train_seconds"]
+        net._total_train_traces = data["total_train_traces"]
+        net._total_train_traces_end = data["total_train_traces_end"]
+        net._total_train_iterations = data["total_train_iterations"]
+        net._loss_init = data["loss_init"]
+        net._loss_min = data["loss_min"]
+        net._loss_max = data["loss_max"]
+        net._loss_previous = data["loss_previous"]
+        net._history_train_loss = data["history_train_loss"]
+        net._history_train_loss_trace = data["history_train_loss_trace"]
+        net._history_valid_loss = data["history_valid_loss"]
+        net._history_valid_loss_trace = data["history_valid_loss_trace"]
+        net._history_num_params = data["history_num_params"]
+        net._history_num_params_trace = data["history_num_params_trace"]
+        net._modified = data["modified"]
+        net._updates = data["updates"]
+        net._load_subclass_state(data["subclass_state"])
+        if net._optimizer_type is not None:
+            net._create_optimizer(net._opt_state)
+        return net
+
+    # ------------------------------------------------------------------
+    # pre-generation (reference: inference_network.py:270-288)
+    # ------------------------------------------------------------------
+    def _pre_generate_layers(self, dataset, batch_size=64, save_file_name_prefix=None):
+        if not self._layers_initialized:
+            self._init_layers_observe_embedding(
+                self._observe_embeddings_spec, example_trace=dataset[0]
+            )
+            self._init_layers()
+            self._layers_initialized = True
+        self._layers_pre_generated = True
+        n = len(dataset)
+        for begin in range(0, n, batch_size):
+            traces = [dataset[i] for i in range(begin, min(begin + batch_size, n))]
+            changed = self._polymorph(Batch(traces))
+            if changed and save_file_name_prefix is not None:
+                self._save(f"{save_file_name_prefix}_00000000_pre_generated.network")
+        util.log_print("Layer pre-generation complete")
+
+    # ------------------------------------------------------------------
+    # the training loop (reference: inference_network.py:381-599)
+    # ------------------------------------------------------------------
+    def optimize(
+        self,
+        num_traces,
+        dataset,
+        dataset_valid=None,
+        num_traces_end=1e9,
+        batch_size=64,
+        valid_every=None,
+        optimizer_type=Optimizer.ADAM,
+        learning_rate_init=0.0001,
+        learning_rate_end=1e-6,
+        learning_rate_scheduler_type=LearningRateScheduler.NONE,
+        momentum=0.9,
+        weight_decay=1e-5,
+        save_file_name_prefix=None,
+        save_every_sec=600,
+        distributed_backend=None,
+        distributed_params_sync_every_iter=10000,
+        distributed_num_buckets=None,
+        distributed_rank=0,
+        distributed_world_size=1,
+        stop_with_bad_loss=False,
+        log_file_name=None,
+    ):
+        if not self._layers_initialized:
+            self._init_layers_observe_embedding(
+                self._observe_embeddings_spec, example_trace=dataset[0]
+            )
+            self._init_layers()
+            self._layers_initialized = True
+
+        lr_scale_world = 1
+        if distributed_backend is None:
+            distributed_world_size = 1
+            distributed_rank = 0
+        elif distributed_backend in ("shard_map", "jax", "mesh", "dp"):
+            # single-process data parallelism: batch rows shard over the
+            # local device mesh, grads psum over ICI
+            from ..parallel import data_parallel_mesh
+
+            self._dp_mesh = data_parallel_mesh()
+            lr_scale_world = self._dp_mesh.size
+            distributed_world_size = 1
+            distributed_rank = 0
+            util.log_print(
+                f"Data-parallel training over mesh: {self._dp_mesh.shape} "
+                f"({self._dp_mesh.size} devices)"
+            )
+        else:
+            # multi-process: this process is one rank; the sampler
+            # partitions batches per rank (DistributedTraceBatchSampler)
+            self._distributed_world_size = distributed_world_size
+            lr_scale_world = distributed_world_size
+            util.init_distributed_print(
+                distributed_rank, distributed_world_size, False
+            )
+            if distributed_rank == 0:
+                util.log_print("Distributed synchronous training")
+                util.log_print(
+                    f"Distributed world size: {distributed_world_size}"
+                )
+                util.log_print(
+                    f"Distributed minibatch: {batch_size * distributed_world_size} "
+                    f"(global), {batch_size} (per rank)"
+                )
+
+        # data iteration
+        if isinstance(dataset, OfflineDataset):
+            if distributed_world_size == 1:
+                sampler = TraceBatchSampler(
+                    dataset, batch_size=batch_size, shuffle_batches=True
+                )
+            else:
+                sampler = DistributedTraceBatchSampler(
+                    dataset,
+                    batch_size=batch_size,
+                    rank=distributed_rank,
+                    world_size=distributed_world_size,
+                    num_buckets=distributed_num_buckets,
+                    shuffle_batches=True,
+                    shuffle_buckets=True,
+                )
+
+            def batches():
+                for idx in sampler:
+                    yield Batch([dataset[int(i)] for i in idx])
+
+        else:
+
+            def batches():
+                while True:
+                    yield Batch(dataset.next_batch(batch_size))
+
+        if dataset_valid is not None:
+            valid_sampler = TraceBatchSampler(
+                dataset_valid, batch_size=batch_size, shuffle_batches=False
+            )
+            if not self._layers_pre_generated:
+                for idx in valid_sampler:
+                    self._polymorph(
+                        Batch([dataset_valid[int(i)] for i in idx])
+                    )
+
+        prev_total_train_seconds = self._total_train_seconds
+        time_start = time.time()
+        time_last_batch = time_start
+        if valid_every is None:
+            valid_every = max(100, num_traces / 1000)
+        last_validation_trace = -valid_every + 1
+        valid_loss = None
+        if self._optimizer_type is None:
+            self._optimizer_type = optimizer_type
+        if self._momentum is None:
+            self._momentum = momentum
+        if self._weight_decay is None:
+            self._weight_decay = weight_decay
+        if self._learning_rate_scheduler_type is None:
+            self._learning_rate_scheduler_type = learning_rate_scheduler_type
+        if self._learning_rate_init is None:
+            # sqrt(world) LR scaling (reference: inference_network.py:448)
+            self._learning_rate_init = learning_rate_init * math.sqrt(
+                lr_scale_world
+            )
+        if self._learning_rate_end is None:
+            self._learning_rate_end = learning_rate_end
+        if self._total_train_traces_end is None:
+            self._total_train_traces_end = num_traces_end
+
+        epoch = 0
+        trace_count = 0
+        stop = False
+        last_auto_save_time = time_start - (save_every_sec or 0)
+        last_print = time_start - util._print_refresh_rate
+        log_file = None
+        if distributed_rank == 0 and log_file_name is not None:
+            log_file = open(log_file_name, mode="w", buffering=1)
+            log_file.write(
+                "time, iteration, trace, loss, valid_loss, learning_rate, "
+                "mean_trace_length_controlled, sub_mini_batches, "
+                "distributed_bucket_id, traces_per_second\n"
+            )
+
+        while not stop:
+            epoch += 1
+            for batch in batches():
+                time_batch = time.time()
+                if self._layers_pre_generated:
+                    layers_changed = False
+                else:
+                    layers_changed = self._polymorph(batch)
+                if self._opt_state is None or layers_changed or self._update_fn is None:
+                    self._create_optimizer()
+
+                success, loss, grads = self._loss_and_grad(batch)
+                if not success:
+                    util.log_error(
+                        f"Cannot compute loss, skipping batch. Loss: {loss}"
+                    )
+                    if stop_with_bad_loss:
+                        if log_file is not None:
+                            log_file.close()
+                        return
+                    continue
+
+                lr = self._current_learning_rate()
+                self._params, self._opt_state = self._update_fn(
+                    self._params, grads, self._opt_state, lr
+                )
+
+                if self._loss_init is None:
+                    self._loss_init = loss
+                    self._loss_max = loss
+                self._loss_min = min(self._loss_min, loss)
+                self._loss_max = max(self._loss_max, loss)
+                self._loss_previous = loss
+                self._total_train_iterations += 1
+                trace_count += batch.size * distributed_world_size
+                self._total_train_traces += batch.size * distributed_world_size
+                self._total_train_seconds = prev_total_train_seconds + (
+                    time_batch - time_start
+                )
+                self._history_train_loss.append(loss)
+                self._history_train_loss_trace.append(self._total_train_traces)
+                traces_per_second = (
+                    batch.size
+                    * distributed_world_size
+                    / max(time_batch - time_last_batch, 1e-9)
+                )
+                time_last_batch = time_batch
+
+                if dataset_valid is not None and (
+                    trace_count - last_validation_trace > valid_every
+                ):
+                    valid_loss_total = 0.0
+                    valid_batches = 0
+                    for idx in valid_sampler:
+                        _, v = self._loss(
+                            Batch([dataset_valid[int(i)] for i in idx])
+                        )
+                        valid_loss_total += v
+                        valid_batches += 1
+                    valid_loss = valid_loss_total / max(valid_batches, 1)
+                    self._history_valid_loss.append(valid_loss)
+                    self._history_valid_loss_trace.append(
+                        self._total_train_traces
+                    )
+                    last_validation_trace = trace_count - 1
+
+                if (
+                    distributed_rank == 0
+                    and save_file_name_prefix is not None
+                    and save_every_sec is not None
+                    and time_batch - last_auto_save_time > save_every_sec
+                ):
+                    last_auto_save_time = time_batch
+                    self._save(
+                        f"{save_file_name_prefix}_{util.get_time_stamp()}_"
+                        f"traces_{self._total_train_traces}.network"
+                    )
+
+                if trace_count >= num_traces:
+                    stop = True
+                if (
+                    time_batch - last_print > util._print_refresh_rate
+                ) or stop:
+                    last_print = time_batch
+                    util.progress_update(
+                        f"{util.days_hours_mins_secs_str(self._total_train_seconds)} "
+                        f"| ep {epoch} | {self._total_train_traces:9,} | "
+                        f"loss {loss:+.3e} | min {self._loss_min:+.3e} | "
+                        f"lr {lr:+.2e} | {traces_per_second:,.1f} traces/s"
+                    )
+                if log_file is not None:
+                    bucket_id = (
+                        sampler._current_bucket_id
+                        if isinstance(sampler, DistributedTraceBatchSampler)
+                        else None
+                    )
+                    log_file.write(
+                        f"{self._total_train_seconds}, "
+                        f"{self._total_train_iterations}, "
+                        f"{self._total_train_traces}, {loss}, {valid_loss}, "
+                        f"{lr}, {batch.mean_length_controlled}, "
+                        f"{len(batch.sub_batches)}, {bucket_id}, "
+                        f"{traces_per_second}\n"
+                    )
+                if stop:
+                    break
+        util.progress_end()
+        if log_file is not None:
+            log_file.close()
+        if distributed_rank == 0 and save_file_name_prefix is not None:
+            self._save(
+                f"{save_file_name_prefix}_{util.get_time_stamp()}_"
+                f"traces_{self._total_train_traces}.network"
+            )

@@ -1,0 +1,193 @@
+"""Feedforward inference network: per-address proposal heads fed directly
+by the observe embedding (reference: pyprob/nn/inference_network_feedforward.py:11-98)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import util
+from .inference_network import InferenceNetwork
+from .layers import num_params
+from .proposals import (
+    head_kind_for,
+    head_init,
+    head_apply,
+    prior_param_arrays,
+)
+
+
+class InferenceNetworkFeedForward(InferenceNetwork):
+    def __init__(self, proposal_mixture_components=10, *args, **kwargs):
+        super().__init__(network_type="InferenceNetworkFeedForward", *args, **kwargs)
+        self._params["proposal"] = {}
+        self._head_meta = {}  # address -> {"kind", "num_categories"}
+        self._proposal_mixture_components = proposal_mixture_components
+
+    def _subclass_state(self):
+        return {
+            "head_meta": self._head_meta,
+            "proposal_mixture_components": self._proposal_mixture_components,
+        }
+
+    def _load_subclass_state(self, state):
+        self._head_meta = state["head_meta"]
+        self._proposal_mixture_components = state["proposal_mixture_components"]
+
+    def _init_layers(self):
+        pass
+
+    def _polymorph(self, batch):
+        """Create heads for new addresses
+        (reference: inference_network_feedforward.py:21-51)."""
+        layers_changed = False
+        for sub_batch in batch.sub_batches:
+            example_trace = sub_batch[0]
+            for variable in example_trace.variables_controlled:
+                address = variable.address
+                if address in self._params["proposal"]:
+                    continue
+                distribution = variable.distribution
+                kind = head_kind_for(distribution)
+                if kind is None:
+                    raise RuntimeError(
+                        f"Distribution currently unsupported: {distribution.name}"
+                    )
+                num_categories = (
+                    distribution.num_categories if kind == "categorical" else None
+                )
+                self._params["proposal"][address] = head_init(
+                    util.next_key(),
+                    kind,
+                    self._observe_embedding_dim,
+                    mixture_components=self._proposal_mixture_components,
+                    num_categories=num_categories,
+                )
+                self._head_meta[address] = {
+                    "kind": kind,
+                    "num_categories": num_categories,
+                }
+                self._head_train_iterations.setdefault(address, 0)
+                layers_changed = True
+                util.log_print(
+                    f"New layers, address: {util.truncate_str(address)}, "
+                    f"distribution: {distribution.name}"
+                )
+        if layers_changed:
+            n = num_params(self._params)
+            util.log_print(
+                f"Total addresses: {len(self._params['proposal']):,}, "
+                f"parameters: {n:,}"
+            )
+            self._history_num_params.append(n)
+            self._history_num_params_trace.append(self._total_train_traces)
+        return layers_changed
+
+    # ------------------------------------------------------------------
+    def _pack_sub_batch(self, sub_batch):
+        example = sub_batch[0]
+        packed = {"obs": self._pack_observes(sub_batch), "steps": []}
+        for t in range(example.length_controlled):
+            values = jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(tr.variables_controlled[t].value)
+                        for tr in sub_batch
+                    ]
+                )
+            )
+            packed["steps"].append(
+                {
+                    "values": values,
+                    "prior": self._sub_batch_prior_params(sub_batch, t),
+                }
+            )
+        return packed
+
+    def _make_sub_batch_loss(self, sub_batch):
+        example = sub_batch[0]
+        addrs = tuple(v.address for v in example.variables_controlled)
+        for addr in addrs:
+            if addr not in self._params["proposal"]:
+                raise RuntimeError(
+                    f"Address unknown by inference network: {addr}"
+                )
+            self._head_train_iterations[addr] = (
+                self._head_train_iterations.get(addr, 0) + 1
+            )
+        embed = self._embed_observe_pure
+
+        def loss_fn(params, packed):
+            emb = embed(params, packed["obs"])
+            mask = packed.get("mask")
+            total = jnp.zeros((), util.dtype())
+            for t, addr in enumerate(addrs):
+                d = head_apply(
+                    params["proposal"][addr], emb, packed["steps"][t]["prior"]
+                )
+                lp = d.log_prob(packed["steps"][t]["values"])
+                lp = jnp.clip(lp, -1e38, None)  # -inf repair (reference: lstm.py:213)
+                if mask is not None:
+                    lp = lp * mask
+                total = total - jnp.sum(lp)
+            return total
+
+        return ("ff", addrs), loss_fn
+
+    # ------------------------------------------------------------------
+    def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
+        """(reference: inference_network_feedforward.py:53-66)"""
+        address = variable.address
+        distribution = variable.distribution
+        if address not in self._params["proposal"]:
+            warnings.warn(f"Using prior. No proposal for address: {address}")
+            return distribution
+        if proposal_min_train_iterations is not None:
+            if (
+                self._head_train_iterations.get(address, 0)
+                < proposal_min_train_iterations
+            ):
+                warnings.warn(
+                    f"Using prior. Proposal not sufficiently trained for "
+                    f"address: {address}"
+                )
+                return distribution
+        prior = {
+            k: jnp.asarray(np.asarray(v, util.dtype()).reshape(1))
+            for k, v in prior_param_arrays(distribution).items()
+        }
+        return head_apply(
+            self._params["proposal"][address],
+            self._infer_observe_embedding,
+            prior,
+        )
+
+    # ------------------------------------------------------------------
+    def make_vectorized_proposal_step(self, observe):
+        """Proposal step usable inside the compiled tier's traced forward:
+        every particle's proposal at a site is one batched head apply."""
+        self._infer_init(observe)
+        emb = self._infer_observe_embedding  # concrete [1, O]
+        params = self._params
+        head_meta = self._head_meta
+
+        def proposal_step(site, distribution, key):
+            addr = site.address
+            if addr not in head_meta:
+                value = distribution._sample_jax(key, ())
+                return value, distribution.log_prob(value, sum=True)
+            prior = {
+                k: jnp.reshape(jnp.asarray(v, util.dtype()), (1,))
+                for k, v in prior_param_arrays(distribution).items()
+            }
+            d = head_apply(params["proposal"][addr], emb, prior)
+            value = d._sample_jax(key, ())
+            value = jnp.reshape(value, ())
+            plp = jnp.sum(d.log_prob(value))
+            return value, plp
+
+        proposal_step.reset = lambda: None
+        return proposal_step

@@ -1,0 +1,422 @@
+"""LSTM inference network — the inference-compilation architecture
+(arXiv:1610.09900; reference: pyprob/nn/inference_network_lstm.py:11-220).
+
+Per-address sample embeddings + learned address embeddings (64d) +
+distribution-type embeddings (8d) feed an LSTM core (512d) whose features
+drive per-address proposal heads.  On the compiled tier the *entire*
+guided-importance-sampling run — observe embedding, per-site LSTM step,
+head, proposal sampling, weight accumulation — is one XLA program vmapped
+over particles, eliminating the reference's per-site host round-trips
+(SURVEY.md §7 hard part 4)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import util
+from ..distributions import Categorical
+from .inference_network import InferenceNetwork
+from .layers import (
+    mlp_init,
+    mlp_apply,
+    lstm_init,
+    lstm_apply,
+    lstm_step,
+    lstm_zero_state,
+    num_params,
+)
+from .proposals import (
+    head_kind_for,
+    head_init,
+    head_apply,
+    prior_param_arrays,
+)
+
+
+class InferenceNetworkLSTM(InferenceNetwork):
+    def __init__(
+        self,
+        lstm_dim=512,
+        lstm_depth=1,
+        sample_embedding_dim=4,
+        address_embedding_dim=64,
+        distribution_type_embedding_dim=8,
+        proposal_mixture_components=10,
+        *args,
+        **kwargs,
+    ):
+        super().__init__(network_type="InferenceNetworkLSTM", *args, **kwargs)
+        self._params["proposal"] = {}
+        self._params["sample_embedding"] = {}
+        self._params["address_embedding"] = {}
+        self._params["dist_type_embedding"] = {}
+        self._params["lstm"] = None
+        self._head_meta = {}
+        self._lstm_dim = lstm_dim
+        self._lstm_depth = lstm_depth
+        self._lstm_input_dim = None
+        self._sample_embedding_dim = sample_embedding_dim
+        self._address_embedding_dim = address_embedding_dim
+        self._distribution_type_embedding_dim = distribution_type_embedding_dim
+        self._proposal_mixture_components = proposal_mixture_components
+        self._infer_lstm_state = None
+        self._infer_prev_variable = None
+
+    def _subclass_state(self):
+        return {
+            "head_meta": self._head_meta,
+            "lstm_dim": self._lstm_dim,
+            "lstm_depth": self._lstm_depth,
+            "lstm_input_dim": self._lstm_input_dim,
+            "sample_embedding_dim": self._sample_embedding_dim,
+            "address_embedding_dim": self._address_embedding_dim,
+            "distribution_type_embedding_dim": self._distribution_type_embedding_dim,
+            "proposal_mixture_components": self._proposal_mixture_components,
+        }
+
+    def _load_subclass_state(self, state):
+        self._head_meta = state["head_meta"]
+        self._lstm_dim = state["lstm_dim"]
+        self._lstm_depth = state["lstm_depth"]
+        self._lstm_input_dim = state["lstm_input_dim"]
+        self._sample_embedding_dim = state["sample_embedding_dim"]
+        self._address_embedding_dim = state["address_embedding_dim"]
+        self._distribution_type_embedding_dim = state[
+            "distribution_type_embedding_dim"
+        ]
+        self._proposal_mixture_components = state["proposal_mixture_components"]
+        self._infer_lstm_state = None
+        self._infer_prev_variable = None
+
+    def _init_layers(self):
+        """(reference: inference_network_lstm.py:29-32)"""
+        self._lstm_input_dim = (
+            self._observe_embedding_dim
+            + self._sample_embedding_dim
+            + 2 * (self._address_embedding_dim + self._distribution_type_embedding_dim)
+        )
+        self._params["lstm"] = lstm_init(
+            util.next_key(), self._lstm_input_dim, self._lstm_dim, self._lstm_depth
+        )
+
+    def _polymorph(self, batch):
+        """Grow per-address layers (reference: inference_network_lstm.py:34-80)."""
+        layers_changed = False
+        for sub_batch in batch.sub_batches:
+            example_trace = sub_batch[0]
+            for variable in example_trace.variables_controlled:
+                address = variable.address
+                distribution = variable.distribution
+                if address not in self._params["address_embedding"]:
+                    self._params["address_embedding"][address] = (
+                        jax.random.normal(
+                            util.next_key(),
+                            (self._address_embedding_dim,),
+                            util.dtype(),
+                        )
+                    )
+                    layers_changed = True
+                if distribution.name not in self._params["dist_type_embedding"]:
+                    self._params["dist_type_embedding"][distribution.name] = (
+                        jax.random.normal(
+                            util.next_key(),
+                            (self._distribution_type_embedding_dim,),
+                            util.dtype(),
+                        )
+                    )
+                    layers_changed = True
+                if address not in self._params["proposal"]:
+                    kind = head_kind_for(distribution)
+                    if kind is None:
+                        raise RuntimeError(
+                            f"Distribution currently unsupported: {distribution.name}"
+                        )
+                    num_categories = (
+                        distribution.num_categories
+                        if kind == "categorical"
+                        else None
+                    )
+                    self._params["proposal"][address] = head_init(
+                        util.next_key(),
+                        kind,
+                        self._lstm_dim,
+                        mixture_components=self._proposal_mixture_components,
+                        num_categories=num_categories,
+                    )
+                    value_shape = tuple(np.shape(variable.value)) or (1,)
+                    self._params["sample_embedding"][address] = mlp_init(
+                        util.next_key(),
+                        value_shape,
+                        (self._sample_embedding_dim,),
+                        num_layers=1,
+                        one_hot_dim=num_categories
+                        if kind == "categorical"
+                        else None,
+                    )
+                    self._head_meta[address] = {
+                        "kind": kind,
+                        "num_categories": num_categories,
+                        "dist_name": distribution.name,
+                    }
+                    self._head_train_iterations.setdefault(address, 0)
+                    layers_changed = True
+                    util.log_print(
+                        f"New layers, address: {util.truncate_str(address)}, "
+                        f"distribution: {distribution.name}"
+                    )
+        if layers_changed:
+            n = num_params(self._params)
+            util.log_print(
+                f"Total addresses: {len(self._params['address_embedding']):,}, "
+                f"distribution types: {len(self._params['dist_type_embedding']):,}, "
+                f"parameters: {n:,}"
+            )
+            self._history_num_params.append(n)
+            self._history_num_params_trace.append(self._total_train_traces)
+        return layers_changed
+
+    # ------------------------------------------------------------------
+    # training loss (reference: inference_network_lstm.py:136-220)
+    # ------------------------------------------------------------------
+    def _pack_sub_batch(self, sub_batch):
+        example = sub_batch[0]
+        packed = {"obs": self._pack_observes(sub_batch), "steps": []}
+        for t in range(example.length_controlled):
+            values = jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(tr.variables_controlled[t].value)
+                        for tr in sub_batch
+                    ]
+                )
+            )
+            packed["steps"].append(
+                {
+                    "values": values,
+                    "prior": self._sub_batch_prior_params(sub_batch, t),
+                }
+            )
+        return packed
+
+    def _make_sub_batch_loss(self, sub_batch):
+        example = sub_batch[0]
+        addrs = tuple(v.address for v in example.variables_controlled)
+        dist_names = tuple(
+            v.distribution.name for v in example.variables_controlled
+        )
+        for addr in addrs:
+            if addr not in self._params["proposal"]:
+                raise RuntimeError(
+                    f"Address unknown by inference network: {addr}"
+                )
+            self._head_train_iterations[addr] = (
+                self._head_train_iterations.get(addr, 0) + 1
+            )
+        embed = self._embed_observe_pure
+        S = self._sample_embedding_dim
+        A = self._address_embedding_dim
+        D = self._distribution_type_embedding_dim
+
+        def loss_fn(params, packed):
+            emb = embed(params, packed["obs"])  # [B, O]
+            B = emb.shape[0]
+            inputs = []
+            for t, addr in enumerate(addrs):
+                cur_addr_emb = jnp.broadcast_to(
+                    params["address_embedding"][addr], (B, A)
+                )
+                cur_dist_emb = jnp.broadcast_to(
+                    params["dist_type_embedding"][dist_names[t]], (B, D)
+                )
+                if t == 0:
+                    prev_sample_emb = jnp.zeros((B, S), util.dtype())
+                    prev_addr_emb = jnp.zeros((B, A), util.dtype())
+                    prev_dist_emb = jnp.zeros((B, D), util.dtype())
+                else:
+                    prev_addr = addrs[t - 1]
+                    prev_sample_emb = mlp_apply(
+                        params["sample_embedding"][prev_addr],
+                        packed["steps"][t - 1]["values"],
+                    )
+                    prev_addr_emb = jnp.broadcast_to(
+                        params["address_embedding"][prev_addr], (B, A)
+                    )
+                    prev_dist_emb = jnp.broadcast_to(
+                        params["dist_type_embedding"][dist_names[t - 1]],
+                        (B, D),
+                    )
+                inputs.append(
+                    jnp.concatenate(
+                        [
+                            emb,
+                            prev_sample_emb,
+                            prev_dist_emb,
+                            prev_addr_emb,
+                            cur_dist_emb,
+                            cur_addr_emb,
+                        ],
+                        axis=1,
+                    )
+                )
+            lstm_in = jnp.stack(inputs)  # [T, B, I]
+            lstm_out, _ = lstm_apply(params["lstm"], lstm_in)  # [T, B, H]
+            mask = packed.get("mask")
+            total = jnp.zeros((), util.dtype())
+            for t, addr in enumerate(addrs):
+                d = head_apply(
+                    params["proposal"][addr],
+                    lstm_out[t],
+                    packed["steps"][t]["prior"],
+                )
+                lp = d.log_prob(packed["steps"][t]["values"])
+                lp = jnp.clip(lp, -1e38, None)  # -inf repair (reference: lstm.py:213)
+                if mask is not None:
+                    lp = lp * mask
+                total = total - jnp.sum(lp)
+            return total
+
+        return ("lstm", addrs), loss_fn
+
+    # ------------------------------------------------------------------
+    # stepwise inference, interpreter tier
+    # (reference: inference_network_lstm.py:82-134)
+    # ------------------------------------------------------------------
+    def _infer_begin_trace(self):
+        self._infer_lstm_state = None
+        self._infer_prev_variable = None
+
+    def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
+        address = variable.address
+        distribution = variable.distribution
+        params = self._params
+        S, A, D = (
+            self._sample_embedding_dim,
+            self._address_embedding_dim,
+            self._distribution_type_embedding_dim,
+        )
+        if prev_variable is None:
+            self._infer_lstm_state = lstm_zero_state(params["lstm"], (1,))
+            prev_sample_emb = jnp.zeros((1, S), util.dtype())
+            prev_addr_emb = jnp.zeros((A,), util.dtype())
+            prev_dist_emb = jnp.zeros((D,), util.dtype())
+        else:
+            prev_address = prev_variable.address
+            if prev_address not in params["address_embedding"]:
+                warnings.warn(
+                    f"Address of previous variable unknown by inference "
+                    f"network: {prev_address}"
+                )
+                return distribution
+            prev_value = np.asarray(prev_variable.value).reshape(1, -1)
+            prev_sample_emb = mlp_apply(
+                params["sample_embedding"][prev_address], jnp.asarray(prev_value)
+            )
+            prev_addr_emb = params["address_embedding"][prev_address]
+            prev_dist_emb = params["dist_type_embedding"][
+                prev_variable.distribution.name
+            ]
+        if address not in params["address_embedding"]:
+            warnings.warn(
+                f"Using prior. No proposal for address: {address}"
+            )
+            return distribution
+        if proposal_min_train_iterations is not None:
+            if (
+                self._head_train_iterations.get(address, 0)
+                < proposal_min_train_iterations
+            ):
+                warnings.warn(
+                    f"Using prior. Proposal not sufficiently trained for "
+                    f"address: {address}"
+                )
+                return distribution
+        cur_addr_emb = params["address_embedding"][address]
+        cur_dist_emb = params["dist_type_embedding"][distribution.name]
+        x = jnp.concatenate(
+            [
+                self._infer_observe_embedding[0],
+                prev_sample_emb[0],
+                prev_dist_emb,
+                prev_addr_emb,
+                cur_dist_emb,
+                cur_addr_emb,
+            ]
+        ).reshape(1, -1)
+        out, self._infer_lstm_state = lstm_step(
+            params["lstm"], x, self._infer_lstm_state
+        )
+        prior = {
+            k: jnp.asarray(np.asarray(v, util.dtype()).reshape(1))
+            for k, v in prior_param_arrays(distribution).items()
+        }
+        return head_apply(params["proposal"][address], out, prior)
+
+    # ------------------------------------------------------------------
+    # compiled-tier guided inference: whole trace in one XLA program
+    # ------------------------------------------------------------------
+    def make_vectorized_proposal_step(self, observe):
+        self._infer_init(observe)
+        emb = self._infer_observe_embedding  # concrete [1, O]
+        params = self._params
+        head_meta = self._head_meta
+        S, A, D = (
+            self._sample_embedding_dim,
+            self._address_embedding_dim,
+            self._distribution_type_embedding_dim,
+        )
+        state = {}
+
+        def reset():
+            state["lstm"] = lstm_zero_state(params["lstm"], (1,))
+            state["prev"] = None  # (address, value, dist_name)
+
+        def proposal_step(site, distribution, key):
+            addr = site.address
+            if addr not in head_meta:
+                value = distribution._sample_jax(key, ())
+                return value, distribution.log_prob(value, sum=True)
+            prev = state["prev"]
+            if prev is None:
+                prev_sample_emb = jnp.zeros((1, S), util.dtype())
+                prev_addr_emb = jnp.zeros((A,), util.dtype())
+                prev_dist_emb = jnp.zeros((D,), util.dtype())
+            else:
+                prev_addr, prev_value, prev_dist_name = prev
+                if prev_addr in params["sample_embedding"]:
+                    prev_sample_emb = mlp_apply(
+                        params["sample_embedding"][prev_addr],
+                        jnp.reshape(prev_value, (1, -1)),
+                    )
+                    prev_addr_emb = params["address_embedding"][prev_addr]
+                    prev_dist_emb = params["dist_type_embedding"][prev_dist_name]
+                else:
+                    prev_sample_emb = jnp.zeros((1, S), util.dtype())
+                    prev_addr_emb = jnp.zeros((A,), util.dtype())
+                    prev_dist_emb = jnp.zeros((D,), util.dtype())
+            x = jnp.concatenate(
+                [
+                    emb[0],
+                    prev_sample_emb[0],
+                    prev_dist_emb,
+                    prev_addr_emb,
+                    params["dist_type_embedding"][distribution.name],
+                    params["address_embedding"][addr],
+                ]
+            ).reshape(1, -1)
+            out, state["lstm"] = lstm_step(params["lstm"], x, state["lstm"])
+            prior = {
+                k: jnp.reshape(jnp.asarray(v, util.dtype()), (1,))
+                for k, v in prior_param_arrays(distribution).items()
+            }
+            d = head_apply(params["proposal"][addr], out, prior)
+            value = jnp.reshape(d._sample_jax(key, ()), ())
+            plp = jnp.sum(d.log_prob(value))
+            state["prev"] = (addr, value, distribution.name)
+            return value, plp
+
+        proposal_step.reset = reset
+        return proposal_step

@@ -45,6 +45,7 @@ class SiteRecord:
         "tagged",
         "distribution_name",
         "distribution",
+        "dist_treedef",
     )
 
     def __init__(self, **kw):
@@ -80,9 +81,12 @@ class VectorizedHandler:
         self.likelihood_importance = likelihood_importance
         self.address_dictionary = address_dictionary
         self.proposal_step = proposal_step  # callable(site, dist, key) -> (value, proposal_log_prob) for IC
+        if proposal_step is not None and hasattr(proposal_step, "reset"):
+            proposal_step.reset()  # fresh per-trace state (LSTM hidden etc.)
         self.sites = []  # [SiteRecord]
         self.values = []  # traced value per site
         self.log_probs = []  # traced scalar log_prob per site (None for tags)
+        self.dist_leaves = []  # flattened distribution params per site
         self.instance_counts = {}
         self.log_importance_weight = jnp.zeros((), util.dtype())
         self.log_prob_observed = jnp.zeros((), util.dtype())
@@ -114,6 +118,15 @@ class VectorizedHandler:
         return None
 
     def _record(self, site, value, log_prob):
+        # flatten the site's distribution so per-trace parameter values can
+        # be rebuilt on the host (pruned training traces need prior params)
+        if site.distribution is not None:
+            leaves, treedef = jax.tree_util.tree_flatten(site.distribution)
+            site.dist_treedef = treedef
+            self.dist_leaves.append(leaves)
+        else:
+            site.dist_treedef = None
+            self.dist_leaves.append(None)
         self.sites.append(site)
         self.values.append(value)
         self.log_probs.append(log_prob)
@@ -341,6 +354,11 @@ def run_traced(
             for s, lp in zip(handler.sites, handler.log_probs)
             if lp is not None
         },
+        "dist_leaves": {
+            s.address: leaves
+            for s, leaves in zip(handler.sites, handler.dist_leaves)
+            if leaves is not None
+        },
     }
     return outputs, handler
 
@@ -371,13 +389,29 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
     traces = []
     values = outputs_host["values"]
     log_probs = outputs_host["log_probs"]
+    dist_leaves = outputs_host.get("dist_leaves", {})
     for i in range(num):
         tr = Trace()
         for s in sites:
             v = values.get(s.address)
             lp = log_probs.get(s.address)
+            dist = None
+            if s.dist_treedef is not None and s.address in dist_leaves:
+                # constant (unbatched) leaves pass through as-is
+                leaves_i = [
+                    np.asarray(leaf)[i]
+                    if np.ndim(leaf) >= 1 and np.shape(leaf)[0] == num
+                    else np.asarray(leaf)
+                    for leaf in dist_leaves[s.address]
+                ]
+                try:
+                    dist = jax.tree_util.tree_unflatten(
+                        s.dist_treedef, leaves_i
+                    )
+                except Exception:
+                    dist = None
             variable = Variable(
-                distribution=None,
+                distribution=dist,
                 value=None if v is None else v[i],
                 address_base=s.address_base,
                 address=s.address,
