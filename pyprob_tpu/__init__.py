@@ -29,6 +29,7 @@ from .address import AddressDictionary
 from .model import Model, RemoteModel, ConditionalModel, ParallelModel
 from . import distributions
 from . import util
+from . import diagnostics
 
 __all__ = [
     "__version__",

@@ -1,0 +1,560 @@
+"""Diagnostics: address/trace statistics, histograms, training reports,
+MCMC convergence measures, divergences.
+
+Counterpart of reference pyprob/diagnostics.py (1,169 LoC): the same public
+API (_address_stats/_trace_stats/trace_histograms/address_histograms/
+network/graph/trace_plot/log_prob/autocorrelation/gelman_rubin/
+jensen_shannon), re-implemented with vectorized numpy host math
+(autocorrelation via FFT instead of the reference's per-lag loops,
+reference: diagnostics.py:714-781) and matplotlib-optional plotting.
+"""
+
+from __future__ import annotations
+
+import math
+import re as _re
+from collections import OrderedDict
+
+import numpy as np
+
+from . import util
+from .distributions import Empirical
+
+
+# ---------------------------------------------------------------------------
+# stats (reference: diagnostics.py:20-123)
+# ---------------------------------------------------------------------------
+
+
+def _address_stats(trace_dist, use_address_base=True, reuse_ids_from_address_stats=None):
+    """Per-address counts/weights/ids over an Empirical of traces."""
+    stats = OrderedDict()
+    address_id_to_variable = {}
+    if reuse_ids_from_address_stats is not None:
+        next_id = len(reuse_ids_from_address_stats)
+    else:
+        next_id = 0
+    weights = trace_dist.weights
+    for i in range(trace_dist.length):
+        trace = trace_dist._get_value(i)
+        w = float(weights[i])
+        for variable in trace.variables:
+            address = variable.address_base if use_address_base else variable.address
+            if address not in stats:
+                if (
+                    reuse_ids_from_address_stats is not None
+                    and address in reuse_ids_from_address_stats
+                ):
+                    address_id = reuse_ids_from_address_stats[address]["address_id"]
+                else:
+                    address_id = "A" + str(next_id + 1)
+                    next_id += 1
+                stats[address] = {
+                    "count": 0,
+                    "weight": 0.0,
+                    "address_id": address_id,
+                    "variable": variable,
+                    "controlled": variable.control,
+                    "observed": variable.observed,
+                    "tagged": variable.tagged,
+                    "name": variable.name,
+                }
+                address_id_to_variable[address_id] = variable
+            stats[address]["count"] += 1
+            stats[address]["weight"] += w
+    return stats
+
+
+def _trace_stats(trace_dist, use_address_base=True, reuse_ids_from_address_stats=None, reuse_ids_from_trace_stats=None):
+    """Per-trace-type counts plus trace-length and execution-time stats."""
+    address_stats = _address_stats(
+        trace_dist,
+        use_address_base=use_address_base,
+        reuse_ids_from_address_stats=reuse_ids_from_address_stats,
+    )
+    stats = OrderedDict()
+    if reuse_ids_from_trace_stats is not None:
+        next_id = len(reuse_ids_from_trace_stats)
+    else:
+        next_id = 0
+    lengths = []
+    lengths_controlled = []
+    execution_times = []
+    weights = trace_dist.weights
+    for i in range(trace_dist.length):
+        trace = trace_dist._get_value(i)
+        w = float(weights[i])
+        lengths.append(trace.length)
+        lengths_controlled.append(trace.length_controlled)
+        if trace.execution_time_sec is not None:
+            execution_times.append(trace.execution_time_sec)
+        key = "".join(
+            address_stats[
+                v.address_base if use_address_base else v.address
+            ]["address_id"]
+            for v in trace.variables_controlled
+        )
+        if key not in stats:
+            if (
+                reuse_ids_from_trace_stats is not None
+                and key in reuse_ids_from_trace_stats
+            ):
+                trace_id = reuse_ids_from_trace_stats[key]["trace_id"]
+            else:
+                trace_id = "T" + str(next_id + 1)
+                next_id += 1
+            stats[key] = {
+                "count": 0,
+                "weight": 0.0,
+                "trace_id": trace_id,
+                "example_trace": trace,
+                "addresses_controlled": [
+                    v.address_base if use_address_base else v.address
+                    for v in trace.variables_controlled
+                ],
+            }
+        stats[key]["count"] += 1
+        stats[key]["weight"] += w
+    result = {
+        "address_stats": address_stats,
+        "trace_stats": stats,
+        "length_mean": float(np.mean(lengths)) if lengths else 0.0,
+        "length_stddev": float(np.std(lengths)) if lengths else 0.0,
+        "length_controlled_mean": float(np.mean(lengths_controlled))
+        if lengths_controlled
+        else 0.0,
+        "length_controlled_stddev": float(np.std(lengths_controlled))
+        if lengths_controlled
+        else 0.0,
+        "execution_time_mean": float(np.mean(execution_times))
+        if execution_times
+        else None,
+    }
+    return result
+
+
+def _remove_addresses_below_count(trace_dist, count):
+    address_stats = _address_stats(trace_dist)
+    keep = {a for a, s in address_stats.items() if s["count"] >= count}
+
+    def prune(trace):
+        t = trace.clone()
+        t.variables = [v for v in t.variables if v.address_base in keep]
+        return t
+
+    return trace_dist.map(prune)
+
+
+def _remove_addresses(trace_dist, regex):
+    pattern = _re.compile(regex)
+
+    def prune(trace):
+        t = trace.clone()
+        t.variables = [
+            v for v in t.variables if not pattern.match(v.address_base or "")
+        ]
+        return t
+
+    return trace_dist.map(prune)
+
+
+# ---------------------------------------------------------------------------
+# value extraction helpers (reference: diagnostics.py:646-712)
+# ---------------------------------------------------------------------------
+
+
+def _n_most_frequent_addresses(trace_dist, n_most_frequent, num_traces=None):
+    d = trace_dist if num_traces is None else trace_dist.thin(num_traces)
+    address_stats = _address_stats(d, use_address_base=False)
+    controlled = [
+        (a, s) for a, s in address_stats.items() if s["controlled"]
+    ]
+    controlled.sort(key=lambda kv: -kv[1]["count"])
+    return [a for a, _ in controlled[:n_most_frequent]]
+
+
+def _variable_values(trace_dist, names=None, n_most_frequent=None, num_traces=None):
+    """Extract per-variable value series: {label: np.ndarray [num_traces]}."""
+    out = OrderedDict()
+    if names is not None:
+        for name in names:
+            vals = []
+            for i in range(trace_dist.length):
+                trace = trace_dist._get_value(i)
+                if name in trace.named_variables:
+                    vals.append(
+                        float(np.asarray(trace.named_variables[name].value).reshape(-1)[0])
+                    )
+                else:
+                    vals.append(np.nan)
+            out[name] = np.asarray(vals)
+    else:
+        addresses = _n_most_frequent_addresses(
+            trace_dist, n_most_frequent or 10, num_traces
+        )
+        for address in addresses:
+            vals = []
+            for i in range(trace_dist.length):
+                trace = trace_dist._get_value(i)
+                v = trace.variables_dict_address.get(address)
+                vals.append(
+                    float(np.asarray(v.value).reshape(-1)[0])
+                    if v is not None
+                    else np.nan
+                )
+            out[address] = np.asarray(vals)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# histograms / plots (reference: diagnostics.py:155-332, 495-643)
+# ---------------------------------------------------------------------------
+
+
+def _maybe_plot(plot, plot_show, file_name, draw):
+    if not (plot or plot_show or file_name):
+        return None
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = draw(plt)
+    if file_name is not None:
+        fig.savefig(file_name, bbox_inches="tight")
+    if not plot_show:
+        plt.close(fig)
+    return fig
+
+
+def trace_histograms(trace_dist, use_address_base=True, figsize=(10, 5), bins=30, plot=False, plot_show=False, file_name=None):
+    stats = _trace_stats(trace_dist, use_address_base=use_address_base)
+    trace_stats = stats["trace_stats"]
+
+    def draw(plt):
+        fig, ax = plt.subplots(figsize=figsize)
+        ids = [s["trace_id"] for s in trace_stats.values()]
+        counts = [s["count"] for s in trace_stats.values()]
+        ax.bar(ids, counts)
+        ax.set_xlabel("Trace type")
+        ax.set_ylabel("Count")
+        return fig
+
+    _maybe_plot(plot, plot_show, file_name, draw)
+    return stats
+
+
+def address_histograms(trace_dists, ground_truth_trace=None, figsize=(15, 12), bins=30, use_address_base=True, plot=False, plot_show=False, file_name=None, names=None):
+    if not isinstance(trace_dists, (list, tuple)):
+        trace_dists = [trace_dists]
+    all_values = [
+        _variable_values(d, names=names, n_most_frequent=8)
+        for d in trace_dists
+    ]
+
+    def draw(plt):
+        labels = list(all_values[0].keys())
+        n = len(labels)
+        cols = min(4, max(n, 1))
+        rows = math.ceil(n / cols)
+        fig, axes = plt.subplots(rows, cols, figsize=figsize, squeeze=False)
+        for i, label in enumerate(labels):
+            ax = axes[i // cols][i % cols]
+            for j, values in enumerate(all_values):
+                v = values[label]
+                v = v[~np.isnan(v)]
+                ax.hist(v, bins=bins, alpha=0.5, density=True, label=f"dist {j}")
+            if ground_truth_trace is not None:
+                gt = ground_truth_trace.variables_dict_address.get(label)
+                if gt is not None:
+                    ax.axvline(float(np.asarray(gt.value)), color="k")
+            ax.set_title(util.truncate_str(label, 30), fontsize=8)
+        return fig
+
+    _maybe_plot(plot, plot_show, file_name, draw)
+    return all_values
+
+
+def network(inference_network, save_dir=None):
+    """Text report + loss plot for a trained inference network
+    (reference: diagnostics.py:335-460)."""
+    lines = []
+    lines.append(f"Network type: {inference_network._network_type}")
+    from .nn import num_params
+
+    lines.append(f"Total parameters: {num_params(inference_network._params):,}")
+    lines.append(
+        f"Total train traces: {inference_network._total_train_traces:,}"
+    )
+    lines.append(
+        f"Total train iterations: {inference_network._total_train_iterations:,}"
+    )
+    lines.append(
+        f"Total train seconds: {inference_network._total_train_seconds:,.1f}"
+    )
+    lines.append(f"Loss min: {inference_network._loss_min}")
+    lines.append(f"Loss init: {inference_network._loss_init}")
+    lines.append(
+        f"Addresses: {len(inference_network._head_meta) if hasattr(inference_network, '_head_meta') else 'n/a'}"
+    )
+    report = "\n".join(lines)
+    if save_dir is not None:
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "report.txt"), "w") as f:
+            f.write(report + "\n")
+
+        def draw(plt):
+            fig, ax = plt.subplots(figsize=(10, 5))
+            ax.plot(
+                inference_network._history_train_loss_trace,
+                inference_network._history_train_loss,
+                label="train",
+            )
+            if inference_network._history_valid_loss:
+                ax.plot(
+                    inference_network._history_valid_loss_trace,
+                    inference_network._history_valid_loss,
+                    label="valid",
+                )
+            ax.set_xlabel("Traces")
+            ax.set_ylabel("Loss")
+            ax.legend()
+            return fig
+
+        _maybe_plot(
+            False, False, os.path.join(save_dir, "loss.pdf"), draw
+        )
+    return report
+
+
+def graph(trace_dist, use_address_base=True, n_most_frequent=None, base_graph=None, file_name=None, normalize_weights=True, min_address_count=None, exclude_addresses_regex=None):
+    from .graph import Graph
+
+    g = Graph(
+        trace_dist=trace_dist,
+        base_graph=base_graph,
+        use_address_base=use_address_base,
+        n_most_frequent=n_most_frequent,
+        normalize_weights=normalize_weights,
+        min_address_count=min_address_count,
+        exclude_addresses_regex=exclude_addresses_regex,
+    )
+    if file_name is not None:
+        g.render_to_file(file_name)
+    return g
+
+
+def address_dictionary(address_dict, file_name):
+    with open(file_name, "w") as f:
+        for key in sorted(address_dict._shelf.keys()):
+            if key.startswith("address__"):
+                f.write(f"{address_dict._shelf[key]}: {key[len('address__'):]}\n")
+
+
+def trace_plot(trace_dists, variable_name=None, variable_address=None, resolution=1000, names=None, figsize=(10, 5), xlabel="Iteration", ylabel="Value", plot=False, plot_show=False, file_name=None, min_index=None, max_index=None, **kwargs):
+    if not isinstance(trace_dists, (list, tuple)):
+        trace_dists = [trace_dists]
+    series = []
+    for d in trace_dists:
+        if variable_name is not None:
+            values = _variable_values(d, names=[variable_name])[variable_name]
+        elif variable_address is not None:
+            vals = []
+            for i in range(d.length):
+                trace = d._get_value(i)
+                v = trace.variables_dict_address.get(variable_address)
+                vals.append(
+                    float(np.asarray(v.value).reshape(-1)[0]) if v else np.nan
+                )
+            values = np.asarray(vals)
+        else:
+            values = next(iter(_variable_values(d, n_most_frequent=1).values()))
+        lo = min_index or 0
+        hi = max_index or len(values)
+        series.append(values[lo:hi])
+
+    def draw(plt):
+        fig, ax = plt.subplots(figsize=figsize)
+        for i, v in enumerate(series):
+            label = names[i] if names else f"dist {i}"
+            ax.plot(v, label=label)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        ax.legend()
+        return fig
+
+    _maybe_plot(plot, plot_show, file_name, draw)
+    return series
+
+
+def log_prob(trace_dists, resolution=1000, names=None, figsize=(10, 5), xlabel="Iteration", ylabel="Log probability", plot=False, plot_show=False, file_name=None, min_index=None, max_index=None, **kwargs):
+    """Log-probability evolution over trace index
+    (reference: diagnostics.py:580-643)."""
+    if not isinstance(trace_dists, (list, tuple)):
+        trace_dists = [trace_dists]
+    series = []
+    for d in trace_dists:
+        vals = [
+            float(np.sum(np.asarray(d._get_value(i).log_prob)))
+            for i in range(d.length)
+        ]
+        lo = min_index or 0
+        hi = max_index or len(vals)
+        series.append(np.asarray(vals[lo:hi]))
+
+    def draw(plt):
+        fig, ax = plt.subplots(figsize=figsize)
+        for i, v in enumerate(series):
+            label = names[i] if names else f"dist {i}"
+            ax.plot(v, label=label)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        ax.legend()
+        return fig
+
+    _maybe_plot(plot, plot_show, file_name, draw)
+    return series
+
+
+# ---------------------------------------------------------------------------
+# MCMC convergence (reference: diagnostics.py:714-873)
+# ---------------------------------------------------------------------------
+
+
+def _autocorrelation_fft(x, lags):
+    """Autocorrelation at the given lags via FFT (O(n log n), replacing the
+    reference's per-lag loop, reference: diagnostics.py:720-733)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = len(x)
+    if n < 2:
+        return np.zeros(len(lags))
+    x = x - x.mean()
+    f = np.fft.rfft(x, 2 * n)
+    acf = np.fft.irfft(f * np.conj(f))[:n]
+    acf /= acf[0] if acf[0] != 0 else 1.0
+    lags = np.asarray(lags)
+    lags = np.clip(lags, 0, n - 1)
+    return acf[lags]
+
+
+def autocorrelation(trace_dist, names=None, lags=None, n_most_frequent=10, figsize=(10, 5), plot=False, plot_show=False, file_name=None, **kwargs):
+    length = trace_dist.length
+    if lags is None:
+        lags = np.unique(
+            np.logspace(0, math.log10(max(length // 2, 2)), 50).astype(int)
+        )
+        lags = np.concatenate([[0], lags])
+    values = _variable_values(
+        trace_dist, names=names, n_most_frequent=n_most_frequent
+    )
+    result = OrderedDict(
+        (label, _autocorrelation_fft(v, lags)) for label, v in values.items()
+    )
+
+    def draw(plt):
+        fig, ax = plt.subplots(figsize=figsize)
+        for label, acf in result.items():
+            ax.plot(lags, acf, label=util.truncate_str(label, 30))
+        ax.set_xscale("log")
+        ax.set_xlabel("Lag")
+        ax.set_ylabel("Autocorrelation")
+        ax.legend(fontsize=7)
+        return fig
+
+    _maybe_plot(plot, plot_show, file_name, draw)
+    return lags, result
+
+
+def _r_hat(chains):
+    """Gelman-Rubin potential scale reduction over chains [M, N]
+    (reference: diagnostics.py:788-796)."""
+    chains = np.asarray(chains, dtype=np.float64)
+    M, N = chains.shape
+    if N < 2 or M < 2:
+        return np.nan
+    chain_means = chains.mean(axis=1)
+    grand_mean = chain_means.mean()
+    B = N / (M - 1) * np.sum((chain_means - grand_mean) ** 2)
+    W = chains.var(axis=1, ddof=1).mean()
+    var_hat = (N - 1) / N * W + B / N
+    if W == 0:
+        return np.nan
+    return math.sqrt(var_hat / W)
+
+
+def gelman_rubin(trace_dists, names=None, iters=None, n_most_frequent=50, figsize=(10, 5), plot=False, plot_show=False, file_name=None, **kwargs):
+    """R-hat evolution across chains (each trace_dist = one chain)
+    (reference: diagnostics.py:784-873)."""
+    all_values = [
+        _variable_values(d, names=names, n_most_frequent=n_most_frequent)
+        for d in trace_dists
+    ]
+    labels = list(all_values[0].keys())
+    length = min(len(v[labels[0]]) for v in all_values)
+    if iters is None:
+        iters = np.unique(
+            np.logspace(1, math.log10(max(length, 11)), 25).astype(int)
+        )
+        iters = iters[iters <= length]
+    result = OrderedDict()
+    for label in labels:
+        chains = np.stack([v[label][:length] for v in all_values])
+        result[label] = np.asarray([_r_hat(chains[:, :it]) for it in iters])
+
+    def draw(plt):
+        fig, ax = plt.subplots(figsize=figsize)
+        for label, rh in result.items():
+            ax.plot(iters, rh, label=util.truncate_str(label, 30))
+        ax.axhline(1.1, color="k", linestyle="--")
+        ax.set_xlabel("Iteration")
+        ax.set_ylabel("R-hat")
+        ax.legend(fontsize=7)
+        return fig
+
+    _maybe_plot(plot, plot_show, file_name, draw)
+    return iters, result
+
+
+def jensen_shannon(trace_dist_p, trace_dist_q, names=None, n_most_frequent=50, bins=50, plot=False, plot_show=False, file_name=None, **kwargs):
+    """Per-variable Jensen-Shannon divergence between two trace
+    distributions (reference: diagnostics.py:876-1169)."""
+    values_p = _variable_values(
+        trace_dist_p, names=names, n_most_frequent=n_most_frequent
+    )
+    values_q = _variable_values(
+        trace_dist_q, names=names, n_most_frequent=n_most_frequent
+    )
+    labels = [l for l in values_p.keys() if l in values_q]
+    weights_p = trace_dist_p.weights
+    weights_q = trace_dist_q.weights
+    result = OrderedDict()
+    for label in labels:
+        vp, vq = values_p[label], values_q[label]
+        mp, mq = ~np.isnan(vp), ~np.isnan(vq)
+        vp_, wp = vp[mp], weights_p[mp]
+        vq_, wq = vq[mq], weights_q[mq]
+        if len(vp_) == 0 or len(vq_) == 0:
+            result[label] = np.nan
+            continue
+        lo = min(vp_.min(), vq_.min())
+        hi = max(vp_.max(), vq_.max())
+        if lo == hi:
+            result[label] = 0.0
+            continue
+        hp, edges = np.histogram(
+            vp_, bins=bins, range=(lo, hi), weights=wp, density=False
+        )
+        hq, _ = np.histogram(
+            vq_, bins=bins, range=(lo, hi), weights=wq, density=False
+        )
+        p = hp / max(hp.sum(), 1e-12)
+        q = hq / max(hq.sum(), 1e-12)
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl_pm = np.nansum(np.where(p > 0, p * np.log2(p / m), 0))
+            kl_qm = np.nansum(np.where(q > 0, q * np.log2(q / m), 0))
+        result[label] = 0.5 * (kl_pm + kl_qm)
+    return result
