@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PYPROB_CPU_IC_TRACES_PER_S = 188.6  # measured, BASELINE.md
 PYPROB_CPU_IC_ESS_FRACTION = 0.238
 
-NUM_TRAIN_TRACES = 20000
+NUM_TRAIN_TRACES = 25600
 NUM_POSTERIOR_TRACES = 100000
 
 
@@ -49,8 +49,8 @@ def main():
         num_traces=NUM_TRAIN_TRACES,
         observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
         inference_network=pp.InferenceNetwork.LSTM,
-        batch_size=1024,
-        learning_rate_init=0.005,
+        batch_size=256,
+        learning_rate_init=0.01,
         lstm_dim=128,
     )
     train_seconds = time.time() - t0

@@ -42,8 +42,13 @@ import optax
 
 from .. import util, __version__
 from ..util import Optimizer, LearningRateScheduler, ObserveEmbedding
-from . import dataset as dataset_module
-from .dataset import Batch, OfflineDataset, TraceBatchSampler, DistributedTraceBatchSampler
+from .dataset import (
+    Batch,
+    PackedBatch,
+    OfflineDataset,
+    TraceBatchSampler,
+    DistributedTraceBatchSampler,
+)
 from .layers import (
     Static,
     mlp_init,
@@ -237,6 +242,26 @@ class InferenceNetwork:
         compiled tier's traced forward, or None if unsupported."""
         return None
 
+    def cached_vectorized_proposal_step(self, observe):
+        """Memoize the proposal-step closure so repeated posterior calls
+        with unchanged network + observations reuse the compiled program
+        (the closure's identity keys the jitted-run cache)."""
+        key = (
+            self._total_train_iterations,
+            repr(
+                {
+                    k: np.asarray(v).tolist()
+                    for k, v in sorted((observe or {}).items())
+                }
+            ),
+        )
+        cached = getattr(self, "_vps_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        ps = self.make_vectorized_proposal_step(observe)
+        self._vps_cache = (key, ps)
+        return ps
+
     # ------------------------------------------------------------------
     # loss plumbing
     # ------------------------------------------------------------------
@@ -305,9 +330,76 @@ class InferenceNetwork:
             )
         )
 
+    def _packed_batch_from_outputs(self, outputs, sites, batch_size):
+        """Build a PackedBatch from the compiled tier's device outputs:
+        values/prior-params are sliced straight out of the batched arrays
+        (the per-trace distributions are rebuilt *batched* from their
+        recorded leaves, so prior params arrive as [B] device arrays)."""
+        from .proposals import prior_param_arrays
+
+        controlled = [s for s in sites if s.control]
+        name_to_address = {
+            s.name: s.address for s in sites if s.name is not None
+        }
+        obs = {}
+        for name in self._params["observe"].keys():
+            addr = name_to_address[name]
+            obs[name] = jnp.reshape(
+                jnp.asarray(outputs["values"][addr]), (batch_size, -1)
+            )
+        steps = []
+        for s in controlled:
+            values = jnp.asarray(outputs["values"][s.address])
+            leaves = outputs["dist_leaves"][s.address]
+            dist = jax.tree_util.tree_unflatten(
+                s.dist_treedef, [jnp.asarray(l) for l in leaves]
+            )
+            prior = {
+                k: jnp.broadcast_to(
+                    jnp.asarray(v, util.dtype()).reshape(-1)
+                    if np.ndim(v) <= 1
+                    else jnp.asarray(v, util.dtype()),
+                    (batch_size,),
+                )
+                for k, v in prior_param_arrays(dist).items()
+            }
+            steps.append({"values": values, "prior": prior})
+        packed = {"obs": obs, "steps": steps}
+        addrs = tuple(s.address for s in controlled)
+        dist_names = tuple(s.distribution_name for s in controlled)
+        return PackedBatch(packed, batch_size, addrs, dist_names, len(controlled))
+
     def _loss_and_grad(self, batch):
         """Full-batch loss + grads: one jitted computation per sub-batch
         (cached by trace type), grads accumulated over sub-batches."""
+        if isinstance(batch, PackedBatch):
+            key, loss_fn = self._make_loss_for(batch.addrs, batch.dist_names)
+            packed = batch.packed
+            if self._dp_mesh is not None:
+                ndev = self._dp_mesh.size
+                target = ((batch.size + ndev - 1) // ndev) * ndev
+                packed = self._pad_packed(packed, target)
+                dp_key = ("dp",) + key
+                if dp_key not in self._loss_grad_cache:
+                    self._loss_grad_cache[dp_key] = self._make_dp_loss_grad(
+                        loss_fn
+                    )
+                loss, grads = self._loss_grad_cache[dp_key](
+                    self._params, packed
+                )
+            else:
+                if key not in self._loss_grad_cache:
+                    self._loss_grad_cache[key] = jax.jit(
+                        jax.value_and_grad(loss_fn)
+                    )
+                loss, grads = self._loss_grad_cache[key](self._params, packed)
+            loss_value = float(loss) / batch.size
+            grads = jax.tree_util.tree_map(lambda g: g / batch.size, grads)
+            success = not (
+                math.isnan(loss_value) or math.isinf(loss_value)
+            )
+            return success, loss_value, grads
+
         total_loss = 0.0
         total_grads = None
         for sub_batch in batch.sub_batches:
@@ -672,8 +764,23 @@ class InferenceNetwork:
         else:
 
             def batches():
+                # first batch is materialized so polymorph can create the
+                # per-address layers; thereafter the device-resident fast
+                # path feeds packed batches with no host round-trips
+                yield Batch(dataset.next_batch(batch_size))
                 while True:
-                    yield Batch(dataset.next_batch(batch_size))
+                    fast = (
+                        dataset.next_device_batch(batch_size)
+                        if hasattr(dataset, "next_device_batch")
+                        else None
+                    )
+                    if fast is None:
+                        yield Batch(dataset.next_batch(batch_size))
+                    else:
+                        outputs, sites = fast
+                        yield self._packed_batch_from_outputs(
+                            outputs, sites, batch_size
+                        )
 
         if dataset_valid is not None:
             valid_sampler = TraceBatchSampler(
@@ -728,7 +835,7 @@ class InferenceNetwork:
             epoch += 1
             for batch in batches():
                 time_batch = time.time()
-                if self._layers_pre_generated:
+                if self._layers_pre_generated or isinstance(batch, PackedBatch):
                     layers_changed = False
                 else:
                     layers_changed = self._polymorph(batch)

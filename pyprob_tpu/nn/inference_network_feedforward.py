@@ -110,6 +110,12 @@ class InferenceNetworkFeedForward(InferenceNetwork):
     def _make_sub_batch_loss(self, sub_batch):
         example = sub_batch[0]
         addrs = tuple(v.address for v in example.variables_controlled)
+        dist_names = tuple(
+            v.distribution.name for v in example.variables_controlled
+        )
+        return self._make_loss_for(addrs, dist_names)
+
+    def _make_loss_for(self, addrs, dist_names):
         for addr in addrs:
             if addr not in self._params["proposal"]:
                 raise RuntimeError(

@@ -208,6 +208,9 @@ class InferenceNetworkLSTM(InferenceNetwork):
         dist_names = tuple(
             v.distribution.name for v in example.variables_controlled
         )
+        return self._make_loss_for(addrs, dist_names)
+
+    def _make_loss_for(self, addrs, dist_names):
         for addr in addrs:
             if addr not in self._params["proposal"]:
                 raise RuntimeError(

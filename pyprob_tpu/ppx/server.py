@@ -1,0 +1,124 @@
+"""PPX simulator-side server: the role played by pyprob_cpp in the
+reference's remote tests (reference: Dockerfile:1,
+tests/test_inference_remote.py:98).
+
+A simulator program binds a ZMQ REP socket, receives Run, and — while its
+forward function executes — emits Sample/Observe/Tag messages that the
+inference engine answers.  This Python implementation serves as the
+in-process test double and the reference for the C++ library in cpp/ppx.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import zmq
+
+from .. import util
+from . import wire
+from .wire import MessageBody
+
+
+def _spec_from_distribution(distribution):
+    # imported lazily: remote.py itself imports this package
+    from ..remote import spec_from_distribution
+
+    return spec_from_distribution(distribution)
+
+
+class PPXSimulatorServer:
+    """Run a model program as a PPX simulator.
+
+    forward_func receives this server object and calls ``server.sample`` /
+    ``server.observe`` / ``server.tag``; its return value is sent back as
+    the RunResult tensor.
+    """
+
+    def __init__(
+        self,
+        server_address,
+        forward_func,
+        system_name="pyprob_tpu python simulator",
+        model_name="unnamed model",
+    ):
+        self._forward_func = forward_func
+        self._system_name = system_name
+        self._model_name = model_name
+        self._context = zmq.Context.instance()
+        self._socket = self._context.socket(zmq.REP)
+        self._socket.bind(server_address)
+        self._running = False
+
+    def close(self):
+        if self._socket is not None:
+            self._socket.close()
+            self._socket = None
+
+    # ---- calls available to forward_func ---------------------------------
+    def sample(self, distribution, name=None, address=None, control=True):
+        dist_type, params = _spec_from_distribution(distribution)
+        self._socket.send(
+            wire.build_sample(
+                address or "", name or "", dist_type, params, control=control
+            )
+        )
+        reply = wire.decode_message(self._socket.recv())
+        if reply.body_type != MessageBody.SampleResult:
+            raise RuntimeError(
+                f"Expected SampleResult, got {reply.body_type}"
+            )
+        return reply.fields["result"]
+
+    def observe(self, distribution, value=None, name=None, address=None):
+        dist_type, params = _spec_from_distribution(distribution)
+        self._socket.send(
+            wire.build_observe(
+                address or "",
+                name or "",
+                dist_type,
+                params,
+                value=value,
+            )
+        )
+        reply = wire.decode_message(self._socket.recv())
+        if reply.body_type != MessageBody.ObserveResult:
+            raise RuntimeError(
+                f"Expected ObserveResult, got {reply.body_type}"
+            )
+
+    def tag(self, value, name=None, address=None):
+        self._socket.send(
+            wire.build_tag(address or "", name or "", value)
+        )
+        reply = wire.decode_message(self._socket.recv())
+        if reply.body_type != MessageBody.TagResult:
+            raise RuntimeError(f"Expected TagResult, got {reply.body_type}")
+
+    # ---- main loop --------------------------------------------------------
+    def serve(self, max_runs=None):
+        """Handle handshake then Run requests until Reset (or max_runs)."""
+        runs = 0
+        self._running = True
+        while self._running:
+            msg = wire.decode_message(self._socket.recv())
+            if msg.body_type == MessageBody.Handshake:
+                self._socket.send(
+                    wire.build_handshake_result(
+                        self._system_name, self._model_name
+                    )
+                )
+            elif msg.body_type == MessageBody.Run:
+                result = self._forward_func(self)
+                self._socket.send(
+                    wire.build_run_result(np.asarray(result, np.float64))
+                )
+                runs += 1
+                if max_runs is not None and runs >= max_runs:
+                    self._running = False
+            elif msg.body_type == MessageBody.Reset:
+                self._socket.send(wire.build_reset())
+                self._running = False
+            else:
+                raise RuntimeError(
+                    f"Simulator received unexpected body type: {msg.body_type}"
+                )
+        self.close()

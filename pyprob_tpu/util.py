@@ -103,17 +103,21 @@ def dtype():
 # ---------------------------------------------------------------------------
 
 _rng: np.random.Generator = np.random.default_rng(0)
-_key = jax.random.PRNGKey(0)
+# The JAX root key is created lazily so that importing the package (and the
+# full interpreter tier) works even when no device backend can initialize.
+_key = None
+_key_seed = 0
 
 
 def seed(s=None):
     """Seed all RNG sources: python `random`, numpy host generator, JAX key."""
-    global _rng, _key
+    global _rng, _key, _key_seed
     if s is None:
         s = int(time.time() * 1e6) % (2**31)
     random.seed(s)
     _rng = np.random.default_rng(s)
-    _key = jax.random.PRNGKey(s)
+    _key_seed = s
+    _key = None  # re-created lazily from the new seed
     return s
 
 
@@ -122,16 +126,23 @@ def get_rng() -> np.random.Generator:
     return _rng
 
 
+def _root_key():
+    global _key
+    if _key is None:
+        _key = jax.random.PRNGKey(_key_seed)
+    return _key
+
+
 def next_key():
     """Split and return a fresh JAX PRNG key from the global root key."""
     global _key
-    _key, sub = jax.random.split(_key)
+    _key, sub = jax.random.split(_root_key())
     return sub
 
 
 def next_keys(n):
     global _key
-    keys = jax.random.split(_key, n + 1)
+    keys = jax.random.split(_root_key(), n + 1)
     _key = keys[0]
     return keys[1:]
 

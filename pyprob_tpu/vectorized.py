@@ -435,10 +435,14 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
     return traces
 
 
-def _run_batched(
+# jitted-run cache: without it every vectorized_traces call would re-trace
+# and re-compile the whole particle program.  Keyed by model identity plus
+# all trace-semantics arguments; entries hold (jitted_fn, sites_box).
+_jit_run_cache = {}
+
+
+def _get_jitted_run(
     model,
-    num_traces,
-    observed,
     trace_mode,
     inference_engine,
     prior_inflation,
@@ -447,8 +451,17 @@ def _run_batched(
     args=(),
     kwargs=None,
 ):
-    """vmap+jit forward() over particle batches; returns host-side outputs
-    stacked to num_traces, plus the static site list."""
+    cacheable = not args and not kwargs
+    cache_key = (
+        id(model),
+        trace_mode,
+        inference_engine,
+        prior_inflation,
+        likelihood_importance,
+        id(proposal_step) if proposal_step is not None else None,
+    )
+    if cacheable and cache_key in _jit_run_cache:
+        return _jit_run_cache[cache_key]
     sites_box = []
 
     def single(key, obs):
@@ -468,10 +481,57 @@ def _run_batched(
             sites_box.append(handler.sites)
         return outputs
 
+    run = jax.jit(jax.vmap(single, in_axes=(0, None)))
+    entry = (run, sites_box, model)
+    if cacheable:
+        _jit_run_cache[cache_key] = entry
+    return entry
+
+
+def run_training_batch(model, batch_size, prior_inflation=PriorInflation.DISABLED):
+    """Device-resident training batch for the IC training loop: one jitted
+    dispatch generating batch_size traces in PRIOR_FOR_INFERENCE_NETWORK
+    mode, with outputs left on device (no materialization).  Raises the
+    usual tracing errors if the model is not traceable."""
+    run, sites_box, _ = _get_jitted_run(
+        model,
+        TraceMode.PRIOR_FOR_INFERENCE_NETWORK,
+        InferenceEngine.IMPORTANCE_SAMPLING,
+        prior_inflation,
+        1.0,
+    )
+    keys = util.next_keys(batch_size)
+    out = run(keys, {})
+    return out, sites_box[0]
+
+
+def _run_batched(
+    model,
+    num_traces,
+    observed,
+    trace_mode,
+    inference_engine,
+    prior_inflation,
+    likelihood_importance,
+    proposal_step=None,
+    args=(),
+    kwargs=None,
+):
+    """vmap+jit forward() over particle batches; returns host-side outputs
+    stacked to num_traces, plus the static site list."""
+    run, sites_box, _ = _get_jitted_run(
+        model,
+        trace_mode,
+        inference_engine,
+        prior_inflation,
+        likelihood_importance,
+        proposal_step=proposal_step,
+        args=args,
+        kwargs=kwargs,
+    )
     obs_arrays = {
         k: jnp.asarray(v, util.dtype()) for k, v in (observed or {}).items()
     }
-    run = jax.jit(jax.vmap(single, in_axes=(0, None)))
 
     chunks = []
     remaining = num_traces
@@ -664,7 +724,7 @@ def vectorized_posterior(
                 "No inference network available. Use learn_inference_network "
                 "or load_inference_network first."
             )
-        proposal_step = network.make_vectorized_proposal_step(observe)
+        proposal_step = network.cached_vectorized_proposal_step(observe)
         if proposal_step is None:
             return None
         emp = vectorized_traces(
