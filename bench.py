@@ -56,9 +56,12 @@ def main():
     train_seconds = time.time() - t0
     engine = pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
 
-    # warmup: compile the guided-IS program
+    # warmup: compile the guided-IS program for both chunk shapes
     model.posterior_results(
-        num_traces=4096, observe=observe, vectorized=True, inference_engine=engine
+        num_traces=NUM_POSTERIOR_TRACES,
+        observe=observe,
+        vectorized=True,
+        inference_engine=engine,
     )
     # timed run
     t0 = time.time()

@@ -73,8 +73,10 @@ class Categorical(Distribution):
         if B.np.issubdtype(idx.dtype, B.np.floating):
             idx = B.np.round(idx)
         idx = B.asarray(idx, "int32")
+        common = np.broadcast_shapes(B.np.shape(idx), self._batch_shape)
+        idx = B.broadcast_to(idx, common)
         logits = B.broadcast_to(
-            self._logits, B.np.shape(idx) + (self._num_categories,)
+            self._logits, common + (self._num_categories,)
         )
         lp = B.take_along_axis(logits, idx[..., None], axis=-1)[..., 0]
         return B.sum(lp) if sum else lp

@@ -118,6 +118,24 @@ class Empirical(Distribution):
                 self.add(v, log_weight=float(l))
             self.finalize()
 
+    @classmethod
+    def from_arrays(cls, values, log_weights=None, name="Empirical"):
+        """Bulk in-memory construction from arrays — avoids the per-add
+        overhead for large compiled-tier result sets."""
+        e = cls(name=name)
+        e._values = list(values)
+        if log_weights is None:
+            e._log_weights = [0.0] * len(e._values)
+        else:
+            lw = np.nan_to_num(
+                np.asarray(log_weights, dtype=np.float64).reshape(-1),
+                nan=-np.inf,
+            )
+            e._log_weights = lw.tolist()
+        e._length = len(e._values)
+        e.finalize()
+        return e
+
     # ------------------------------------------------------------------
     # lifecycle
     # ------------------------------------------------------------------

@@ -54,9 +54,66 @@ class Mixture(Distribution):
     def log_prob(self, value, sum=False):
         B = backend.of(value, self._mixing._logits)
         value = B.asarray(value, util.dtype())
+        if B is backend.JAX:
+            fused = self._fused_log_prob(value)
+            if fused is not None:
+                return B.sum(fused) if sum else fused
         comp = self._component_log_probs(B, value)
         lp = B.logsumexp(comp + self._mixing.logits, axis=-1)
         return B.sum(lp) if sum else lp
+
+    def _fused_log_prob(self, value):
+        """Pallas-fused path for the hot homogeneous mixtures (the IC
+        proposal families): all-Normal or all-TruncatedNormal components
+        with 1-D batch.  Returns None when the shape doesn't fit."""
+        from .. import ops
+        from .normal import Normal as _Normal
+        from .truncated_normal import TruncatedNormal as _TruncatedNormal
+
+        if not ops.use_pallas():
+            return None
+        if len(self._batch_shape) != 1 or jnp.ndim(value) != 1:
+            return None
+        B = self._batch_shape[0]
+        K = self._num_components
+        logits = self._mixing.logits
+        if all(isinstance(d, _Normal) for d in self._distributions):
+            means = jnp.stack(
+                [jnp.broadcast_to(d._loc, (B,)) for d in self._distributions], -1
+            )
+            stddevs = jnp.stack(
+                [jnp.broadcast_to(d._scale, (B,)) for d in self._distributions],
+                -1,
+            )
+            return ops.kernels.mixture_normal_log_prob_fused(
+                value, means, stddevs, jnp.broadcast_to(logits, (B, K))
+            )
+        if all(isinstance(d, _TruncatedNormal) for d in self._distributions) and all(
+            d._low is self._distributions[0]._low
+            and d._high is self._distributions[0]._high
+            for d in self._distributions
+        ):
+            d0 = self._distributions[0]
+            low = jnp.broadcast_to(d0._low, (B,))
+            high = jnp.broadcast_to(d0._high, (B,))
+            means = jnp.stack(
+                [
+                    jnp.broadcast_to(d._mean_non_truncated, (B,))
+                    for d in self._distributions
+                ],
+                -1,
+            )
+            stddevs = jnp.stack(
+                [
+                    jnp.broadcast_to(d._stddev_non_truncated, (B,))
+                    for d in self._distributions
+                ],
+                -1,
+            )
+            return ops.kernels.mixture_truncated_normal_log_prob_fused(
+                value, means, stddevs, jnp.broadcast_to(logits, (B, K)), low, high
+            )
+        return None
 
     def _sample_np(self, rng, shape):
         idx = self._mixing._sample_np(rng, shape)  # [shape + batch]

@@ -330,11 +330,9 @@ class InferenceNetwork:
             )
         )
 
-    def _packed_batch_from_outputs(self, outputs, sites, batch_size):
-        """Build a PackedBatch from the compiled tier's device outputs:
-        values/prior-params are sliced straight out of the batched arrays
-        (the per-trace distributions are rebuilt *batched* from their
-        recorded leaves, so prior params arrive as [B] device arrays)."""
+    def _pack_arrays_from_outputs(self, outputs, sites, batch_size):
+        """Pure packing: compiled-tier outputs -> packed dict.  Safe to call
+        with traced values (used inside the fused training step)."""
         from .proposals import prior_param_arrays
 
         controlled = [s for s in sites if s.control]
@@ -367,7 +365,52 @@ class InferenceNetwork:
         packed = {"obs": obs, "steps": steps}
         addrs = tuple(s.address for s in controlled)
         dist_names = tuple(s.distribution_name for s in controlled)
-        return PackedBatch(packed, batch_size, addrs, dist_names, len(controlled))
+        return packed, addrs, dist_names
+
+    def _packed_batch_from_outputs(self, outputs, sites, batch_size):
+        packed, addrs, dist_names = self._pack_arrays_from_outputs(
+            outputs, sites, batch_size
+        )
+        return PackedBatch(packed, batch_size, addrs, dist_names, len(addrs))
+
+    def _build_fused_online_step(self, model, batch_size, prior_inflation, sites):
+        """The training hot loop as ONE jitted dispatch: generate a batch of
+        traces (model forward under vmap), pack, loss, grads, optimizer
+        update — no host round-trips in between.  This is what makes IC
+        training fast over a high-latency device link and maps the whole
+        step onto the chip."""
+        from ..util import TraceMode, InferenceEngine
+        from ..vectorized import run_traced
+
+        controlled = [s for s in sites if s.control]
+        addrs = tuple(s.address for s in controlled)
+        dist_names = tuple(s.distribution_name for s in controlled)
+        _, loss_fn = self._make_loss_for(addrs, dist_names)
+        update_raw = self._update_fn_raw
+        pack = self._pack_arrays_from_outputs
+
+        def single(key):
+            outputs, _ = run_traced(
+                model,
+                key,
+                {},
+                TraceMode.PRIOR_FOR_INFERENCE_NETWORK,
+                InferenceEngine.IMPORTANCE_SAMPLING,
+                prior_inflation,
+                1.0,
+            )
+            return outputs
+
+        def step(params, opt_state, keys, lr):
+            outputs = jax.vmap(single)(keys)
+            packed, _, _ = pack(outputs, sites, batch_size)
+            loss, grads = jax.value_and_grad(loss_fn)(params, packed)
+            loss = loss / batch_size
+            grads = jax.tree_util.tree_map(lambda g: g / batch_size, grads)
+            params, opt_state = update_raw(params, grads, opt_state, lr)
+            return params, opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
 
     def _loss_and_grad(self, batch):
         """Full-batch loss + grads: one jitted computation per sub-batch
@@ -493,6 +536,7 @@ class InferenceNetwork:
             params = optax.apply_updates(params, updates)
             return params, state
 
+        self._update_fn_raw = update
         self._update_fn = jax.jit(update)
         if opt_state is not None:
             self._opt_state = opt_state
@@ -671,6 +715,114 @@ class InferenceNetwork:
                 self._save(f"{save_file_name_prefix}_00000000_pre_generated.network")
         util.log_print("Layer pre-generation complete")
 
+    def _fused_online_optimize(
+        self,
+        dataset,
+        num_traces,
+        batch_size,
+        save_file_name_prefix,
+        save_every_sec,
+        stop_with_bad_loss,
+        log_file,
+        time_start,
+        prev_total_train_seconds,
+    ):
+        """Online training with the single-dispatch fused step.  Returns
+        True if it ran to completion, False to fall back to the generic
+        loop (e.g. model not jax-traceable)."""
+        # first batch: materialized, for polymorph + one warmup step
+        first = Batch(dataset.next_batch(batch_size))
+        self._polymorph(first)
+        self._create_optimizer()
+        success, loss, grads = self._loss_and_grad(first)
+        if success:
+            lr = self._current_learning_rate()
+            self._params, self._opt_state = self._update_fn(
+                self._params, grads, self._opt_state, lr
+            )
+            self._total_train_iterations += 1
+            self._total_train_traces += first.size
+        probe = dataset.next_device_batch(batch_size)
+        if probe is None:
+            return False
+        _, sites = probe
+        fused = self._build_fused_online_step(
+            dataset._model, batch_size, dataset._prior_inflation, sites
+        )
+
+        trace_count = first.size
+        sync_every = 10
+        loss_dev = None
+        last_print = time_start
+        last_auto_save_time = time_start
+        time_last_batch = time_start
+        step_in_window = 0
+        while trace_count < num_traces:
+            lr = self._current_learning_rate()
+            keys = util.next_keys(batch_size)
+            self._params, self._opt_state, loss_dev = fused(
+                self._params, self._opt_state, keys, lr
+            )
+            self._total_train_iterations += 1
+            trace_count += batch_size
+            self._total_train_traces += batch_size
+            step_in_window += 1
+            now = time.time()
+            if (
+                step_in_window >= sync_every
+                or trace_count >= num_traces
+                or now - last_print > util._print_refresh_rate * 4
+            ):
+                loss = float(loss_dev)
+                self._total_train_seconds = prev_total_train_seconds + (
+                    now - time_start
+                )
+                if math.isnan(loss) or math.isinf(loss):
+                    util.log_error(f"Bad loss in fused training step: {loss}")
+                    if stop_with_bad_loss:
+                        return True
+                if self._loss_init is None:
+                    self._loss_init = loss
+                    self._loss_max = loss
+                self._loss_min = min(self._loss_min, loss)
+                self._loss_max = max(self._loss_max, loss)
+                self._loss_previous = loss
+                self._history_train_loss.append(loss)
+                self._history_train_loss_trace.append(self._total_train_traces)
+                tps = (
+                    step_in_window
+                    * batch_size
+                    / max(now - time_last_batch, 1e-9)
+                )
+                time_last_batch = now
+                step_in_window = 0
+                if now - last_print > util._print_refresh_rate:
+                    last_print = now
+                    util.progress_update(
+                        f"{util.days_hours_mins_secs_str(self._total_train_seconds)} "
+                        f"| fused | {self._total_train_traces:9,} | "
+                        f"loss {loss:+.3e} | min {self._loss_min:+.3e} | "
+                        f"lr {lr:+.2e} | {tps:,.1f} traces/s"
+                    )
+                if log_file is not None:
+                    log_file.write(
+                        f"{self._total_train_seconds}, "
+                        f"{self._total_train_iterations}, "
+                        f"{self._total_train_traces}, {loss}, , {lr}, , 1, , "
+                        f"{tps}\n"
+                    )
+                if (
+                    save_file_name_prefix is not None
+                    and save_every_sec is not None
+                    and now - last_auto_save_time > save_every_sec
+                ):
+                    last_auto_save_time = now
+                    self._save(
+                        f"{save_file_name_prefix}_{util.get_time_stamp()}_"
+                        f"traces_{self._total_train_traces}.network"
+                    )
+        return True
+
     # ------------------------------------------------------------------
     # the training loop (reference: inference_network.py:381-599)
     # ------------------------------------------------------------------
@@ -830,6 +982,38 @@ class InferenceNetwork:
                 "mean_trace_length_controlled, sub_mini_batches, "
                 "distributed_bucket_id, traces_per_second\n"
             )
+
+        # Fused online hot loop: when training online on a traceable model
+        # without a dp mesh, run generate+pack+loss+update as one jitted
+        # dispatch per step (vital over a high-latency device link).
+        if (
+            not isinstance(dataset, OfflineDataset)
+            and hasattr(dataset, "next_device_batch")
+            and self._dp_mesh is None
+            and distributed_world_size == 1
+            and dataset_valid is None
+        ):
+            finished = self._fused_online_optimize(
+                dataset=dataset,
+                num_traces=num_traces,
+                batch_size=batch_size,
+                save_file_name_prefix=save_file_name_prefix,
+                save_every_sec=save_every_sec,
+                stop_with_bad_loss=stop_with_bad_loss,
+                log_file=log_file,
+                time_start=time_start,
+                prev_total_train_seconds=prev_total_train_seconds,
+            )
+            if finished:
+                util.progress_end()
+                if log_file is not None:
+                    log_file.close()
+                if save_file_name_prefix is not None:
+                    self._save(
+                        f"{save_file_name_prefix}_{util.get_time_stamp()}_"
+                        f"traces_{self._total_train_traces}.network"
+                    )
+                return
 
         while not stop:
             epoch += 1

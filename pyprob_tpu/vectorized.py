@@ -516,9 +516,14 @@ def _run_batched(
     proposal_step=None,
     args=(),
     kwargs=None,
+    fetch=None,
 ):
     """vmap+jit forward() over particle batches; returns host-side outputs
-    stacked to num_traces, plus the static site list."""
+    stacked to num_traces, plus the static site list.
+
+    ``fetch``: optional list of top-level output keys to pull to the host
+    (results-only paths skip transferring per-site arrays entirely —
+    that device->host traffic otherwise dominates large runs)."""
     run, sites_box, _ = _get_jitted_run(
         model,
         trace_mode,
@@ -539,6 +544,8 @@ def _run_batched(
         n = min(remaining, _BATCH_LIMIT)
         keys = util.next_keys(n)
         out = run(keys, obs_arrays)
+        if fetch is not None:
+            out = {k: out[k] for k in fetch}
         chunks.append(jax.device_get(out))
         remaining -= n
     if len(chunks) == 1:
@@ -572,6 +579,7 @@ def vectorized_traces(
     if observe is not None and any(v is None for v in observe.values()):
         raise RuntimeError(f"Observe has missing value(s): {observe}")
     t0 = time.time()
+    results_only = getattr(map_func, "__name__", "") == "trace_result"
     try:
         host, sites = _run_batched(
             model,
@@ -584,6 +592,7 @@ def vectorized_traces(
             proposal_step=proposal_step,
             args=args,
             kwargs=kwargs,
+            fetch=["result", "log_importance_weight"] if results_only else None,
         )
     except (
         jax.errors.ConcretizationTypeError,
@@ -615,22 +624,34 @@ def vectorized_traces(
             log_weights[bad] = -np.inf
 
     results_host = host["result"]
-    emp = Empirical(file_name=file_name)
-    if map_func is None:
-        values = _materialize_traces(sites, host, num_traces, None, results_host)
-    elif getattr(map_func, "__name__", "") == "trace_result":
-        values = [np.asarray(results_host[i]) for i in range(num_traces)]
+    if results_only and file_name is None and isinstance(results_host, np.ndarray):
+        # bulk path: no per-add overhead, no trace materialization
+        keep = (
+            np.isfinite(log_weights)
+            if trace_mode != TraceMode.PRIOR
+            else np.ones(num_traces, bool)
+        )
+        values_arr = np.asarray(results_host)[keep]
+        emp = Empirical.from_arrays(values_arr, log_weights[keep])
     else:
-        values = [
-            map_func(t)
-            for t in _materialize_traces(
+        emp = Empirical(file_name=file_name)
+        if map_func is None:
+            values = _materialize_traces(
                 sites, host, num_traces, None, results_host
             )
-        ]
-    for v, lw in zip(values, log_weights):
-        if np.isfinite(lw) or trace_mode == TraceMode.PRIOR:
-            emp.add(v, log_weight=float(lw))
-    emp.finalize()
+        elif results_only:
+            values = [np.asarray(results_host[i]) for i in range(num_traces)]
+        else:
+            values = [
+                map_func(t)
+                for t in _materialize_traces(
+                    sites, host, num_traces, None, results_host
+                )
+            ]
+        for v, lw in zip(values, log_weights):
+            if np.isfinite(lw) or trace_mode == TraceMode.PRIOR:
+                emp.add(v, log_weight=float(lw))
+        emp.finalize()
     duration = time.time() - t0
     if util.verbosity() > 1:
         util.log_print(
