@@ -26,8 +26,17 @@ _ASSIGN_RE = re.compile(r"^\s*([A-Za-z_][\w\.]*(?:\[[^\]]*\])?)\s*=[^=]")
 _RETURN_RE = re.compile(r"^\s*return\b")
 
 # Frames whose code lives in these path fragments are framework-internal and
-# skipped when walking out to user code.
+# skipped when walking out to user code.  The built-in model families
+# (pyprob_tpu/models/) are user-level code and must NOT be skipped.
 _INTERNAL_MARKERS = ("pyprob_tpu",)
+_USER_MARKERS = ("pyprob_tpu/models",)
+
+
+def _is_internal_frame(filename):
+    filename = filename or ""
+    if any(m in filename for m in _USER_MARKERS):
+        return False
+    return any(m in filename for m in _INTERNAL_MARKERS)
 
 
 def _extract_target_of_assignment(filename, lineno):
@@ -49,10 +58,7 @@ def extract_address(root_function_name):
     """
     frame = sys._getframe(1)
     # Skip framework-internal frames (state.sample / observe wrappers).
-    while frame is not None and any(
-        marker in (frame.f_code.co_filename or "")
-        for marker in _INTERNAL_MARKERS
-    ):
+    while frame is not None and _is_internal_frame(frame.f_code.co_filename):
         frame = frame.f_back
     if frame is None:
         return "0__unknown"

@@ -130,6 +130,43 @@ class Distribution:
         )
         return f"{type(self).__name__}({ps})"
 
+    def plot(
+        self,
+        min_val=-10,
+        max_val=10,
+        resolution=1000,
+        figsize=(10, 5),
+        xlabel=None,
+        ylabel="Probability",
+        log_xscale=False,
+        log_yscale=False,
+        file_name=None,
+        show=False,
+        **kwargs,
+    ):
+        """Density plot over [min_val, max_val]
+        (reference: distribution.py:48-74)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=figsize)
+        xvals = np.linspace(min_val, max_val, resolution)
+        ax.plot(xvals, np.exp(np.asarray(self.log_prob(xvals))), **kwargs)
+        if log_xscale:
+            ax.set_xscale("log")
+        if log_yscale:
+            ax.set_yscale("log")
+        if xlabel:
+            ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        if file_name is not None:
+            fig.savefig(file_name, bbox_inches="tight")
+        if not show:
+            plt.close(fig)
+        return fig
+
     @staticmethod
     def kl_divergence(d1, d2):
         """Analytic KL(d1 || d2) for supported pairs

@@ -380,6 +380,98 @@ class Empirical(Distribution):
         out._metadata = list(self._metadata) + [{"op": "reweight"}]
         return out
 
+    def reobserve(
+        self,
+        likelihood_funcs=None,
+        observe=None,
+        likelihood_importance=1.0,
+        min_index=None,
+        max_index=None,
+        file_name=None,
+    ):
+        """Rescore a trace-valued Empirical under new observed values and/or
+        replacement likelihoods (reference: empirical.py:469-544).  Best
+        used immediately after an importance-sampling posterior."""
+        import warnings as _warnings
+
+        from ..trace import Trace, Variable
+
+        if self._length == 0:
+            return self
+        self._check_finalized()
+        if not isinstance(self._get_value(0), Trace):
+            raise RuntimeError(
+                "Reobserve can only be used with Empiricals containing "
+                "execution traces."
+            )
+        last_op = self._metadata[-1] if self._metadata else {}
+        if not (
+            last_op.get("op") == "posterior"
+            and "IMPORTANCE_SAMPLING" in str(last_op.get("inference_engine", ""))
+        ):
+            _warnings.warn(
+                "Reobserve should ideally follow an importance-sampling "
+                "posterior; the last recorded operation was not one."
+            )
+        observe = observe or {}
+        likelihood_funcs = likelihood_funcs or {}
+        lo = min_index or 0
+        hi = max_index if max_index is not None else self._length
+        out = Empirical(name=self._name, file_name=file_name)
+        for i in range(lo, hi):
+            trace = self._get_value(i)
+            new_trace = Trace()
+            for v in trace.variables:
+                if v.observable:
+                    if v.name in observe:
+                        value, observed = observe[v.name], True
+                    elif v.observed:
+                        value, observed = v.value, True
+                    else:
+                        value, observed = v.value, False
+                    if v.name in likelihood_funcs:
+                        distribution = likelihood_funcs[v.name](v, trace)
+                        if value is None:
+                            log_prob = None
+                            log_importance_weight = None
+                        else:
+                            log_prob = likelihood_importance * distribution.log_prob(
+                                value, sum=True
+                            )
+                            log_importance_weight = float(log_prob)
+                    else:
+                        distribution = v.distribution
+                        if observed and distribution is not None and v.name in observe:
+                            log_prob = likelihood_importance * distribution.log_prob(
+                                value, sum=True
+                            )
+                            log_importance_weight = float(log_prob)
+                        else:
+                            log_prob = v.log_prob
+                            log_importance_weight = v.log_importance_weight
+                    v = Variable(
+                        distribution=distribution,
+                        value=value,
+                        address_base=v.address_base,
+                        address=v.address,
+                        instance=v.instance,
+                        log_prob=log_prob,
+                        log_importance_weight=log_importance_weight,
+                        control=v.control,
+                        name=v.name,
+                        observed=observed,
+                        reused=v.reused,
+                        tagged=v.tagged,
+                    )
+                new_trace.add(v)
+            new_trace.end(result=trace.result, execution_time_sec=trace.execution_time_sec)
+            out.add(new_trace, new_trace.log_importance_weight)
+        out.finalize()
+        out._metadata = list(self._metadata) + [
+            {"op": "reobserve", "length": self._length}
+        ]
+        return out
+
     def resample(self, num_samples, map_func=None):
         """Multinomial resampling to uniform weights
         (reference: empirical.py:509-523)."""
@@ -523,6 +615,53 @@ class Empirical(Distribution):
 
     def log_prob(self, value, sum=False):
         raise NotImplementedError("Empirical does not define a density")
+
+    def weights_numpy(self):
+        self._check_finalized()
+        return np.asarray(self._probs)
+
+    def plot(self, *args, **kwargs):
+        return self.plot_histogram(*args, **kwargs)
+
+    def plot_histogram(
+        self,
+        figsize=(10, 5),
+        xlabel=None,
+        ylabel="Frequency",
+        bins=30,
+        log_xscale=False,
+        log_yscale=False,
+        file_name=None,
+        show=False,
+        density=True,
+        **kwargs,
+    ):
+        """Weighted histogram of the values (reference: empirical.py:889-918)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=figsize)
+        ax.hist(
+            self.values_numpy(),
+            weights=self.weights_numpy(),
+            bins=bins,
+            density=density,
+            **kwargs,
+        )
+        if log_xscale:
+            ax.set_xscale("log")
+        if log_yscale:
+            ax.set_yscale("log")
+        if xlabel:
+            ax.set_xlabel(xlabel)
+        ax.set_ylabel(ylabel)
+        if file_name is not None:
+            fig.savefig(file_name, bbox_inches="tight")
+        if not show:
+            plt.close(fig)
+        return fig
 
     def density_estimate(self, num_components=1):
         """Fit a GMM to the (resampled) values

@@ -194,21 +194,33 @@ def vectorized_mcmc_posterior(
     thinning_steps=None,
     num_chains=None,
     burn_in=None,
+    mesh=None,
     args=(),
     kwargs=None,
 ):
     """Run C parallel chains x S steps with C*S ~= num_traces.
 
+    Chains shard over the device mesh (the chain axis is data-parallel, so
+    XLA partitions the vmapped scan across chips with no collectives in
+    the hot loop); step statistics aggregate on the host after the run.
     Returns an Empirical over post-burn-in states of all chains, or None if
     the model is not traceable (caller falls back to the interpreter tier).
     """
     if _TraceabilityCache.known_untraceable(model):
         return None
     kwargs = kwargs or {}
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
     if num_chains is None:
         # enough chains to fill the chip, but >= ~256 steps per chain so
         # each chain actually burns in and mixes
         num_chains = int(min(max(1, num_traces // 256), 1024))
+    if mesh is not None:
+        from ..parallel import pad_to_multiple
+
+        num_chains = pad_to_multiple(num_chains, mesh.size)
     num_steps = max(1, num_traces // num_chains)
     if burn_in is None:
         # chains are warm-started from importance-resampled prior draws
@@ -334,6 +346,19 @@ def vectorized_mcmc_posterior(
         lambda r: jnp.asarray(np.asarray(r)[resample_idx]), init_out["result"]
     )
     chain_keys = util.next_keys(num_chains)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+        put = lambda tree: jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, shard), tree
+        )
+        init_values = put(init_values)
+        init_lps = put(init_lps)
+        init_obs = jax.device_put(init_obs, shard)
+        init_result = put(init_result)
+        chain_keys = jax.device_put(chain_keys, shard)
 
     results, accepts = chain_fn(
         init_values, init_lps, init_obs, init_result, chain_keys

@@ -646,6 +646,7 @@ class RemoteModel(Model):
         server_address="tcp://127.0.0.1:5555",
         before_forward_func=None,
         after_forward_func=None,
+        timeout_sec=None,
         *args,
         **kwargs,
     ):
@@ -653,6 +654,7 @@ class RemoteModel(Model):
         self._model_server = None
         self._before_forward_func = before_forward_func
         self._after_forward_func = after_forward_func
+        self._timeout_sec = timeout_sec
         super().__init__(*args, **kwargs)
 
     def close(self):
@@ -663,7 +665,9 @@ class RemoteModel(Model):
         if self._model_server is None:
             from .remote import ModelServer
 
-            self._model_server = ModelServer(self._server_address)
+            self._model_server = ModelServer(
+                self._server_address, timeout_sec=self._timeout_sec
+            )
             self.name = "{} running on {}".format(
                 self._model_server.model_name, self._model_server.system_name
             )

@@ -1,0 +1,20 @@
+"""Built-in model families — the canonical benchmark/test models of the
+trace-based PPL literature, ready to use and TPU-ready where their control
+flow allows (reference counterparts live in tests/examples:
+reference tests/test_inference.py, examples/*.ipynb)."""
+
+from .models import (
+    GaussianUnknownMean,
+    GaussianUnknownMeanMarsaglia,
+    HiddenMarkovModel,
+    Branching,
+    MiniCaptcha,
+)
+
+__all__ = [
+    "GaussianUnknownMean",
+    "GaussianUnknownMeanMarsaglia",
+    "HiddenMarkovModel",
+    "Branching",
+    "MiniCaptcha",
+]

@@ -1,0 +1,194 @@
+"""Canonical model families.
+
+* GaussianUnknownMean — conjugate 1-latent model with analytic posterior;
+  fully jax-traceable (compiled tier).
+* GaussianUnknownMeanMarsaglia — the same posterior via an unbounded
+  rejection sampler: the universal-PPL stress model (interpreter tier).
+* HiddenMarkovModel — K-state chain with Gaussian emissions, written with
+  jnp indexing so it compiles (reference: tests/test_inference.py:413-460).
+* Branching — Poisson/fibonacci stochastic branching with an enumerable
+  posterior (reference: tests/test_inference.py:577-692).
+* MiniCaptcha — rendered-letter inversion with a CNN observe embedding
+  (reference: tests/test_inference.py:695-854).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import state as _state
+from ..model import Model
+from ..distributions import Categorical, Normal, Poisson, Uniform, Empirical
+
+sample = _state.sample
+observe = _state.observe
+
+
+class GaussianUnknownMean(Model):
+    def __init__(
+        self, prior_mean=1.0, prior_stddev=math.sqrt(5.0), likelihood_stddev=math.sqrt(2.0), num_observes=2
+    ):
+        super().__init__(name="Gaussian with unknown mean")
+        self.prior_mean = prior_mean
+        self.prior_stddev = prior_stddev
+        self.likelihood_stddev = likelihood_stddev
+        self.num_observes = num_observes
+
+    def forward(self):
+        mu = sample(Normal(self.prior_mean, self.prior_stddev))
+        likelihood = Normal(mu, self.likelihood_stddev)
+        for i in range(self.num_observes):
+            observe(likelihood, name=f"obs{i}")
+        return mu
+
+    def true_posterior(self, observed_values):
+        """Conjugate closed form."""
+        n = len(observed_values)
+        s2_prior = self.prior_stddev**2
+        s2_lik = self.likelihood_stddev**2
+        var = 1.0 / (1.0 / s2_prior + n / s2_lik)
+        mean = var * (self.prior_mean / s2_prior + sum(observed_values) / s2_lik)
+        return Normal(mean, math.sqrt(var))
+
+
+class GaussianUnknownMeanMarsaglia(Model):
+    def __init__(
+        self, prior_mean=1.0, prior_stddev=math.sqrt(5.0), likelihood_stddev=math.sqrt(2.0)
+    ):
+        super().__init__(name="Gaussian with unknown mean (Marsaglia)")
+        self.prior_mean = prior_mean
+        self.prior_stddev = prior_stddev
+        self.likelihood_stddev = likelihood_stddev
+
+    def marsaglia(self, mean, stddev):
+        uniform = Uniform(-1.0, 1.0)
+        while True:
+            x = sample(uniform)
+            y = sample(uniform)
+            s = float(x) ** 2 + float(y) ** 2
+            if s < 1:
+                return mean + stddev * (float(x) * math.sqrt(-2 * math.log(s) / s))
+
+    def forward(self):
+        mu = self.marsaglia(self.prior_mean, self.prior_stddev)
+        likelihood = Normal(mu, self.likelihood_stddev)
+        observe(likelihood, name="obs0")
+        observe(likelihood, name="obs1")
+        return mu
+
+
+class HiddenMarkovModel(Model):
+    def __init__(
+        self,
+        init_probs,
+        transition_probs,
+        emission_means,
+        emission_stddev=1.0,
+        obs_length=16,
+    ):
+        super().__init__(name="Hidden Markov model")
+        self.init_probs = jnp.asarray(init_probs, jnp.float32)
+        self.T = jnp.asarray(transition_probs, jnp.float32)
+        self.means = jnp.asarray(emission_means, jnp.float32)
+        self.emission_stddev = emission_stddev
+        self.obs_length = obs_length
+
+    def forward(self):
+        import jax.nn
+
+        state = sample(Categorical(probs=self.init_probs))
+        states = [state]
+        for t in range(self.obs_length):
+            state = sample(Categorical(probs=self.T[state]))
+            observe(
+                Normal(self.means[state], self.emission_stddev), name=f"obs{t}"
+            )
+            states.append(state)
+        return jax.nn.one_hot(jnp.stack(states), self.init_probs.shape[-1])
+
+
+def _fib(n):
+    if n < 2:
+        return 1
+    a, fib = 1, 1
+    for _ in range(n - 2):
+        a, fib = fib, a + fib
+    return fib
+
+
+class Branching(Model):
+    def __init__(self, rate=4.0):
+        super().__init__(name="Branching")
+        self.rate = rate
+
+    def forward(self):
+        count_prior = Poisson(self.rate)
+        r = sample(count_prior)
+        if 4 < float(r):
+            l = 6
+        else:
+            l = 1 + _fib(3 * int(r)) + float(sample(count_prior))
+        observe(Poisson(l), name="obs")
+        return float(r)
+
+    def true_posterior(self, observe_value=6, support=40):
+        count_prior = Poisson(self.rate)
+        vals, log_weights = [], []
+        for r in range(support):
+            for s in range(support):
+                l = 6 if 4 < r else 1 + _fib(3 * r) + s
+                vals.append(float(r))
+                log_weights.append(
+                    float(Poisson(float(l)).log_prob(observe_value))
+                    + float(count_prior.log_prob(r))
+                    + float(count_prior.log_prob(s))
+                )
+        return Empirical(values=vals, log_weights=log_weights)
+
+
+def _default_font():
+    import matplotlib
+
+    return os.path.join(
+        os.path.dirname(matplotlib.__file__),
+        "mpl-data",
+        "fonts",
+        "ttf",
+        "DejaVuSans-Bold.ttf",
+    )
+
+
+class MiniCaptcha(Model):
+    def __init__(self, alphabet=("A", "B", "C", "D", "E", "F"), noise=0.1, font=None):
+        super().__init__(name="MiniCaptcha")
+        self._alphabet = list(alphabet)
+        self._noise = noise
+        self._font = font or _default_font()
+        self._images = jnp.stack(
+            [jnp.asarray(self.render(a)) for a in self._alphabet]
+        )
+
+    @property
+    def alphabet(self):
+        return self._alphabet
+
+    def render(self, text, size=18, height=28, width=28, x=6, y=6):
+        from PIL import Image, ImageDraw, ImageFont
+
+        pil_font = ImageFont.truetype(self._font, size=size)
+        canvas = Image.new("RGB", (height, width), (255, 255, 255))
+        draw = ImageDraw.Draw(canvas)
+        draw.text((x, y), text, font=pil_font, fill="#000000")
+        arr = 1.0 - np.asarray(canvas) / 255.0
+        return arr[:, :, 0].reshape(-1).astype(np.float32)
+
+    def forward(self):
+        probs = jnp.ones(len(self._alphabet)) / len(self._alphabet)
+        letter_id = sample(Categorical(probs=probs))
+        image = self._images[letter_id]
+        observe(Normal(image, self._noise), name="query_image")
+        return letter_id

@@ -30,6 +30,7 @@ from ..distributions import (
     Uniform,
     Categorical,
     Bernoulli,
+    Beta,
     Poisson,
     TruncatedNormal,
     Mixture,
@@ -72,8 +73,15 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
         "normal_mixture",
         "uniform_truncated_normal_mixture",
         "poisson_truncated_normal_mixture",
+        "uniform_beta_mixture",
     ):
         out_dim = 3 * mixture_components
+    elif kind in ("normal_normal", "uniform_beta"):
+        # alternative single-component heads kept for parity with the
+        # reference's unused-by-default ProposalNormalNormal /
+        # ProposalUniformBeta (reference: pyprob/nn/proposal_normal_normal.py,
+        # proposal_uniform_beta.py)
+        out_dim = 2
     elif kind == "categorical":
         assert num_categories is not None
         out_dim = num_categories
@@ -138,6 +146,31 @@ def head_apply(params, x, prior_params):
         comps = [
             TruncatedNormal(means[:, i], stddevs[:, i], low=low, high=high)
             for i in range(K)
+        ]
+        return Mixture(comps, probs=coeffs)
+
+    if kind == "normal_normal":
+        mean = out[:, 0]
+        stddev = jnp.exp(out[:, 1])
+        prior_mean = jnp.reshape(prior_params["mean"], (B,))
+        prior_std = jnp.reshape(prior_params["stddev"], (B,))
+        return Normal(prior_mean + mean * prior_std, stddev * prior_std)
+
+    if kind == "uniform_beta":
+        low = jnp.reshape(prior_params["low"], (B,))
+        high = jnp.reshape(prior_params["high"], (B,))
+        c1 = 1.0 + jax.nn.softplus(out[:, 0])
+        c0 = 1.0 + jax.nn.softplus(out[:, 1])
+        return Beta(c1, c0, low=low, high=high)
+
+    if kind == "uniform_beta_mixture":
+        low = jnp.reshape(prior_params["low"], (B,))
+        high = jnp.reshape(prior_params["high"], (B,))
+        c1s = 1.0 + jax.nn.softplus(out[:, :K])
+        c0s = 1.0 + jax.nn.softplus(out[:, K : 2 * K])
+        coeffs = jax.nn.softmax(out[:, 2 * K :], axis=1)
+        comps = [
+            Beta(c1s[:, i], c0s[:, i], low=low, high=high) for i in range(K)
         ]
         return Mixture(comps, probs=coeffs)
 

@@ -31,13 +31,18 @@ from .ppx.wire import MessageBody, DistributionType
 
 
 class ZMQRequester:
-    """REQ socket wrapper (reference: pyprob/remote.py:36-64)."""
+    """REQ socket wrapper (reference: pyprob/remote.py:36-64).
 
-    def __init__(self, server_address):
+    ``timeout_sec`` bounds each receive (the reference blocks forever on a
+    dead simulator); None preserves the blocking behavior."""
+
+    def __init__(self, server_address, timeout_sec=None):
         self._server_address = server_address
         self._context = zmq.Context.instance()
         self._socket = self._context.socket(zmq.REQ)
         self._socket.setsockopt(zmq.LINGER, 100)
+        if timeout_sec is not None:
+            self._socket.setsockopt(zmq.RCVTIMEO, int(timeout_sec * 1000))
         util.log_print(
             f"ppx (pyprob_tpu): zmq.REQ socket connecting to server "
             f"{server_address}"
@@ -54,7 +59,13 @@ class ZMQRequester:
         self._socket.send(request_bytes)
 
     def receive_reply(self):
-        return self._socket.recv()
+        try:
+            return self._socket.recv()
+        except zmq.error.Again as e:
+            raise TimeoutError(
+                f"PPX simulator at {self._server_address} did not reply "
+                f"within the receive timeout"
+            ) from e
 
     def close(self):
         if self._socket is not None:
@@ -146,8 +157,8 @@ class ModelServer:
     services its Sample/Observe/Tag callbacks during forward()
     (reference: pyprob/remote.py:67-393)."""
 
-    def __init__(self, server_address):
-        self._requester = ZMQRequester(server_address)
+    def __init__(self, server_address, timeout_sec=None):
+        self._requester = ZMQRequester(server_address, timeout_sec=timeout_sec)
         self.system_name = None
         self.model_name = None
         self._handshake()

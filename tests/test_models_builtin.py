@@ -1,0 +1,118 @@
+"""Built-in model families + parity extras (reobserve, plots, alt heads)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pyprob_tpu as pp
+from pyprob_tpu.models import (
+    GaussianUnknownMean,
+    GaussianUnknownMeanMarsaglia,
+    HiddenMarkovModel,
+    Branching,
+    MiniCaptcha,
+)
+from pyprob_tpu.distributions import Normal
+from pyprob_tpu.nn import head_init, head_apply
+
+OBS = {"obs0": 8, "obs1": 9}
+
+
+def test_gum_builtin_vectorized():
+    m = GaussianUnknownMean()
+    true = m.true_posterior([8.0, 9.0])
+    assert np.isclose(float(true.mean), 7.25)
+    post = m.posterior_results(num_traces=20000, observe=OBS, vectorized=True)
+    assert abs(float(post.mean) - float(true.mean)) < 0.3
+
+
+def test_marsaglia_builtin():
+    m = GaussianUnknownMeanMarsaglia()
+    post = m.posterior_results(num_traces=2000, observe=OBS)
+    assert abs(float(post.mean) - 7.25) < 1.0
+
+
+def test_hmm_builtin():
+    m = HiddenMarkovModel(
+        init_probs=[1 / 3] * 3,
+        transition_probs=[[0.1, 0.5, 0.4], [0.2, 0.2, 0.6], [0.15, 0.15, 0.7]],
+        emission_means=[-1.0, 1.0, 0.0],
+        obs_length=4,
+    )
+    obs = {f"obs{t}": v for t, v in enumerate([-1.0, -1.0, 1.0, 1.0])}
+    post = m.posterior_results(num_traces=5000, observe=obs, vectorized=True)
+    assert np.asarray(post.mean).shape == (5, 3)
+
+
+def test_branching_builtin_true_posterior():
+    m = Branching()
+    tp = m.true_posterior()
+    assert tp.length == 1600
+    assert np.isfinite(float(tp.mean))
+
+
+def test_mini_captcha_builtin():
+    m = MiniCaptcha(alphabet=("A", "B"))
+    img = m.render("A")
+    post = m.posterior_results(
+        num_traces=500, observe={"query_image": img}, vectorized=True
+    )
+    assert int(np.asarray(post.mode)) == 0
+
+
+def test_reobserve():
+    m = GaussianUnknownMean()
+    post = m.posterior(num_traces=2000, observe=OBS)
+    # reobserve with different observed values rescoring the same traces
+    re = post.reobserve(observe={"obs0": 2.0, "obs1": 2.0})
+    m2 = GaussianUnknownMean()
+    direct = m2.posterior(num_traces=2000, observe={"obs0": 2.0, "obs1": 2.0})
+    mean_re = float(re.map(lambda t: float(t.result)).mean)
+    mean_direct = float(direct.map(lambda t: float(t.result)).mean)
+    assert abs(mean_re - mean_direct) < 1.0
+
+
+def test_distribution_plot(tmp_path):
+    fn = str(tmp_path / "plot.png")
+    Normal(0.0, 1.0).plot(min_val=-4, max_val=4, file_name=fn)
+    assert (tmp_path / "plot.png").exists()
+
+
+def test_empirical_plot_histogram(tmp_path):
+    from pyprob_tpu.distributions import Empirical
+
+    e = Empirical(values=list(np.random.default_rng(0).normal(size=200)))
+    fn = str(tmp_path / "hist.png")
+    e.plot_histogram(file_name=fn)
+    assert (tmp_path / "hist.png").exists()
+
+
+def test_alternative_proposal_heads():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((5, 16))
+    # normal_normal
+    p = head_init(key, "normal_normal", 16)
+    d = head_apply(p, x, {"mean": jnp.zeros(5), "stddev": jnp.ones(5)})
+    assert np.asarray(d.log_prob(jnp.zeros(5))).shape == (5,)
+    # uniform_beta
+    p = head_init(key, "uniform_beta", 16)
+    d = head_apply(p, x, {"low": jnp.zeros(5), "high": jnp.ones(5) * 2})
+    s = np.asarray(d._sample_jax(key, ()))
+    assert ((s >= 0) & (s <= 2)).all()
+    # uniform_beta_mixture
+    p = head_init(key, "uniform_beta_mixture", 16, mixture_components=3)
+    d = head_apply(p, x, {"low": jnp.zeros(5), "high": jnp.ones(5) * 2})
+    s = np.asarray(d._sample_jax(key, ()))
+    assert ((s >= 0) & (s <= 2)).all()
+    lp = np.asarray(d.log_prob(jnp.full(5, 1.0)))
+    assert np.isfinite(lp).all()
+
+
+def test_remote_timeout():
+    # RemoteModel with timeout raises instead of hanging on a dead address
+    m = pp.RemoteModel("ipc:///tmp/nonexistent_ppx_socket_xyz", timeout_sec=0.5)
+    with pytest.raises((TimeoutError, RuntimeError)):
+        m.sample()
