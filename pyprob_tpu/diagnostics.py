@@ -133,14 +133,26 @@ def _trace_stats(trace_dist, use_address_base=True, reuse_ids_from_address_stats
     return result
 
 
+def _rebuild_trace(trace, variables):
+    """Build a consistent Trace from a filtered variable list (the derived
+    per-category lists and lengths must match ``variables``)."""
+    from .trace import Trace
+
+    t = Trace()
+    for v in variables:
+        t.add(v)
+    t.end(trace.result, trace.execution_time_sec)
+    return t
+
+
 def _remove_addresses_below_count(trace_dist, count):
     address_stats = _address_stats(trace_dist)
     keep = {a for a, s in address_stats.items() if s["count"] >= count}
 
     def prune(trace):
-        t = trace.clone()
-        t.variables = [v for v in t.variables if v.address_base in keep]
-        return t
+        return _rebuild_trace(
+            trace, [v for v in trace.variables if v.address_base in keep]
+        )
 
     return trace_dist.map(prune)
 
@@ -149,11 +161,10 @@ def _remove_addresses(trace_dist, regex):
     pattern = _re.compile(regex)
 
     def prune(trace):
-        t = trace.clone()
-        t.variables = [
-            v for v in t.variables if not pattern.match(v.address_base or "")
-        ]
-        return t
+        return _rebuild_trace(
+            trace,
+            [v for v in trace.variables if not pattern.match(v.address_base or "")],
+        )
 
     return trace_dist.map(prune)
 
@@ -214,15 +225,18 @@ def _variable_values(trace_dist, names=None, n_most_frequent=None, num_traces=No
 def _maybe_plot(plot, plot_show, file_name, draw):
     if not (plot or plot_show or file_name):
         return None
-    import matplotlib
+    if not plot_show:
+        import matplotlib
 
-    matplotlib.use("Agg")
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig = draw(plt)
     if file_name is not None:
         fig.savefig(file_name, bbox_inches="tight")
-    if not plot_show:
+    if plot_show:
+        plt.show()
+    else:
         plt.close(fig)
     return fig
 

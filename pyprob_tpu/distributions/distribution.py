@@ -146,9 +146,10 @@ class Distribution:
     ):
         """Density plot over [min_val, max_val]
         (reference: distribution.py:48-74)."""
-        import matplotlib
+        if not show:
+            import matplotlib
 
-        matplotlib.use("Agg")
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=figsize)
@@ -163,7 +164,9 @@ class Distribution:
         ax.set_ylabel(ylabel)
         if file_name is not None:
             fig.savefig(file_name, bbox_inches="tight")
-        if not show:
+        if show:
+            plt.show()
+        else:
             plt.close(fig)
         return fig
 

@@ -637,9 +637,10 @@ class Empirical(Distribution):
         **kwargs,
     ):
         """Weighted histogram of the values (reference: empirical.py:889-918)."""
-        import matplotlib
+        if not show:
+            import matplotlib
 
-        matplotlib.use("Agg")
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=figsize)
@@ -659,7 +660,9 @@ class Empirical(Distribution):
         ax.set_ylabel(ylabel)
         if file_name is not None:
             fig.savefig(file_name, bbox_inches="tight")
-        if not show:
+        if show:
+            plt.show()
+        else:
             plt.close(fig)
         return fig
 

@@ -74,11 +74,14 @@ class Graph:
         self.nodes = []
         self.edges = []
         self._use_address_base = use_address_base
-        if base_graph is not None:
-            self._address_stats = None
-            reuse_address = getattr(base_graph, "_address_ids", None)
-        else:
-            reuse_address = None
+        # reuse the base graph's address/trace ids so nodes correspond
+        # between the two renderings (reference: graph.py:55-130 diffing)
+        reuse_addr = (
+            base_graph._stats["address_stats"] if base_graph is not None else None
+        )
+        reuse_trace = (
+            base_graph._stats["trace_stats"] if base_graph is not None else None
+        )
 
         if trace_dist is None:
             return
@@ -94,7 +97,12 @@ class Graph:
                 trace_dist, min_address_count
             )
 
-        stats = _trace_stats(trace_dist, use_address_base=use_address_base)
+        stats = _trace_stats(
+            trace_dist,
+            use_address_base=use_address_base,
+            reuse_ids_from_address_stats=reuse_addr,
+            reuse_ids_from_trace_stats=reuse_trace,
+        )
         self._stats = stats
         address_stats = stats["address_stats"]
         self._address_ids = {

@@ -221,13 +221,15 @@ def vectorized_mcmc_posterior(
         from ..parallel import pad_to_multiple
 
         num_chains = pad_to_multiple(num_chains, mesh.size)
-    num_steps = max(1, num_traces // num_chains)
+    if thinning_steps is None:
+        thinning_steps = 1
+    # post-burn-in kept samples must cover num_traces: steps = kept + burn
+    kept_steps_needed = max(1, -(-num_traces // num_chains)) * thinning_steps
     if burn_in is None:
         # chains are warm-started from importance-resampled prior draws
         # (approximate posterior samples), so only a short burn-in is needed
-        burn_in = max(8, num_steps // 10)
-    if thinning_steps is None:
-        thinning_steps = 1
+        burn_in = max(8, kept_steps_needed // 10)
+    num_steps = kept_steps_needed + burn_in
     t0 = time.time()
 
     init_fn, obs_arrays, sites_box = _discover_structure(
@@ -254,11 +256,13 @@ def vectorized_mcmc_posterior(
         _TraceabilityCache.mark(model, False)
         return None
     sites = sites_box[0]
-    # MCMC controls every non-observed sample site
+    # MCMC controls every sample site (the handler forces control=True for
+    # MCMC engines); valueless observe sites (observed=False, control=False)
+    # are predictive outputs and must NOT enter the perturbation set.
     controlled_addresses = [
         s.address
         for s in sites
-        if (not s.observed) and (not s.tagged) and s.distribution_name is not None
+        if s.control and (not s.observed) and (not s.tagged)
     ]
     K = len(controlled_addresses)
     if K == 0:

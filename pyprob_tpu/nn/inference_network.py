@@ -242,19 +242,13 @@ class InferenceNetwork:
         compiled tier's traced forward, or None if unsupported."""
         return None
 
-    def cached_vectorized_proposal_step(self, observe):
+    def cached_vectorized_proposal_step(self, observe=None):
         """Memoize the proposal-step closure so repeated posterior calls
-        with unchanged network + observations reuse the compiled program
-        (the closure's identity keys the jitted-run cache)."""
-        key = (
-            self._total_train_iterations,
-            repr(
-                {
-                    k: np.asarray(v).tolist()
-                    for k, v in sorted((observe or {}).items())
-                }
-            ),
-        )
+        with an unchanged network reuse the compiled program (the closure's
+        identity keys the jitted-run cache).  Observed values are traced
+        arguments of that program, so the cache is observation-agnostic —
+        only retraining invalidates it."""
+        key = self._total_train_iterations
         cached = getattr(self, "_vps_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -385,6 +379,7 @@ class InferenceNetwork:
         controlled = [s for s in sites if s.control]
         addrs = tuple(s.address for s in controlled)
         dist_names = tuple(s.distribution_name for s in controlled)
+        self._fused_step_addrs = addrs  # bumped per fused step by the loop
         _, loss_fn = self._make_loss_for(addrs, dist_names)
         update_raw = self._update_fn_raw
         pack = self._pack_arrays_from_outputs
@@ -412,10 +407,20 @@ class InferenceNetwork:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _bump_head_iterations(self, addrs):
+        """Per-address training-iteration counters, bumped only on actual
+        optimizer steps (not loss construction or validation), so
+        proposal_min_train_iterations gating reflects real training."""
+        for addr in addrs:
+            self._head_train_iterations[addr] = (
+                self._head_train_iterations.get(addr, 0) + 1
+            )
+
     def _loss_and_grad(self, batch):
         """Full-batch loss + grads: one jitted computation per sub-batch
         (cached by trace type), grads accumulated over sub-batches."""
         if isinstance(batch, PackedBatch):
+            self._bump_head_iterations(batch.addrs)
             key, loss_fn = self._make_loss_for(batch.addrs, batch.dist_names)
             packed = batch.packed
             if self._dp_mesh is not None:
@@ -446,6 +451,9 @@ class InferenceNetwork:
         total_loss = 0.0
         total_grads = None
         for sub_batch in batch.sub_batches:
+            self._bump_head_iterations(
+                tuple(v.address for v in sub_batch[0].variables_controlled)
+            )
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
             packed = self._pack_sub_batch(sub_batch)
             if self._dp_mesh is not None:
@@ -509,22 +517,27 @@ class InferenceNetwork:
         if self._optimizer_type is None:
             return
         wd = self._weight_decay or 0.0
-        if self._optimizer_type in (Optimizer.ADAM, Optimizer.ADAM_LARC):
-            # torch Adam semantics: L2 via grad += wd*p, then adam
-            base = optax.chain(
-                optax.add_decayed_weights(wd) if wd else optax.identity(),
-                optax.scale_by_adam(),
-            )
-        else:
-            base = optax.chain(
-                optax.add_decayed_weights(wd) if wd else optax.identity(),
-                optax.trace(decay=self._momentum or 0.9, nesterov=True),
-            )
-        self._base_optimizer = base
         use_larc = self._optimizer_type in (
             Optimizer.ADAM_LARC,
             Optimizer.SGD_LARC,
         )
+        # With LARC the decay term is applied inside larc_scale (as in the
+        # apex wrapper, which zeroes the inner optimizer's weight_decay —
+        # reference: pyprob/nn/optimizer_larc.py); applying it in the base
+        # chain as well would double the regularization.
+        base_wd = 0.0 if use_larc else wd
+        if self._optimizer_type in (Optimizer.ADAM, Optimizer.ADAM_LARC):
+            # torch Adam semantics: L2 via grad += wd*p, then adam
+            base = optax.chain(
+                optax.add_decayed_weights(base_wd) if base_wd else optax.identity(),
+                optax.scale_by_adam(),
+            )
+        else:
+            base = optax.chain(
+                optax.add_decayed_weights(base_wd) if base_wd else optax.identity(),
+                optax.trace(decay=self._momentum or 0.9, nesterov=True),
+            )
+        self._base_optimizer = base
 
         def update(params, grads, state, lr):
             if use_larc:
@@ -763,6 +776,7 @@ class InferenceNetwork:
             self._params, self._opt_state, loss_dev = fused(
                 self._params, self._opt_state, keys, lr
             )
+            self._bump_head_iterations(self._fused_step_addrs)
             self._total_train_iterations += 1
             trace_count += batch_size
             self._total_train_traces += batch_size
@@ -893,6 +907,7 @@ class InferenceNetwork:
                 )
 
         # data iteration
+        sampler = None
         if isinstance(dataset, OfflineDataset):
             if distributed_world_size == 1:
                 sampler = TraceBatchSampler(

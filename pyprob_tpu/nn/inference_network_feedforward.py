@@ -121,9 +121,6 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 raise RuntimeError(
                     f"Address unknown by inference network: {addr}"
                 )
-            self._head_train_iterations[addr] = (
-                self._head_train_iterations.get(addr, 0) + 1
-            )
         embed = self._embed_observe_pure
 
         def loss_fn(params, packed):
@@ -172,15 +169,32 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         )
 
     # ------------------------------------------------------------------
-    def make_vectorized_proposal_step(self, observe):
+    def make_vectorized_proposal_step(self, observe=None):
         """Proposal step usable inside the compiled tier's traced forward:
-        every particle's proposal at a site is one batched head apply."""
-        self._infer_init(observe)
-        emb = self._infer_observe_embedding  # concrete [1, O]
+        every particle's proposal at a site is one batched head apply.  The
+        observe embedding is computed from the traced observed dict on the
+        first site of each trace, so the compiled program is reused across
+        observations."""
         params = self._params
         head_meta = self._head_meta
+        embed = self._embed_observe_pure
+        state = {"emb": None}
 
-        def proposal_step(site, distribution, key):
+        def reset():
+            state["emb"] = None
+
+        def _emb(observed):
+            if state["emb"] is None:
+                obs = {
+                    name: jnp.reshape(
+                        jnp.asarray(observed[name], util.dtype()), (1, -1)
+                    )
+                    for name in params["observe"].keys()
+                }
+                state["emb"] = embed(params, obs)
+            return state["emb"]
+
+        def proposal_step(site, distribution, key, observed):
             addr = site.address
             if addr not in head_meta:
                 value = distribution._sample_jax(key, ())
@@ -189,11 +203,11 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 k: jnp.reshape(jnp.asarray(v, util.dtype()), (1,))
                 for k, v in prior_param_arrays(distribution).items()
             }
-            d = head_apply(params["proposal"][addr], emb, prior)
+            d = head_apply(params["proposal"][addr], _emb(observed), prior)
             value = d._sample_jax(key, ())
             value = jnp.reshape(value, ())
             plp = jnp.sum(d.log_prob(value))
             return value, plp
 
-        proposal_step.reset = lambda: None
+        proposal_step.reset = reset
         return proposal_step

@@ -216,9 +216,6 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 raise RuntimeError(
                     f"Address unknown by inference network: {addr}"
                 )
-            self._head_train_iterations[addr] = (
-                self._head_train_iterations.get(addr, 0) + 1
-            )
         embed = self._embed_observe_pure
         S = self._sample_embedding_dim
         A = self._address_embedding_dim
@@ -361,11 +358,10 @@ class InferenceNetworkLSTM(InferenceNetwork):
     # ------------------------------------------------------------------
     # compiled-tier guided inference: whole trace in one XLA program
     # ------------------------------------------------------------------
-    def make_vectorized_proposal_step(self, observe):
-        self._infer_init(observe)
-        emb = self._infer_observe_embedding  # concrete [1, O]
+    def make_vectorized_proposal_step(self, observe=None):
         params = self._params
         head_meta = self._head_meta
+        embed = self._embed_observe_pure
         S, A, D = (
             self._sample_embedding_dim,
             self._address_embedding_dim,
@@ -376,12 +372,27 @@ class InferenceNetworkLSTM(InferenceNetwork):
         def reset():
             state["lstm"] = lstm_zero_state(params["lstm"], (1,))
             state["prev"] = None  # (address, value, dist_name)
+            state["emb"] = None
 
-        def proposal_step(site, distribution, key):
+        def _emb(observed):
+            # observe embedding from the *traced* observed dict — computed
+            # once per trace; the compiled program is observation-agnostic
+            if state.get("emb") is None:
+                obs = {
+                    name: jnp.reshape(
+                        jnp.asarray(observed[name], util.dtype()), (1, -1)
+                    )
+                    for name in params["observe"].keys()
+                }
+                state["emb"] = embed(params, obs)
+            return state["emb"]
+
+        def proposal_step(site, distribution, key, observed):
             addr = site.address
             if addr not in head_meta:
                 value = distribution._sample_jax(key, ())
                 return value, distribution.log_prob(value, sum=True)
+            emb = _emb(observed)
             prev = state["prev"]
             if prev is None:
                 prev_sample_emb = jnp.zeros((1, S), util.dtype())

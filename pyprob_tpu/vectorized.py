@@ -133,6 +133,12 @@ class VectorizedHandler:
 
     # -- the effect API ----------------------------------------------------
     def sample(self, distribution, name=None, address=None, control=True):
+        # MCMC engines control every sample site (reference: state.py:165-166)
+        if self.inference_engine in (
+            InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+            InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+        ):
+            control = True
         base, full, instance = self._make_address(
             address, distribution.address_suffix
         )
@@ -184,7 +190,12 @@ class VectorizedHandler:
                 distribution_name=distribution.name,
                 distribution=distribution,
             )
-            value, proposal_log_prob = self.proposal_step(site, distribution, key)
+            # observed dict passed through so the network's observe
+            # embedding is computed from traced values — the compiled
+            # program is reused across different observations
+            value, proposal_log_prob = self.proposal_step(
+                site, distribution, key, self.observed
+            )
             log_prob = distribution.log_prob(value, sum=True)
             self.log_importance_weight = (
                 self.log_importance_weight + log_prob - proposal_log_prob
@@ -390,6 +401,11 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
     values = outputs_host["values"]
     log_probs = outputs_host["log_probs"]
     dist_leaves = outputs_host.get("dist_leaves", {})
+
+    def result_at(i):
+        # forward() may return any pytree; every leaf is batched over traces
+        return jax.tree_util.tree_map(lambda r: np.asarray(r)[i], results_host)
+
     for i in range(num):
         tr = Trace()
         for s in sites:
@@ -424,7 +440,7 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
                 tagged=s.tagged,
             )
             tr.add(variable)
-        tr.end(results_host[i], None)
+        tr.end(result_at(i), None)
         # overwrite aggregates with the device-accumulated ones
         tr.log_importance_weight = float(
             outputs_host["log_importance_weight"][i]
@@ -640,7 +656,12 @@ def vectorized_traces(
                 sites, host, num_traces, None, results_host
             )
         elif results_only:
-            values = [np.asarray(results_host[i]) for i in range(num_traces)]
+            values = [
+                jax.tree_util.tree_map(
+                    lambda r: np.asarray(r)[i], results_host
+                )
+                for i in range(num_traces)
+            ]
         else:
             values = [
                 map_func(t)
