@@ -39,6 +39,7 @@ def _is_internal_frame(filename):
     return any(m in filename for m in _INTERNAL_MARKERS)
 
 
+@lru_cache(maxsize=65536)
 def _extract_target_of_assignment(filename, lineno):
     line = linecache.getline(filename, lineno)
     m = _ASSIGN_RE.match(line)

@@ -1,0 +1,84 @@
+"""Manual scaling study: sharded particle IS and data-parallel training
+across 1..N devices of the local mesh.
+
+On virtual CPU devices (the test environment) the absolute numbers are
+meaningless — all devices share host cores — but the script validates that
+every mesh width compiles and executes, and on real multi-chip hardware it
+reports traces/s per device count and scaling efficiency
+(driver north star: >=80% to 2 hosts, BASELINE.md).
+
+Run: python tests/extra/scaling.py
+"""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if len(jax.devices()) < 2:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import pyprob_tpu as pp
+    from pyprob_tpu.models import GaussianUnknownMean
+    from pyprob_tpu.util import TraceMode, InferenceEngine
+    from pyprob_tpu.vectorized import _get_jitted_run
+
+    pp.set_verbosity(0)
+    pp.seed(0)
+    model = GaussianUnknownMean()
+    observe = {"obs0": jnp.asarray(8.0), "obs1": jnp.asarray(9.0)}
+    n_particles = 1 << 17
+
+    run, _, _ = _get_jitted_run(
+        model,
+        TraceMode.POSTERIOR,
+        InferenceEngine.IMPORTANCE_SAMPLING,
+        pp.PriorInflation.DISABLED,
+        1.0,
+    )
+
+    devices = jax.devices()
+    widths = [w for w in (1, 2, 4, 8, len(devices)) if w <= len(devices)]
+    widths = sorted(set(widths))
+    results = {}
+    for w in widths:
+        mesh = Mesh(np.array(devices[:w]), ("dp",))
+        keys = jax.random.split(jax.random.PRNGKey(0), n_particles)
+        keys = jax.device_put(keys, NamedSharding(mesh, P("dp")))
+        out = run(keys, observe)  # compile + warm
+        jax.block_until_ready(out["log_importance_weight"])
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            out = run(keys, observe)
+        jax.block_until_ready(out["log_importance_weight"])
+        dt = (time.time() - t0) / reps
+        tps = n_particles / dt
+        results[w] = tps
+        eff = tps / (results[1] * w) if 1 in results and w > 1 else 1.0
+        print(
+            f"{w} device(s): {tps:,.0f} traces/s "
+            f"({tps / w:,.0f}/device, efficiency {100 * eff:.1f}%)"
+        )
+    print(
+        "note: on virtual CPU devices efficiency is not meaningful "
+        "(shared host cores); run on real chips for the scaling number"
+    )
+
+
+if __name__ == "__main__":
+    main()
