@@ -55,6 +55,9 @@ def main():
     )
     train_seconds = time.time() - t0
     engine = pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+    # bf16 matmul policy measured SLOWER here (809k vs 912k traces/s A/B on
+    # chip): at these layer sizes the guided-IS step is VPU/memory-bound and
+    # the casts cost more than the MXU saves — stay f32 (BASELINE.md)
 
     # warmup: compile the guided-IS program for both chunk shapes
     model.posterior_results(

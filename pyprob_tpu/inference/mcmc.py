@@ -335,10 +335,25 @@ def vectorized_mcmc_posterior(
     probs = util.log_weights_to_probs(init_log_w)
     resample_idx = util.get_rng().choice(init_pool, size=num_chains, p=probs)
 
-    init_values = {
-        a: jnp.asarray(np.asarray(init_out["values"][a])[resample_idx])
-        for a in controlled_addresses
-    }
+    # chain resume: an initial_trace (e.g. posterior[-1] from a previous
+    # run, reference: model.py:122-127) seeds every chain's state with its
+    # values; the warm-start pool is bypassed for addresses it covers
+    initial_values = {}
+    if initial_trace is not None:
+        for addr in controlled_addresses:
+            v = initial_trace.variables_dict_address.get(addr)
+            if v is not None and v.value is not None:
+                initial_values[addr] = np.asarray(v.value)
+
+    def _init_value(a):
+        if a in initial_values:
+            base = np.asarray(init_out["values"][a])
+            return jnp.asarray(
+                np.broadcast_to(initial_values[a], base[resample_idx].shape).copy()
+            )
+        return jnp.asarray(np.asarray(init_out["values"][a])[resample_idx])
+
+    init_values = {a: _init_value(a) for a in controlled_addresses}
     init_lps = {
         a: jnp.asarray(np.asarray(init_out["log_probs"][a])[resample_idx])
         for a in controlled_addresses
@@ -349,6 +364,43 @@ def vectorized_mcmc_posterior(
     init_result = jax.tree_util.tree_map(
         lambda r: jnp.asarray(np.asarray(r)[resample_idx]), init_out["result"]
     )
+
+    if initial_values:
+        # substituted values invalidate the stored per-site log-probs and
+        # observed likelihood; one replay pass with no site perturbed
+        # (perturb_index=-1 never matches) rescores everything consistently
+        def rescore(values, lps, key):
+            handler = ReplayHandler(
+                key=key,
+                observed=obs_arrays,
+                root_function_name=root_name,
+                engine=InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+                current_values=values,
+                current_log_probs=lps,
+                perturb_index=jnp.asarray(-1),
+            )
+            prev = state._set_handler(handler)
+            try:
+                result = model.forward(*args, **kwargs)
+            finally:
+                state._set_handler(prev)
+            new_values = {
+                s.address: v
+                for s, v in zip(handler.sites, handler.values)
+                if s.address in lps
+            }
+            new_lps = {
+                s.address: lp
+                for s, lp in zip(handler.sites, handler.log_probs)
+                if s.address in lps
+            }
+            return new_values, new_lps, handler.log_prob_observed, result
+
+        root_name = model.forward.__code__.co_name
+        rescore_fn = jax.jit(jax.vmap(rescore, in_axes=(0, 0, 0)))
+        init_values, init_lps, init_obs, init_result = rescore_fn(
+            init_values, init_lps, util.next_keys(num_chains)
+        )
     chain_keys = util.next_keys(num_chains)
 
     if mesh is not None:

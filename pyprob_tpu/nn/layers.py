@@ -72,8 +72,19 @@ def linear_init(key, in_dim, out_dim):
     }
 
 
+def _dot(x, w):
+    """Matmul honoring the optional bf16 compute policy: operands cast to
+    the compute dtype, f32 accumulation on the MXU
+    (pallas_guide.md: keep matmuls large, batched, bfloat16)."""
+    cd = util.compute_dtype()
+    if cd is not None:
+        x = x.astype(cd)
+        w = w.astype(cd)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 def linear_apply(params, x):
-    return jnp.dot(x, params["w"]) + params["b"]
+    return _dot(x, params["w"]) + params["b"]
 
 
 # ---------------------------------------------------------------------------
@@ -161,9 +172,9 @@ def lstm_init(key, input_dim, hidden_dim, depth=1):
 def lstm_cell(layer, x, h, c):
     """One fused LSTM cell step; gates in torch order (i, f, g, o)."""
     gates = (
-        jnp.dot(x, layer["w_ih"])
+        _dot(x, layer["w_ih"])
         + layer["b_ih"]
-        + jnp.dot(h, layer["w_hh"])
+        + _dot(h, layer["w_hh"])
         + layer["b_hh"]
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)

@@ -98,6 +98,21 @@ def dtype():
     return _dtype
 
 
+# Optional matmul compute dtype for the neural layers (None = full
+# precision).  bfloat16 maps matmuls onto the TPU MXU's high-throughput
+# path with float32 accumulation; distribution/log-prob math stays float32.
+_compute_dtype = None
+
+
+def set_compute_dtype(dt):
+    global _compute_dtype
+    _compute_dtype = None if dt is None else np.dtype(dt).name
+
+
+def compute_dtype():
+    return _compute_dtype
+
+
 # ---------------------------------------------------------------------------
 # RNG management
 # ---------------------------------------------------------------------------
