@@ -289,6 +289,27 @@ def progress_end():
         sys.stdout.flush()
 
 
+class profile:
+    """Optional JAX profiler hook (SURVEY.md §5): wrap any inference or
+    training call to capture a device trace viewable in TensorBoard /
+    Perfetto.
+
+        with pyprob_tpu.util.profile('/tmp/trace'):
+            model.posterior_results(100000, observe=..., vectorized=True)
+    """
+
+    def __init__(self, log_dir):
+        self._log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self._log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        log_print(f"JAX profiler trace written to {self._log_dir}")
+
+
 def days_hours_mins_secs_str(total_seconds):
     d, r = divmod(int(total_seconds), 86400)
     h, r = divmod(r, 3600)
