@@ -76,12 +76,9 @@ class Graph:
         self._use_address_base = use_address_base
         # reuse the base graph's address/trace ids so nodes correspond
         # between the two renderings (reference: graph.py:55-130 diffing)
-        reuse_addr = (
-            base_graph._stats["address_stats"] if base_graph is not None else None
-        )
-        reuse_trace = (
-            base_graph._stats["trace_stats"] if base_graph is not None else None
-        )
+        base_stats = getattr(base_graph, "_stats", None)
+        reuse_addr = base_stats["address_stats"] if base_stats else None
+        reuse_trace = base_stats["trace_stats"] if base_stats else None
 
         if trace_dist is None:
             return

@@ -223,13 +223,16 @@ def vectorized_mcmc_posterior(
         num_chains = pad_to_multiple(num_chains, mesh.size)
     if thinning_steps is None:
         thinning_steps = 1
-    # post-burn-in kept samples must cover num_traces: steps = kept + burn
-    kept_steps_needed = max(1, -(-num_traces // num_chains)) * thinning_steps
+    # transition budget matches the interpreter tier: ~num_traces MCMC
+    # transitions total, thinned to ~num_traces/thinning_steps samples
+    # (reference: model.py:169-170); burn-in steps are run in addition so
+    # the post-burn count is not eaten by warmup
+    transitions_per_chain = max(1, -(-num_traces // num_chains))
     if burn_in is None:
         # chains are warm-started from importance-resampled prior draws
         # (approximate posterior samples), so only a short burn-in is needed
-        burn_in = max(8, kept_steps_needed // 10)
-    num_steps = kept_steps_needed + burn_in
+        burn_in = max(8, transitions_per_chain // 10)
+    num_steps = transitions_per_chain + burn_in
     t0 = time.time()
 
     init_fn, obs_arrays, sites_box = _discover_structure(
@@ -340,18 +343,26 @@ def vectorized_mcmc_posterior(
     # values; the warm-start pool is bypassed for addresses it covers
     initial_values = {}
     if initial_trace is not None:
+        if not hasattr(initial_trace, "variables_dict_address"):
+            raise TypeError(
+                "initial_trace must be a Trace (e.g. from an interpreter-tier "
+                "posterior, or posterior(..., map_func=None)); vectorized MCMC "
+                f"results store values, got {type(initial_trace).__name__}."
+            )
         for addr in controlled_addresses:
             v = initial_trace.variables_dict_address.get(addr)
             if v is not None and v.value is not None:
                 initial_values[addr] = np.asarray(v.value)
 
     def _init_value(a):
+        base = np.asarray(init_out["values"][a])
         if a in initial_values:
-            base = np.asarray(init_out["values"][a])
             return jnp.asarray(
-                np.broadcast_to(initial_values[a], base[resample_idx].shape).copy()
+                np.broadcast_to(
+                    initial_values[a], (num_chains,) + base.shape[1:]
+                ).copy()
             )
-        return jnp.asarray(np.asarray(init_out["values"][a])[resample_idx])
+        return jnp.asarray(base[resample_idx])
 
     init_values = {a: _init_value(a) for a in controlled_addresses}
     init_lps = {
@@ -396,7 +407,6 @@ def vectorized_mcmc_posterior(
             }
             return new_values, new_lps, handler.log_prob_observed, result
 
-        root_name = model.forward.__code__.co_name
         rescore_fn = jax.jit(jax.vmap(rescore, in_axes=(0, 0, 0)))
         init_values, init_lps, init_obs, init_result = rescore_fn(
             init_values, init_lps, util.next_keys(num_chains)

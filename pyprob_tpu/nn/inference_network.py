@@ -420,7 +420,6 @@ class InferenceNetwork:
         """Full-batch loss + grads: one jitted computation per sub-batch
         (cached by trace type), grads accumulated over sub-batches."""
         if isinstance(batch, PackedBatch):
-            self._bump_head_iterations(batch.addrs)
             key, loss_fn = self._make_loss_for(batch.addrs, batch.dist_names)
             packed = batch.packed
             if self._dp_mesh is not None:
@@ -446,14 +445,13 @@ class InferenceNetwork:
             success = not (
                 math.isnan(loss_value) or math.isinf(loss_value)
             )
+            if success:
+                self._bump_head_iterations(batch.addrs)
             return success, loss_value, grads
 
         total_loss = 0.0
         total_grads = None
         for sub_batch in batch.sub_batches:
-            self._bump_head_iterations(
-                tuple(v.address for v in sub_batch[0].variables_controlled)
-            )
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
             packed = self._pack_sub_batch(sub_batch)
             if self._dp_mesh is not None:
@@ -493,6 +491,11 @@ class InferenceNetwork:
             lambda g: g / batch.size, total_grads
         )
         success = not (math.isnan(loss_value) or math.isinf(loss_value))
+        if success:
+            for sub_batch in batch.sub_batches:
+                self._bump_head_iterations(
+                    tuple(v.address for v in sub_batch[0].variables_controlled)
+                )
         return success, loss_value, grads
 
     def _loss(self, batch):

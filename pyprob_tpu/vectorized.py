@@ -402,9 +402,15 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
     log_probs = outputs_host["log_probs"]
     dist_leaves = outputs_host.get("dist_leaves", {})
 
+    # forward() may return any pytree; every leaf is batched over traces —
+    # convert leaves once, index per trace
+    result_leaves, result_treedef = jax.tree_util.tree_flatten(results_host)
+    result_leaves = [np.asarray(l) for l in result_leaves]
+
     def result_at(i):
-        # forward() may return any pytree; every leaf is batched over traces
-        return jax.tree_util.tree_map(lambda r: np.asarray(r)[i], results_host)
+        return jax.tree_util.tree_unflatten(
+            result_treedef, [l[i] for l in result_leaves]
+        )
 
     for i in range(num):
         tr = Trace()
@@ -656,10 +662,10 @@ def vectorized_traces(
                 sites, host, num_traces, None, results_host
             )
         elif results_only:
+            leaves, treedef = jax.tree_util.tree_flatten(results_host)
+            leaves = [np.asarray(l) for l in leaves]
             values = [
-                jax.tree_util.tree_map(
-                    lambda r: np.asarray(r)[i], results_host
-                )
+                jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
                 for i in range(num_traces)
             ]
         else:

@@ -17,18 +17,28 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# must be set before the backend initializes; harmless on real TPU where
+# the flag only affects the (unused) host platform
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
 import numpy as np
 
 
 def main():
     import jax
 
-    if len(jax.devices()) < 2:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=8"
-        ).strip()
-        jax.config.update("jax_platforms", "cpu")
+    # SCALING_PLATFORM=cpu forces the 8-device virtual mesh even when a
+    # real accelerator is present (must happen before first backend use)
+    if os.environ.get("SCALING_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SCALING_PLATFORM"])
+    if len(jax.devices()) < 2 and jax.default_backend() != "cpu":
+        print(
+            "note: single accelerator device; rerun with SCALING_PLATFORM=cpu "
+            "for the 8-device virtual-mesh study"
+        )
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
