@@ -639,7 +639,12 @@ class Model:
 
 class RemoteModel(Model):
     """Model whose forward delegates to a PPX model server
-    (reference: pyprob/model.py:245-267)."""
+    (reference: pyprob/model.py:245-267).
+
+    Never enters the compiled tier: tracing forward() would abandon the
+    ZMQ REQ/REP exchange mid-protocol and desynchronize the simulator."""
+
+    _never_vectorize = True
 
     def __init__(
         self,
@@ -681,7 +686,10 @@ class RemoteModel(Model):
 
 class ConditionalModel(Model):
     """Hard rejection conditioning on a trace criterion
-    (reference: pyprob/model.py:270-298)."""
+    (reference: pyprob/model.py:270-298).  Interpreter tier only (the
+    criterion consumes whole host-side traces)."""
+
+    _never_vectorize = True
 
     def __init__(self, base_model, criterion, criterion_timeout=1e6):
         self._base_model = base_model

@@ -384,6 +384,11 @@ class _TraceabilityCache:
 
     @classmethod
     def known_untraceable(cls, model):
+        # models with side-effecting forwards (remote PPX sockets, rejection
+        # wrappers) must never even be *attempted* under tracing: a partial
+        # trace would leave external protocol state desynchronized
+        if getattr(model, "_never_vectorize", False):
+            return True
         return cls._cache.get(type(model)) is False
 
     @classmethod
@@ -515,6 +520,8 @@ def run_training_batch(model, batch_size, prior_inflation=PriorInflation.DISABLE
     dispatch generating batch_size traces in PRIOR_FOR_INFERENCE_NETWORK
     mode, with outputs left on device (no materialization).  Raises the
     usual tracing errors if the model is not traceable."""
+    if _TraceabilityCache.known_untraceable(model):
+        raise NotImplementedError("model is not jax-traceable")
     run, sites_box, _ = _get_jitted_run(
         model,
         TraceMode.PRIOR_FOR_INFERENCE_NETWORK,
