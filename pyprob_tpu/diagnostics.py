@@ -532,6 +532,31 @@ def gelman_rubin(trace_dists, names=None, iters=None, n_most_frequent=50, figsiz
     return iters, result
 
 
+def gelman_rubin_values(chains, iters=None):
+    """R-hat evolution over chains of scalar *values* (e.g. the per-chain
+    Empiricals from vectorized MCMC with return_chains=True), as opposed to
+    ``gelman_rubin`` which extracts variables from trace-valued chains."""
+    series = []
+    for c in chains:
+        if isinstance(c, Empirical):
+            series.append(
+                np.asarray(
+                    [float(np.asarray(c._get_value(i)).reshape(-1)[0]) for i in range(c.length)]
+                )
+            )
+        else:
+            series.append(np.asarray(c, dtype=np.float64).reshape(-1))
+    length = min(len(s) for s in series)
+    stacked = np.stack([s[:length] for s in series])
+    if iters is None:
+        iters = np.unique(
+            np.logspace(1, math.log10(max(length, 11)), 25).astype(int)
+        )
+        iters = iters[iters <= length]
+    rhats = np.asarray([_r_hat(stacked[:, :it]) for it in iters])
+    return iters, rhats
+
+
 def jensen_shannon(trace_dist_p, trace_dist_q, names=None, n_most_frequent=50, bins=50, plot=False, plot_show=False, file_name=None, **kwargs):
     """Per-variable Jensen-Shannon divergence between two trace
     distributions (reference: diagnostics.py:876-1169)."""

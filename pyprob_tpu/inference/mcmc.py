@@ -195,6 +195,7 @@ def vectorized_mcmc_posterior(
     num_chains=None,
     burn_in=None,
     mesh=None,
+    return_chains=False,
     args=(),
     kwargs=None,
 ):
@@ -432,6 +433,19 @@ def vectorized_mcmc_posterior(
     results = jax.device_get(results)  # [C, S, ...]
     accepts = np.asarray(jax.device_get(accepts))
     accept_rate = float(accepts.mean())
+
+    if return_chains:
+        # one Empirical of kept values per chain — feeds convergence
+        # diagnostics (R-hat across chains, diagnostics.gelman_rubin_values)
+        chains_out = []
+        kept = list(range(burn_in, num_steps, thinning_steps))
+        for c in range(num_chains):
+            vals = [
+                jax.tree_util.tree_map(lambda r: np.asarray(r[c][s]), results)
+                for s in kept
+            ]
+            chains_out.append(Empirical.from_arrays(vals))
+        return chains_out
 
     # post-burn-in, thinned, chains interleaved
     if map_func is not None and getattr(map_func, "__name__", "") != "trace_result":

@@ -118,3 +118,21 @@ def test_entry_compiles():
     results, log_w = jax.jit(fn)(keys, obs)
     assert results.shape[0] == keys.shape[0]
     assert np.isfinite(np.asarray(log_w)).all()
+
+
+def test_mcmc_return_chains_gelman_rubin():
+    from pyprob_tpu.inference.mcmc import vectorized_mcmc_posterior
+    from pyprob_tpu import diagnostics
+
+    m = GaussianUnknownMean()
+    chains = vectorized_mcmc_posterior(
+        m,
+        num_traces=16000,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+        observe=OBS,
+        num_chains=8,
+        return_chains=True,
+    )
+    assert len(chains) == 8
+    iters, rhats = diagnostics.gelman_rubin_values(chains)
+    assert rhats[-1] < 1.1  # converged
