@@ -396,16 +396,27 @@ class InferenceNetwork:
             )
             return outputs
 
-        def step(params, opt_state, keys, lr):
+        def one_step(carry, inp):
+            params, opt_state = carry
+            keys, lr = inp
             outputs = jax.vmap(single)(keys)
             packed, _, _ = pack(outputs, sites, batch_size)
             loss, grads = jax.value_and_grad(loss_fn)(params, packed)
             loss = loss / batch_size
             grads = jax.tree_util.tree_map(lambda g: g / batch_size, grads)
             params, opt_state = update_raw(params, grads, opt_state, lr)
-            return params, opt_state, loss
+            return (params, opt_state), loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, keys, lrs):
+            # keys: [K, B, ...], lrs: [K] — K optimizer steps in ONE
+            # dispatch via lax.scan (bounds host round-trips on
+            # high-latency device links)
+            (params, opt_state), losses = jax.lax.scan(
+                one_step, (params, opt_state), (keys, lrs)
+            )
+            return params, opt_state, losses
+
+        return jax.jit(multi_step, donate_argnums=(0, 1))
 
     def _bump_head_iterations(self, addrs):
         """Per-address training-iteration counters, bumped only on actual
@@ -767,29 +778,45 @@ class InferenceNetwork:
         )
 
         trace_count = first.size
-        sync_every = 10
+        # scan depth trades compile time for dispatch round-trips; measured
+        # on this setup the K-times-larger program's compile cost outweighs
+        # the saved round-trips, so default to 1 (PYPROB_TPU_FUSED_STEPS to
+        # override on hardware where dispatch latency dominates)
+        steps_per_dispatch = int(os.environ.get("PYPROB_TPU_FUSED_STEPS", "1"))
         loss_dev = None
         last_print = time_start
         last_auto_save_time = time_start
         time_last_batch = time_start
         step_in_window = 0
         while trace_count < num_traces:
-            lr = self._current_learning_rate()
-            keys = util.next_keys(batch_size)
-            self._params, self._opt_state, loss_dev = fused(
-                self._params, self._opt_state, keys, lr
+            # fixed K keeps one compiled program; the trace budget may
+            # overshoot by up to K-1 batches (batch-granular, as in the
+            # reference's loop)
+            k = steps_per_dispatch
+            # the poly LR schedule is computed on the host per sub-step
+            lrs = []
+            traces_ahead = self._total_train_traces
+            for i in range(k):
+                saved = self._total_train_traces
+                self._total_train_traces = traces_ahead + i * batch_size
+                lrs.append(self._current_learning_rate())
+                self._total_train_traces = saved
+            lrs = jnp.asarray(lrs, util.dtype())
+            keys = util.next_keys(k * batch_size)
+            keys = keys.reshape((k, batch_size) + keys.shape[1:])
+            self._params, self._opt_state, losses_dev = fused(
+                self._params, self._opt_state, keys, lrs
             )
-            self._bump_head_iterations(self._fused_step_addrs)
-            self._total_train_iterations += 1
-            trace_count += batch_size
-            self._total_train_traces += batch_size
-            step_in_window += 1
+            loss_dev = losses_dev[-1]
+            lr = float(lrs[-1])
+            for _ in range(k):
+                self._bump_head_iterations(self._fused_step_addrs)
+            self._total_train_iterations += k
+            trace_count += k * batch_size
+            self._total_train_traces += k * batch_size
+            step_in_window += k
             now = time.time()
-            if (
-                step_in_window >= sync_every
-                or trace_count >= num_traces
-                or now - last_print > util._print_refresh_rate * 4
-            ):
+            if True:
                 loss = float(loss_dev)
                 self._total_train_seconds = prev_total_train_seconds + (
                     now - time_start
