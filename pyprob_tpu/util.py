@@ -89,6 +89,14 @@ def verbosity():
     return _verbosity
 
 
+def set_platform(platform):
+    """Select the JAX platform (counterpart of reference ``set_device``,
+    pyprob/util.py:103).  Must run before the first backend use; an
+    env-var ``JAX_PLATFORMS`` can be overridden by eagerly-registered
+    plugins, so this goes through jax.config."""
+    jax.config.update("jax_platforms", platform)
+
+
 def set_dtype(dtype):
     global _dtype
     _dtype = np.dtype(dtype).type
