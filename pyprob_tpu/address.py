@@ -98,6 +98,11 @@ class AddressDictionary:
             return existing
         self._shelf.lock()
         try:
+            # re-check under the lock: another process may have assigned an
+            # id between the unlocked miss and lock acquisition
+            existing = self._shelf.get(key, None)
+            if existing is not None:
+                return existing
             length = self._shelf.get("__length", 0)
             new_id = "__A{}".format(length + 1)
             self._shelf["__length"] = length + 1

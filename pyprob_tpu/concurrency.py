@@ -34,6 +34,7 @@ class Shelf:
         d = os.path.dirname(os.path.abspath(file_name))
         os.makedirs(d, exist_ok=True)
         self._conn = sqlite3.connect(file_name, timeout=timeout)
+        self._in_transaction = False  # suppress per-write autocommit
         self._conn.execute(
             "CREATE TABLE IF NOT EXISTS shelf (key TEXT PRIMARY KEY, value BLOB)"
         )
@@ -62,11 +63,13 @@ class Shelf:
             "INSERT OR REPLACE INTO shelf (key, value) VALUES (?, ?)",
             (str(key), encode(value)),
         )
-        self._conn.commit()
+        if not self._in_transaction:
+            self._conn.commit()
 
     def __delitem__(self, key):
         self._conn.execute("DELETE FROM shelf WHERE key = ?", (str(key),))
-        self._conn.commit()
+        if not self._in_transaction:
+            self._conn.commit()
 
     def __contains__(self, key):
         row = self._conn.execute(
@@ -158,10 +161,14 @@ class ConcurrentShelf:
             )
 
         self._retry(_begin)
+        # suppress per-write autocommit so every write between lock() and
+        # unlock() lands in ONE transaction (the bulk-write contract)
+        self._shelf._in_transaction = True
         self._locked = True
 
     def unlock(self):
         if self._locked:
+            self._shelf._in_transaction = False
             self._shelf._conn.commit()
             self._locked = False
 

@@ -82,12 +82,35 @@ class Empirical(Distribution):
             self.add_metadata(
                 op="concat_files", files=list(concat_empirical_file_names)
             )
+            if file_name is not None:
+                # persist a concat descriptor so reopening file_name finds
+                # the chunk files (reference: empirical.py:89-96)
+                self._shelf = Shelf(file_name)
+                self._shelf["concat_files"] = list(concat_empirical_file_names)
+                self._shelf["name"] = name
+                self._shelf.sync()
             self.finalize()
             return
 
         if file_name is not None:
             self._type = EmpiricalType.FILE
             self._shelf = Shelf(file_name)
+            concat_files = self._shelf.get("concat_files")
+            if concat_files is not None:
+                # this file is a concat descriptor: reopen as CONCAT_FILE
+                self._shelf.close()
+                self._shelf = None
+                self._type = EmpiricalType.CONCAT_FILE
+                self._concat_empiricals = [
+                    Empirical(file_name=f, file_read_only=True)
+                    for f in concat_files
+                ]
+                self._concat_lengths = [
+                    e.length for e in self._concat_empiricals
+                ]
+                self.add_metadata(op="concat_files", files=list(concat_files))
+                self.finalize()
+                return
             self._length = self._shelf.get("num_values", 0)
             self._log_weights = list(self._shelf.get("log_weights", []))
             self._metadata = self._shelf.get("metadata", [])
@@ -228,6 +251,9 @@ class Empirical(Distribution):
                 self._sync_file_meta()
             self._shelf.close()
         if self._type == EmpiricalType.CONCAT_FILE:
+            if self._shelf is not None:  # concat descriptor file
+                self._shelf.close()
+                self._shelf = None
             for e in self._concat_empiricals:
                 e.close()
         self._closed = True
@@ -593,7 +619,6 @@ class Empirical(Distribution):
     def median(self):
         self._check_finalized()
         vals = self.values_numpy()
-        order = np.argsort(vals, axis=0, kind="stable")
         if vals.ndim > 1:
             order = np.argsort(vals.reshape(self._length, -1)[:, 0], kind="stable")
         else:

@@ -24,8 +24,14 @@ class Mixture(Distribution):
     def __init__(self, distributions, probs=None, logits=None):
         self._distributions = list(distributions)
         if probs is None and logits is None:
-            probs = np.ones(len(self._distributions), dtype=util.dtype()) / len(
-                self._distributions
+            # default equal weights broadcast over the components' common
+            # batch shape (a scalar mixing dist would misreport batch_shape)
+            batch_shape = np.broadcast_shapes(
+                *[d.batch_shape for d in self._distributions]
+            )
+            K = len(self._distributions)
+            probs = np.full(
+                tuple(batch_shape) + (K,), 1.0 / K, dtype=util.dtype()
             )
         self._mixing = Categorical(probs=probs, logits=logits)
         self._finish_init()

@@ -152,35 +152,33 @@ class ReplayHandler(VectorizedHandler):
 
 
 def _discover_structure(model, observe, engine, args, kwargs):
-    """Trace forward() once to learn the static site list and shapes."""
-
-    def single(key, obs):
-        outputs, handler = run_traced(
-            model,
-            key,
-            obs,
-            TraceMode.POSTERIOR,
-            engine,
-            args=args,
-            kwargs=kwargs,
-        )
-        return outputs
+    """Trace forward() once to learn the static site list and shapes.
+    Uses the shared jitted-run cache so repeated MCMC calls reuse the
+    compiled warm-start program."""
+    from ..vectorized import _get_jitted_run
 
     obs_arrays = {
         k: jnp.asarray(v, util.dtype()) for k, v in (observe or {}).items()
     }
-    sites_box = []
+    from ..util import PriorInflation
 
-    def probe(key, obs):
-        outputs, handler = run_traced(
-            model, key, obs, TraceMode.POSTERIOR, engine, args=args, kwargs=kwargs
-        )
-        if not sites_box:
-            sites_box.append(handler.sites)
-        return outputs
-
-    init_fn = jax.jit(jax.vmap(probe, in_axes=(0, None)))
+    init_fn, sites_box, _ = _get_jitted_run(
+        model,
+        TraceMode.POSTERIOR,
+        engine,
+        PriorInflation.DISABLED,
+        1.0,
+        args=args,
+        kwargs=kwargs,
+        obs_names=tuple((observe or {}).keys()),
+    )
     return init_fn, obs_arrays, sites_box
+
+
+# compiled chain programs, keyed so repeated posterior calls with the same
+# model/engine/observe-names/shape reuse the scan executable (observed
+# values are traced arguments, per the compiled-program invariants)
+_chain_fn_cache = {}
 
 
 def vectorized_mcmc_posterior(
@@ -276,59 +274,80 @@ def vectorized_mcmc_posterior(
 
     root_name = model.forward.__code__.co_name
 
-    def step(carry, step_key):
-        values, lps, obs_lp, result = carry
-        k_site, k_run, k_accept = jax.random.split(step_key, 3)
-        j = jax.random.randint(k_site, (), 0, K)
-        handler = ReplayHandler(
-            key=k_run,
-            observed=obs_arrays,
-            root_function_name=root_name,
-            engine=inference_engine,
-            current_values=values,
-            current_log_probs=lps,
-            perturb_index=j,
-        )
-        prev = state._set_handler(handler)
-        try:
-            cand_result = model.forward(*args, **kwargs)
-        finally:
-            state._set_handler(prev)
-        cand_values = {
-            s.address: v
-            for s, v in zip(handler.sites, handler.values)
-            if s.address in lps
-        }
-        cand_lps = {
-            s.address: lp
-            for s, lp in zip(handler.sites, handler.log_probs)
-            if s.address in lps
-        }
-        log_alpha = (
-            handler.reused_log_prob_diff
-            + handler.transition_term
-            + handler.log_prob_observed
-            - obs_lp
-        )
-        accept = jnp.log(
-            jax.random.uniform(k_accept, (), minval=1e-38)
-        ) < log_alpha
-        sel = lambda a, b: jax.tree_util.tree_map(
-            lambda x, y: jnp.where(accept, x, y), a, b
-        )
-        new_values = sel(cand_values, values)
-        new_lps = sel(cand_lps, lps)
-        new_obs = jnp.where(accept, handler.log_prob_observed, obs_lp)
-        new_result = sel(cand_result, result)
-        return (new_values, new_lps, new_obs, new_result), (new_result, accept)
+    def _build_chain_fn():
+        def chain(init_values, init_lps, init_obs, init_result, chain_key, obs):
+            def step(carry, step_key):
+                values, lps, obs_lp, result = carry
+                k_site, k_run, k_accept = jax.random.split(step_key, 3)
+                j = jax.random.randint(k_site, (), 0, K)
+                handler = ReplayHandler(
+                    key=k_run,
+                    observed=obs,
+                    root_function_name=root_name,
+                    engine=inference_engine,
+                    current_values=values,
+                    current_log_probs=lps,
+                    perturb_index=j,
+                )
+                prev = state._set_handler(handler)
+                try:
+                    cand_result = model.forward(*args, **kwargs)
+                finally:
+                    state._set_handler(prev)
+                cand_values = {
+                    s.address: v
+                    for s, v in zip(handler.sites, handler.values)
+                    if s.address in lps
+                }
+                cand_lps = {
+                    s.address: lp
+                    for s, lp in zip(handler.sites, handler.log_probs)
+                    if s.address in lps
+                }
+                log_alpha = (
+                    handler.reused_log_prob_diff
+                    + handler.transition_term
+                    + handler.log_prob_observed
+                    - obs_lp
+                )
+                accept = jnp.log(
+                    jax.random.uniform(k_accept, (), minval=1e-38)
+                ) < log_alpha
+                sel = lambda a, b: jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(accept, x, y), a, b
+                )
+                new_values = sel(cand_values, values)
+                new_lps = sel(cand_lps, lps)
+                new_obs = jnp.where(accept, handler.log_prob_observed, obs_lp)
+                new_result = sel(cand_result, result)
+                return (
+                    (new_values, new_lps, new_obs, new_result),
+                    (new_result, accept),
+                )
 
-    def chain(init_values, init_lps, init_obs, init_result, chain_key):
-        step_keys = jax.random.split(chain_key, num_steps)
-        carry = (init_values, init_lps, init_obs, init_result)
-        _, (results, accepts) = jax.lax.scan(step, carry, step_keys)
-        return results, accepts
+            step_keys = jax.random.split(chain_key, num_steps)
+            carry = (init_values, init_lps, init_obs, init_result)
+            _, (results, accepts) = jax.lax.scan(step, carry, step_keys)
+            return results, accepts
 
-    chain_fn = jax.jit(jax.vmap(chain))
+        # observed values are a traced (unbatched) argument: same compiled
+        # program serves any observation with these names/shapes
+        return jax.jit(jax.vmap(chain, in_axes=(0, 0, 0, 0, 0, None)))
+
+    chain_cache_key = (
+        id(model),
+        inference_engine,
+        K,
+        num_steps,
+        tuple(sorted((observe or {}).keys())),
+    )
+    cacheable = not args and not kwargs
+    if cacheable and chain_cache_key in _chain_fn_cache:
+        chain_fn = _chain_fn_cache[chain_cache_key]
+    else:
+        chain_fn = _build_chain_fn()
+        if cacheable:
+            _chain_fn_cache[chain_cache_key] = chain_fn
 
     # Importance-resampled warm start: the init pass drew each chain's
     # state from the prior and scored the observations, which is exactly an
@@ -428,7 +447,7 @@ def vectorized_mcmc_posterior(
         chain_keys = jax.device_put(chain_keys, shard)
 
     results, accepts = chain_fn(
-        init_values, init_lps, init_obs, init_result, chain_keys
+        init_values, init_lps, init_obs, init_result, chain_keys, obs_arrays
     )
     results = jax.device_get(results)  # [C, S, ...]
     accepts = np.asarray(jax.device_get(accepts))

@@ -757,10 +757,13 @@ class InferenceNetwork:
         """Online training with the single-dispatch fused step.  Returns
         True if it ran to completion, False to fall back to the generic
         loop (e.g. model not jax-traceable)."""
-        # first batch: materialized, for polymorph + one warmup step
+        # first batch: materialized, for polymorph + one warmup step;
+        # preserve loaded optimizer state unless the parameter structure
+        # changed (same guard as the generic loop)
         first = Batch(dataset.next_batch(batch_size))
-        self._polymorph(first)
-        self._create_optimizer()
+        layers_changed = self._polymorph(first)
+        if self._opt_state is None or layers_changed or self._update_fn is None:
+            self._create_optimizer()
         success, loss, grads = self._loss_and_grad(first)
         if success:
             lr = self._current_learning_rate()

@@ -477,8 +477,12 @@ def _get_jitted_run(
     proposal_step=None,
     args=(),
     kwargs=None,
+    obs_names=(),
 ):
     cacheable = not args and not kwargs
+    # obs_names is part of the key: a different observe name-set changes
+    # which sites are observed, so the captured static site list (and the
+    # compiled program) must be distinct
     cache_key = (
         id(model),
         trace_mode,
@@ -486,6 +490,7 @@ def _get_jitted_run(
         prior_inflation,
         likelihood_importance,
         id(proposal_step) if proposal_step is not None else None,
+        tuple(sorted(obs_names)),
     )
     if cacheable and cache_key in _jit_run_cache:
         return _jit_run_cache[cache_key]
@@ -562,6 +567,7 @@ def _run_batched(
         proposal_step=proposal_step,
         args=args,
         kwargs=kwargs,
+        obs_names=tuple((observed or {}).keys()),
     )
     obs_arrays = {
         k: jnp.asarray(v, util.dtype()) for k, v in (observed or {}).items()
@@ -629,13 +635,21 @@ def vectorized_traces(
         jax.errors.TracerBoolConversionError,
         jax.errors.TracerIntegerConversionError,
         NotImplementedError,
-        TypeError,
     ) as e:
         util.log_print(
             f"[pyprob_tpu] model {model.name!r} is not jax-traceable "
             f"({type(e).__name__}); falling back to the interpreter tier."
         )
         _TraceabilityCache.mark(model, False)
+        return None
+    except TypeError as e:
+        # likely a bad input (e.g. a non-numeric observed value) rather
+        # than inherent untraceability — fall back THIS call only, don't
+        # poison the model class
+        util.log_print(
+            f"[pyprob_tpu] compiled tier failed with TypeError ({e}); "
+            f"falling back to the interpreter tier for this call."
+        )
         return None
     _TraceabilityCache.mark(model, True)
 
