@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PYPROB_CPU_IC_TRACES_PER_S = 188.6  # measured, BASELINE.md
 PYPROB_CPU_IC_ESS_FRACTION = 0.238
 
-NUM_TRAIN_TRACES = 25600
+NUM_TRAIN_TRACES = 12800
 NUM_POSTERIOR_TRACES = 100000
 
 
