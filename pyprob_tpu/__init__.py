@@ -26,7 +26,7 @@ from .util import (
 )
 from .state import sample, observe, factor, tag
 from .address import AddressDictionary
-from .model import Model, RemoteModel, ConditionalModel, ParallelModel
+from .model import Model, RemoteModel, RemoteModelPool, ConditionalModel, ParallelModel
 from . import distributions
 from . import util
 from . import diagnostics
@@ -50,6 +50,7 @@ __all__ = [
     "AddressDictionary",
     "Model",
     "RemoteModel",
+    "RemoteModelPool",
     "ConditionalModel",
     "ParallelModel",
     "distributions",

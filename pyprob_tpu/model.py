@@ -684,6 +684,88 @@ class RemoteModel(Model):
         return ret
 
 
+class RemoteModelPool(Model):
+    """Drive a pool of PPX simulators concurrently from one engine.
+
+    Each worker thread owns one simulator connection and an isolated
+    interpreter context (trace state is thread-local), so simulator compute
+    and wire latency overlap across the pool.  The reference cannot do this
+    (its ParallelModel refuses remote models and its trace state is module
+    globals, reference: model.py:332-333, state.py:13-27).  MCMC engines
+    are rejected (sequential-chain semantics, as in ParallelModel).
+    """
+
+    _never_vectorize = True
+
+    def __init__(self, server_addresses, timeout_sec=None, *args, **kwargs):
+        self._server_addresses = list(server_addresses)
+        self._timeout_sec = timeout_sec
+        super().__init__(*args, **kwargs)
+        self.name = f"RemoteModelPool({len(self._server_addresses)} simulators)"
+
+    def posterior(self, *args, **kwargs):
+        engine = kwargs.get("inference_engine", None)
+        if engine in (
+            InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+            InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+        ):
+            raise ValueError(f"{engine} not supported by RemoteModelPool")
+        return Model.posterior(self, *args, **kwargs)
+
+    def _traces(self, num_traces=10, file_name=None, silent=False, map_func=None, **kwargs):
+        import threading
+
+        from . import state as state_module
+
+        k = len(self._server_addresses)
+        per = num_traces // k
+        counts = [per + (1 if i < num_traces - per * k else 0) for i in range(k)]
+        results = [None] * k
+        errors = []
+        base_seed = int(time.time() * 1000) % (2**31)
+
+        def worker(i):
+            try:
+                # isolated per-thread RNG stream (trace state is already
+                # thread-local via state._ctx)
+                state_module._ctx.rng = np.random.default_rng(base_seed + i)
+                model = RemoteModel(
+                    self._server_addresses[i], timeout_sec=self._timeout_sec
+                )
+                try:
+                    results[i] = model._traces(
+                        num_traces=counts[i],
+                        silent=True,
+                        map_func=map_func,
+                        **kwargs,
+                    )
+                finally:
+                    model.close()
+            except Exception as e:  # surfaced after join
+                errors.append((i, e))
+
+        threads = [
+            threading.Thread(target=worker, args=(i,), daemon=True)
+            for i in range(k)
+        ]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise RuntimeError(f"RemoteModelPool worker failures: {errors}")
+        merged = Empirical(concat_empiricals=results)
+        out = merged.copy(file_name=file_name)
+        if not silent and util.verbosity() > 1:
+            dt = time.time() - t0
+            util.log_print(
+                f"[pool] {num_traces:,} traces over {k} simulators in "
+                f"{dt:.2f}s ({num_traces / max(dt, 1e-9):,.1f} traces/s)"
+            )
+        return out
+
+
 class ConditionalModel(Model):
     """Hard rejection conditioning on a trace criterion
     (reference: pyprob/model.py:270-298).  Interpreter tier only (the

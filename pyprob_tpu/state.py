@@ -21,6 +21,7 @@ same entry points during ``jax.vmap`` tracing.
 from __future__ import annotations
 
 import math
+import threading
 import time
 import warnings
 
@@ -49,20 +50,53 @@ class _Context:
         self.metropolis_hastings_site_address = None
         self.metropolis_hastings_site_transition_log_prob = 0
         self.address_dictionary = None
+        self.rng = None  # per-context host RNG (None -> the global one)
 
 
-_ctx = _Context()
+class _ContextLocal(threading.local):
+    """One interpreter context per thread: concurrent trace executions
+    (e.g. a pool of remote simulators, model.pool()) each get isolated
+    trace state — the reference's module globals (reference: state.py:13-27)
+    forbid this."""
+
+    def __init__(self):
+        self.value = _Context()
+
+
+_ctx_local = _ContextLocal()
+
+
+class _CtxProxy:
+    """Attribute proxy so the module body can keep saying ``_ctx.field``."""
+
+    def __getattr__(self, name):
+        return getattr(_ctx_local.value, name)
+
+    def __setattr__(self, name, value):
+        setattr(_ctx_local.value, name, value)
+
+
+_ctx = _CtxProxy()
+
+
+def _get_rng():
+    return _ctx.rng if _ctx.rng is not None else util.get_rng()
+
 
 # Handler installed by the compiled (vmap) tier; when set, sample/observe/
-# factor/tag delegate to it instead of the interpreter context.
-_handler = None
+# factor/tag delegate to it instead of the interpreter context.  Tracing is
+# single-threaded per handler, but pools may trace in parallel threads.
+_handler_local = threading.local()
 
 
 def _set_handler(handler):
-    global _handler
-    prev = _handler
-    _handler = handler
+    prev = getattr(_handler_local, "value", None)
+    _handler_local.value = handler
     return prev
+
+
+def _get_handler():
+    return getattr(_handler_local, "value", None)
 
 
 def _inflate(distribution):
@@ -93,8 +127,9 @@ def _build_address(address, distribution, trace):
 
 
 def tag(value, name=None, address=None):
-    if _handler is not None:
-        return _handler.tag(value, name=name, address=address)
+    handler = _get_handler()
+    if handler is not None:
+        return handler.tag(value, name=name, address=address)
     trace = _ctx.current_trace
     if trace is None:
         return
@@ -125,8 +160,9 @@ def factor(log_prob=None, log_prob_func=None, name=None, address=None):
 
 
 def observe(distribution, value=None, name=None, address=None):
-    if _handler is not None:
-        return _handler.observe(distribution, value=value, name=name, address=address)
+    handler = _get_handler()
+    if handler is not None:
+        return handler.observe(distribution, value=value, name=name, address=address)
     trace = _ctx.current_trace
     if trace is None:
         return
@@ -143,7 +179,7 @@ def observe(distribution, value=None, name=None, address=None):
         _ctx.trace_mode == TraceMode.PRIOR_FOR_INFERENCE_NETWORK
         and distribution is not None
     ):
-        value = distribution.sample(util.get_rng())
+        value = distribution.sample(_get_rng())
     else:
         value = None
 
@@ -191,15 +227,16 @@ def _needs_host(distribution):
 
 
 def sample(distribution, name=None, address=None, control=True):
-    if _handler is not None:
-        return _handler.sample(
+    handler = _get_handler()
+    if handler is not None:
+        return handler.sample(
             distribution, name=name, address=address, control=control
         )
     trace = _ctx.current_trace
     if trace is None:
-        return distribution.sample(util.get_rng())
+        return distribution.sample(_get_rng())
     distribution = distribution.to_numpy() if _needs_host(distribution) else distribution
-    rng = util.get_rng()
+    rng = _get_rng()
 
     # MCMC engines control every sample site (reference: state.py:165-166)
     if _ctx.inference_engine in (
@@ -454,7 +491,7 @@ def _init_traces(
         _ctx.metropolis_hastings_trace = metropolis_hastings_trace
         _ctx.metropolis_hastings_site_transition_log_prob = None
         if metropolis_hastings_trace is not None:
-            rng = util.get_rng()
+            rng = _get_rng()
             variables = metropolis_hastings_trace.variables_controlled
             variable = variables[int(rng.integers(len(variables)))]
             _ctx.metropolis_hastings_site_address = variable.address
