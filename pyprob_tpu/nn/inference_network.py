@@ -300,6 +300,46 @@ class InferenceNetwork:
         )
         return packed
 
+    def _distributed_sync_parameters(self):
+        """Broadcast process-0 parameters (and optimizer state) to all
+        ranks — the reference's rank-0 broadcast
+        (reference: inference_network.py:290-294).  No-op off-mesh or
+        single-process."""
+        if self._dp_num_processes() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        self._params = multihost_utils.broadcast_one_to_all(self._params)
+        if self._opt_state is not None:
+            self._opt_state = multihost_utils.broadcast_one_to_all(
+                self._opt_state
+            )
+
+    def _dp_num_processes(self):
+        if self._dp_mesh is None:
+            return 1
+        return len({d.process_index for d in self._dp_mesh.devices.flat})
+
+    def _globalize_packed(self, packed):
+        """Multi-process meshes: each process contributes its local batch
+        rows to one global sharded array (every rank generates independent
+        traces, so the global batch is their concatenation)."""
+        nprocs = self._dp_num_processes()
+        if nprocs <= 1:
+            return packed
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self._dp_mesh, P("dp"))
+
+        def conv(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * nprocs,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
+
+        return jax.tree_util.tree_map(conv, packed)
+
     def _make_dp_loss_grad(self, loss_fn):
         """Data-parallel loss+grad: rows shard over the 'dp' mesh axis,
         loss and grads psum back — the TPU-native replacement for the
@@ -435,8 +475,10 @@ class InferenceNetwork:
             packed = batch.packed
             if self._dp_mesh is not None:
                 ndev = self._dp_mesh.size
+                nprocs = self._dp_num_processes()
                 target = ((batch.size + ndev - 1) // ndev) * ndev
                 packed = self._pad_packed(packed, target)
+                packed = self._globalize_packed(packed)
                 dp_key = ("dp",) + key
                 if dp_key not in self._loss_grad_cache:
                     self._loss_grad_cache[dp_key] = self._make_dp_loss_grad(
@@ -445,14 +487,16 @@ class InferenceNetwork:
                 loss, grads = self._loss_grad_cache[dp_key](
                     self._params, packed
                 )
+                norm = batch.size * nprocs  # psum spans all ranks' rows
             else:
                 if key not in self._loss_grad_cache:
                     self._loss_grad_cache[key] = jax.jit(
                         jax.value_and_grad(loss_fn)
                     )
                 loss, grads = self._loss_grad_cache[key](self._params, packed)
-            loss_value = float(loss) / batch.size
-            grads = jax.tree_util.tree_map(lambda g: g / batch.size, grads)
+                norm = batch.size
+            loss_value = float(loss) / norm
+            grads = jax.tree_util.tree_map(lambda g: g / norm, grads)
             success = not (
                 math.isnan(loss_value) or math.isinf(loss_value)
             )
@@ -469,6 +513,7 @@ class InferenceNetwork:
                 ndev = self._dp_mesh.size
                 target = ((len(sub_batch) + ndev - 1) // ndev) * ndev
                 packed = self._pad_packed(packed, target)
+                packed = self._globalize_packed(packed)
                 dp_key = ("dp",) + key
                 if dp_key not in self._loss_grad_cache:
                     self._loss_grad_cache[dp_key] = self._make_dp_loss_grad(
@@ -1073,6 +1118,15 @@ class InferenceNetwork:
                     layers_changed = self._polymorph(batch)
                 if self._opt_state is None or layers_changed or self._update_fn is None:
                     self._create_optimizer()
+                # rank-0 parameter broadcast at start and every
+                # distributed_params_sync_every_iter iterations
+                # (reference: inference_network.py:473-474)
+                if (
+                    self._total_train_iterations
+                    % distributed_params_sync_every_iter
+                    == 0
+                ):
+                    self._distributed_sync_parameters()
 
                 success, loss, grads = self._loss_and_grad(batch)
                 if not success:
