@@ -703,14 +703,33 @@ class RemoteModelPool(Model):
         super().__init__(*args, **kwargs)
         self.name = f"RemoteModelPool({len(self._server_addresses)} simulators)"
 
-    def posterior(self, *args, **kwargs):
-        engine = kwargs.get("inference_engine", None)
-        if engine in (
+    def posterior(
+        self,
+        num_traces=10,
+        inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+        *args,
+        **kwargs,
+    ):
+        if inference_engine in (
             InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
             InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
         ):
-            raise ValueError(f"{engine} not supported by RemoteModelPool")
-        return Model.posterior(self, *args, **kwargs)
+            raise ValueError(
+                f"{inference_engine} not supported by RemoteModelPool "
+                "(sequential chain semantics)"
+            )
+        if (
+            inference_engine
+            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        ):
+            raise ValueError(
+                "IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK not yet supported "
+                "by RemoteModelPool: the proposal network's per-trace state "
+                "is not thread-isolated. Use a single RemoteModel."
+            )
+        return Model.posterior(
+            self, num_traces, inference_engine=inference_engine, *args, **kwargs
+        )
 
     def _traces(self, num_traces=10, file_name=None, silent=False, map_func=None, **kwargs):
         import threading
@@ -722,7 +741,7 @@ class RemoteModelPool(Model):
         counts = [per + (1 if i < num_traces - per * k else 0) for i in range(k)]
         results = [None] * k
         errors = []
-        base_seed = int(time.time() * 1000) % (2**31)
+        base_seed = int(util.get_rng().integers(2**31))
 
         def worker(i):
             try:
@@ -837,8 +856,13 @@ class ParallelModel(Model):
     def __repr__(self):
         return f"ParallelModel({self._base_model})"
 
-    def posterior(self, *args, **kwargs):
-        inference_engine = kwargs.get("inference_engine", None)
+    def posterior(
+        self,
+        num_traces=10,
+        inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+        *args,
+        **kwargs,
+    ):
         if inference_engine in (
             InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
             InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
@@ -846,7 +870,9 @@ class ParallelModel(Model):
             raise ValueError(
                 f"{inference_engine} currently not supported by ParallelModel"
             )
-        return Model.posterior(self, *args, **kwargs)
+        return Model.posterior(
+            self, num_traces, inference_engine=inference_engine, *args, **kwargs
+        )
 
     def _trace_generator(self, *args, **kwargs):
         return self._base_model._trace_generator(*args, **kwargs)

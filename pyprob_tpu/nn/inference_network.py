@@ -332,6 +332,11 @@ class InferenceNetwork:
         sharding = NamedSharding(self._dp_mesh, P("dp"))
 
         def conv(x):
+            # NOTE: np.asarray pulls device-resident batches to the host
+            # before reassembly; on real multi-host TPU, assembling from
+            # the already-local device shards
+            # (jax.make_array_from_single_device_arrays) would avoid the
+            # per-step transfer (STATUS.md known gaps)
             x = np.asarray(x)
             global_shape = (x.shape[0] * nprocs,) + x.shape[1:]
             return jax.make_array_from_process_local_data(
@@ -504,6 +509,14 @@ class InferenceNetwork:
                 self._bump_head_iterations(batch.addrs)
             return success, loss_value, grads
 
+        nprocs = self._dp_num_processes()
+        if nprocs > 1 and len(batch.sub_batches) > 1:
+            raise RuntimeError(
+                "Multi-process data-parallel training requires a single "
+                "trace type per batch (fixed-structure model): each rank "
+                "must execute the same collective sequence. Use a "
+                "fixed-structure model or single-process training."
+            )
         total_loss = 0.0
         total_grads = None
         for sub_batch in batch.sub_batches:
@@ -542,10 +555,9 @@ class InferenceNetwork:
                 total_grads = jax.tree_util.tree_map(
                     lambda a, b: a + b, total_grads, grads
                 )
-        loss_value = float(total_loss) / batch.size
-        grads = jax.tree_util.tree_map(
-            lambda g: g / batch.size, total_grads
-        )
+        norm = batch.size * (nprocs if self._dp_mesh is not None else 1)
+        loss_value = float(total_loss) / norm
+        grads = jax.tree_util.tree_map(lambda g: g / norm, total_grads)
         success = not (math.isnan(loss_value) or math.isinf(loss_value))
         if success:
             for sub_batch in batch.sub_batches:
@@ -1065,6 +1077,7 @@ class InferenceNetwork:
         epoch = 0
         trace_count = 0
         stop = False
+        did_initial_param_sync = False
         last_auto_save_time = time_start - (save_every_sec or 0)
         last_print = time_start - util._print_refresh_rate
         log_file = None
@@ -1122,11 +1135,13 @@ class InferenceNetwork:
                 # distributed_params_sync_every_iter iterations
                 # (reference: inference_network.py:473-474)
                 if (
-                    self._total_train_iterations
+                    not did_initial_param_sync
+                    or self._total_train_iterations
                     % distributed_params_sync_every_iter
                     == 0
                 ):
                     self._distributed_sync_parameters()
+                    did_initial_param_sync = True
 
                 success, loss, grads = self._loss_and_grad(batch)
                 if not success:

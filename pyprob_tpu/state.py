@@ -112,16 +112,17 @@ def _inflate(distribution):
 
 
 def _build_address(address, distribution, trace):
+    ctx = _ctx_local.value  # bind once: hot path
     if address is None:
         address_base = (
-            extract_address(_ctx.root_function_name)
+            extract_address(ctx.root_function_name)
             + "__"
             + distribution.address_suffix
         )
     else:
         address_base = address + "__" + distribution.address_suffix
-    if _ctx.address_dictionary is not None:
-        address_base = _ctx.address_dictionary.address_to_id(address_base)
+    if ctx.address_dictionary is not None:
+        address_base = ctx.address_dictionary.address_to_id(address_base)
     instance = trace.last_instance(address_base) + 1
     return address_base, address_base + "__" + str(instance), instance
 
@@ -160,10 +161,11 @@ def factor(log_prob=None, log_prob_func=None, name=None, address=None):
 
 
 def observe(distribution, value=None, name=None, address=None):
+    ctx = _ctx_local.value  # bind once: hot path
     handler = _get_handler()
     if handler is not None:
         return handler.observe(distribution, value=value, name=name, address=address)
-    trace = _ctx.current_trace
+    trace = ctx.current_trace
     if trace is None:
         return
     distribution = distribution.to_numpy() if _needs_host(distribution) else distribution
@@ -171,12 +173,12 @@ def observe(distribution, value=None, name=None, address=None):
         address, distribution, trace
     )
 
-    if name in _ctx.observed_variables:
-        value = _ctx.observed_variables[name]
+    if name in ctx.observed_variables:
+        value = ctx.observed_variables[name]
     elif value is not None:
         pass
     elif (
-        _ctx.trace_mode == TraceMode.PRIOR_FOR_INFERENCE_NETWORK
+        ctx.trace_mode == TraceMode.PRIOR_FOR_INFERENCE_NETWORK
         and distribution is not None
     ):
         value = distribution.sample(_get_rng())
@@ -191,8 +193,8 @@ def observe(distribution, value=None, name=None, address=None):
         observed = True
         if value is not None:
             value = util.to_array(value)
-        log_prob = _ctx.likelihood_importance * distribution.log_prob(value, sum=True)
-        if _ctx.inference_engine in (
+        log_prob = ctx.likelihood_importance * distribution.log_prob(value, sum=True)
+        if ctx.inference_engine in (
             InferenceEngine.IMPORTANCE_SAMPLING,
             InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
         ):
@@ -227,19 +229,20 @@ def _needs_host(distribution):
 
 
 def sample(distribution, name=None, address=None, control=True):
+    ctx = _ctx_local.value  # bind once: hot path
     handler = _get_handler()
     if handler is not None:
         return handler.sample(
             distribution, name=name, address=address, control=control
         )
-    trace = _ctx.current_trace
+    trace = ctx.current_trace
     if trace is None:
         return distribution.sample(_get_rng())
     distribution = distribution.to_numpy() if _needs_host(distribution) else distribution
     rng = _get_rng()
 
     # MCMC engines control every sample site (reference: state.py:165-166)
-    if _ctx.inference_engine in (
+    if ctx.inference_engine in (
         InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
         InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
     ):
@@ -249,11 +252,11 @@ def sample(distribution, name=None, address=None, control=True):
         address, distribution, trace
     )
 
-    if name in _ctx.observed_variables:
+    if name in ctx.observed_variables:
         # Sample site overridden by a named observation
-        value = util.to_array(_ctx.observed_variables[name])
-        log_prob = _ctx.likelihood_importance * distribution.log_prob(value, sum=True)
-        if _ctx.inference_engine in (
+        value = util.to_array(ctx.observed_variables[name])
+        log_prob = ctx.likelihood_importance * distribution.log_prob(value, sum=True)
+        if ctx.inference_engine in (
             InferenceEngine.IMPORTANCE_SAMPLING,
             InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
         ):
@@ -276,8 +279,8 @@ def sample(distribution, name=None, address=None, control=True):
 
     reused = False
     observed = False
-    if _ctx.trace_mode == TraceMode.POSTERIOR:
-        engine = _ctx.inference_engine
+    if ctx.trace_mode == TraceMode.POSTERIOR:
+        engine = ctx.inference_engine
         if engine == InferenceEngine.IMPORTANCE_SAMPLING:
             value, log_prob, log_importance_weight = _sample_from_prior(
                 distribution, rng
@@ -294,8 +297,8 @@ def sample(distribution, name=None, address=None, control=True):
                     control=True,
                     name=name,
                 )
-                proposal = _ctx.inference_network._infer_step(
-                    stub, prev_variable=_ctx.previous_variable
+                proposal = ctx.inference_network._infer_step(
+                    stub, prev_variable=ctx.previous_variable
                 )
                 value = proposal.sample(rng)
                 value = np.asarray(value).reshape(distribution.batch_shape or ())
@@ -321,7 +324,7 @@ def sample(distribution, name=None, address=None, control=True):
                     control=control,
                     name=name,
                 )
-                _ctx.previous_variable = variable
+                ctx.previous_variable = variable
                 trace.add(variable)
                 return variable.value
             else:
@@ -330,11 +333,11 @@ def sample(distribution, name=None, address=None, control=True):
                 log_importance_weight = None
         else:  # LMH / RMH
             log_importance_weight = None
-            mh_trace = _ctx.metropolis_hastings_trace
+            mh_trace = ctx.metropolis_hastings_trace
             if mh_trace is None:
                 value = distribution.sample(rng)
                 log_prob = distribution.log_prob(value, sum=True)
-            elif full_address == _ctx.metropolis_hastings_site_address:
+            elif full_address == ctx.metropolis_hastings_site_address:
                 value, log_prob = _mh_site_resample(distribution, rng, full_address)
             elif full_address not in mh_trace.variables_dict_address:
                 value = distribution.sample(rng)

@@ -28,7 +28,6 @@ jax.distributed.initialize(
 import numpy as np
 import pyprob_tpu as pp
 from pyprob_tpu.models import GaussianUnknownMean
-from pyprob_tpu.parallel.distributed import global_mesh
 
 pp.set_verbosity(0)
 pp.seed(100 + pid)  # independent per-rank data streams
