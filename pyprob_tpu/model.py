@@ -692,7 +692,10 @@ class RemoteModelPool(Model):
     and wire latency overlap across the pool.  The reference cannot do this
     (its ParallelModel refuses remote models and its trace state is module
     globals, reference: model.py:332-333, state.py:13-27).  MCMC engines
-    are rejected (sequential-chain semantics, as in ParallelModel).
+    are rejected (sequential-chain semantics, as in ParallelModel).  The
+    IC engine works across the pool: proposal-network per-trace state
+    (observe embedding, LSTM carry) is thread-local on the network, so K
+    workers run guided traces against the shared parameters concurrently.
     """
 
     _never_vectorize = True
@@ -717,15 +720,6 @@ class RemoteModelPool(Model):
             raise ValueError(
                 f"{inference_engine} not supported by RemoteModelPool "
                 "(sequential chain semantics)"
-            )
-        if (
-            inference_engine
-            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
-        ):
-            raise ValueError(
-                "IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK not yet supported "
-                "by RemoteModelPool: the proposal network's per-trace state "
-                "is not thread-isolated. Use a single RemoteModel."
             )
         return Model.posterior(
             self, num_traces, inference_engine=inference_engine, *args, **kwargs

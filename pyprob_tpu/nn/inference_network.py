@@ -75,8 +75,11 @@ class InferenceNetwork:
         self._layers_initialized = False
         self._layers_pre_generated = False
         self._head_train_iterations = {}  # address -> int
-        self._infer_observe = None
-        self._infer_observe_embedding = None
+        # per-trace inference state is thread-local so concurrent workers
+        # (RemoteModelPool) can run guided traces independently
+        import threading as _threading
+
+        self._infer_tls = _threading.local()
 
         self._optimizer_type = None
         self._opt_state = None
@@ -201,6 +204,22 @@ class InferenceNetwork:
                 )
             )
         return obs
+
+    @property
+    def _infer_observe(self):
+        return getattr(self._infer_tls, "observe", None)
+
+    @_infer_observe.setter
+    def _infer_observe(self, v):
+        self._infer_tls.observe = v
+
+    @property
+    def _infer_observe_embedding(self):
+        return getattr(self._infer_tls, "observe_embedding", None)
+
+    @_infer_observe_embedding.setter
+    def _infer_observe_embedding(self, v):
+        self._infer_tls.observe_embedding = v
 
     def _infer_init(self, observe=None):
         self._infer_observe = observe

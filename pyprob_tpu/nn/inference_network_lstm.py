@@ -63,8 +63,14 @@ class InferenceNetworkLSTM(InferenceNetwork):
         self._address_embedding_dim = address_embedding_dim
         self._distribution_type_embedding_dim = distribution_type_embedding_dim
         self._proposal_mixture_components = proposal_mixture_components
-        self._infer_lstm_state = None
-        self._infer_prev_variable = None
+
+    @property
+    def _infer_lstm_state(self):
+        return getattr(self._infer_tls, "lstm_state", None)
+
+    @_infer_lstm_state.setter
+    def _infer_lstm_state(self, v):
+        self._infer_tls.lstm_state = v
 
     def _subclass_state(self):
         return {
@@ -89,8 +95,6 @@ class InferenceNetworkLSTM(InferenceNetwork):
             "distribution_type_embedding_dim"
         ]
         self._proposal_mixture_components = state["proposal_mixture_components"]
-        self._infer_lstm_state = None
-        self._infer_prev_variable = None
 
     def _init_layers(self):
         """(reference: inference_network_lstm.py:29-32)"""
@@ -287,7 +291,6 @@ class InferenceNetworkLSTM(InferenceNetwork):
     # ------------------------------------------------------------------
     def _infer_begin_trace(self):
         self._infer_lstm_state = None
-        self._infer_prev_variable = None
 
     def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
         address = variable.address
