@@ -27,6 +27,7 @@ from .util import (
 from .state import sample, observe, factor, tag
 from .address import AddressDictionary
 from .model import Model, RemoteModel, RemoteModelPool, ConditionalModel, ParallelModel
+from .remote_lockstep import LockstepRemoteModel
 from . import distributions
 from . import util
 from . import diagnostics
@@ -51,6 +52,7 @@ __all__ = [
     "Model",
     "RemoteModel",
     "RemoteModelPool",
+    "LockstepRemoteModel",
     "ConditionalModel",
     "ParallelModel",
     "distributions",

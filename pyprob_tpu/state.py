@@ -83,6 +83,17 @@ def _get_rng():
     return _ctx.rng if _ctx.rng is not None else util.get_rng()
 
 
+def _swap_context(ctx):
+    """Install ``ctx`` as the current thread's interpreter context and
+    return the previous one.  Lets a single-threaded event loop interleave
+    many trace executions (pyprob_tpu.remote_lockstep drives K simulators
+    this way); the reference's module-global trace state cannot
+    (reference: state.py:13-27)."""
+    prev = _ctx_local.value
+    _ctx_local.value = ctx
+    return prev
+
+
 # Handler installed by the compiled (vmap) tier; when set, sample/observe/
 # factor/tag delegate to it instead of the interpreter context.  Tracing is
 # single-threaded per handler, but pools may trace in parallel threads.
