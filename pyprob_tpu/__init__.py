@@ -28,6 +28,7 @@ from .state import sample, observe, factor, tag
 from .address import AddressDictionary
 from .model import Model, RemoteModel, RemoteModelPool, ConditionalModel, ParallelModel
 from .remote_lockstep import LockstepRemoteModel
+from .inference import ChainState
 from . import distributions
 from . import util
 from . import diagnostics
@@ -53,6 +54,7 @@ __all__ = [
     "RemoteModel",
     "RemoteModelPool",
     "LockstepRemoteModel",
+    "ChainState",
     "ConditionalModel",
     "ParallelModel",
     "distributions",

@@ -38,6 +38,73 @@ from ..trace import Variable, Trace
 _RMH_ALPHA = 0.5
 
 
+class ChainState:
+    """Complete per-chain state of a vectorized MCMC run: every chain's
+    current values, per-site log-probs, observed log-likelihood, and result.
+
+    Returned on the posterior Empirical as ``.final_chain_state`` and
+    accepted back via ``posterior(initial_trace=chain_state)``, so a C-chain
+    run resumes every chain independently — the reference can only resume
+    its one sequential chain via ``initial_trace=posterior[-1]``
+    (reference: pyprob/model.py:122-127).  If the observation changed
+    between runs, all chains are rescored by one replay pass before
+    stepping."""
+
+    def __init__(
+        self,
+        values,
+        log_probs,
+        log_prob_observed,
+        result,
+        inference_engine,
+        observe_fingerprint,
+    ):
+        self.values = values  # {address: np [C, ...]}
+        self.log_probs = log_probs  # {address: np [C]}
+        self.log_prob_observed = log_prob_observed  # np [C]
+        self.result = result  # pytree of np [C, ...]
+        self.inference_engine = inference_engine
+        self.observe_fingerprint = observe_fingerprint
+
+    @property
+    def num_chains(self):
+        return int(np.asarray(self.log_prob_observed).shape[0])
+
+    def save(self, file_name):
+        import pickle
+
+        with open(file_name, "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def load(file_name):
+        import pickle
+
+        with open(file_name, "rb") as f:
+            state_obj = pickle.load(f)
+        if not isinstance(state_obj, ChainState):
+            raise TypeError(
+                f"{file_name} does not contain a ChainState "
+                f"(got {type(state_obj).__name__})"
+            )
+        return state_obj
+
+    def __repr__(self):
+        return (
+            f"ChainState(num_chains={self.num_chains}, "
+            f"addresses={list(self.values.keys())})"
+        )
+
+
+def _observe_fingerprint(observe):
+    return tuple(
+        sorted(
+            (k, np.asarray(v, np.float64).tobytes())
+            for k, v in (observe or {}).items()
+        )
+    )
+
+
 def _rmh_kernel(distribution, x):
     if isinstance(distribution, Normal):
         return Normal(x, distribution.stddev)
@@ -208,14 +275,22 @@ def vectorized_mcmc_posterior(
     if _TraceabilityCache.known_untraceable(model):
         return None
     kwargs = kwargs or {}
+    resume_state = (
+        initial_trace if isinstance(initial_trace, ChainState) else None
+    )
+    if resume_state is not None:
+        initial_trace = None
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel import data_parallel_mesh
 
         mesh = data_parallel_mesh()
     if num_chains is None:
-        # enough chains to fill the chip, but >= ~256 steps per chain so
-        # each chain actually burns in and mixes
-        num_chains = int(min(max(1, num_traces // 256), 1024))
+        if resume_state is not None:
+            num_chains = resume_state.num_chains
+        else:
+            # enough chains to fill the chip, but >= ~256 steps per chain so
+            # each chain actually burns in and mixes
+            num_chains = int(min(max(1, num_traces // 256), 1024))
     if mesh is not None:
         from ..parallel import pad_to_multiple
 
@@ -228,9 +303,13 @@ def vectorized_mcmc_posterior(
     # the post-burn count is not eaten by warmup
     transitions_per_chain = max(1, -(-num_traces // num_chains))
     if burn_in is None:
-        # chains are warm-started from importance-resampled prior draws
-        # (approximate posterior samples), so only a short burn-in is needed
-        burn_in = max(8, transitions_per_chain // 10)
+        if resume_state is not None:
+            # resumed chains are already at posterior states
+            burn_in = 0
+        else:
+            # chains are warm-started from importance-resampled prior draws
+            # (approximate posterior samples), so only short burn-in needed
+            burn_in = max(8, transitions_per_chain // 10)
     num_steps = transitions_per_chain + burn_in
     t0 = time.time()
 
@@ -238,8 +317,13 @@ def vectorized_mcmc_posterior(
         model, observe, inference_engine, args, kwargs
     )
     # Warm-start pool: much larger than the chain count so the resampled
-    # initial states are diverse approximate posterior draws.
-    init_pool = int(max(num_chains, min(16384, 64 * num_chains)))
+    # initial states are diverse approximate posterior draws.  On resume the
+    # init pass is only needed to discover the site structure, so one row
+    # per chain suffices.
+    if resume_state is not None:
+        init_pool = num_chains
+    else:
+        init_pool = int(max(num_chains, min(16384, 64 * num_chains)))
     try:
         init_keys = util.next_keys(init_pool)
         init_out = init_fn(init_keys, obs_arrays)
@@ -327,8 +411,8 @@ def vectorized_mcmc_posterior(
 
             step_keys = jax.random.split(chain_key, num_steps)
             carry = (init_values, init_lps, init_obs, init_result)
-            _, (results, accepts) = jax.lax.scan(step, carry, step_keys)
-            return results, accepts
+            final, (results, accepts) = jax.lax.scan(step, carry, step_keys)
+            return results, accepts, final
 
         # observed values are a traced (unbatched) argument: same compiled
         # program serves any observation with these names/shapes
@@ -349,54 +433,92 @@ def vectorized_mcmc_posterior(
         if cacheable:
             _chain_fn_cache[chain_cache_key] = chain_fn
 
-    # Importance-resampled warm start: the init pass drew each chain's
-    # state from the prior and scored the observations, which is exactly an
-    # IS run with prior proposals — resampling chains by those weights
-    # initializes every chain with an approximate posterior draw (a
-    # capability the batch tier makes free; no reference counterpart).
-    init_log_w = np.asarray(init_out["log_prob_observed"], dtype=np.float64)
-    probs = util.log_weights_to_probs(init_log_w)
-    resample_idx = util.get_rng().choice(init_pool, size=num_chains, p=probs)
-
-    # chain resume: an initial_trace (e.g. posterior[-1] from a previous
-    # run, reference: model.py:122-127) seeds every chain's state with its
-    # values; the warm-start pool is bypassed for addresses it covers
-    initial_values = {}
-    if initial_trace is not None:
-        if not hasattr(initial_trace, "variables_dict_address"):
-            raise TypeError(
-                "initial_trace must be a Trace (e.g. from an interpreter-tier "
-                "posterior, or posterior(..., map_func=None)); vectorized MCMC "
-                f"results store values, got {type(initial_trace).__name__}."
+    observe_fp = _observe_fingerprint(observe)
+    need_rescore = False
+    if resume_state is not None:
+        # per-chain resume: every chain continues from its own final state
+        # (ChainState from a previous run's .final_chain_state)
+        missing = [
+            a for a in controlled_addresses if a not in resume_state.values
+        ]
+        if missing:
+            raise ValueError(
+                f"ChainState does not cover controlled addresses {missing}; "
+                "it was recorded for a different model or observe names."
             )
-        for addr in controlled_addresses:
-            v = initial_trace.variables_dict_address.get(addr)
-            if v is not None and v.value is not None:
-                initial_values[addr] = np.asarray(v.value)
+        take = np.arange(num_chains) % resume_state.num_chains
+        init_values = {
+            a: jnp.asarray(np.asarray(resume_state.values[a])[take])
+            for a in controlled_addresses
+        }
+        init_lps = {
+            a: jnp.asarray(np.asarray(resume_state.log_probs[a])[take])
+            for a in controlled_addresses
+        }
+        init_obs = jnp.asarray(
+            np.asarray(resume_state.log_prob_observed)[take]
+        )
+        init_result = jax.tree_util.tree_map(
+            lambda r: jnp.asarray(np.asarray(r)[take]), resume_state.result
+        )
+        # a changed observation invalidates the stored likelihoods
+        need_rescore = resume_state.observe_fingerprint != observe_fp
+    else:
+        # Importance-resampled warm start: the init pass drew each chain's
+        # state from the prior and scored the observations, which is exactly
+        # an IS run with prior proposals — resampling chains by those
+        # weights initializes every chain with an approximate posterior draw
+        # (a capability the batch tier makes free; no reference counterpart).
+        init_log_w = np.asarray(
+            init_out["log_prob_observed"], dtype=np.float64
+        )
+        probs = util.log_weights_to_probs(init_log_w)
+        resample_idx = util.get_rng().choice(
+            init_pool, size=num_chains, p=probs
+        )
 
-    def _init_value(a):
-        base = np.asarray(init_out["values"][a])
-        if a in initial_values:
-            return jnp.asarray(
-                np.broadcast_to(
-                    initial_values[a], (num_chains,) + base.shape[1:]
-                ).copy()
-            )
-        return jnp.asarray(base[resample_idx])
+        # chain resume from a single Trace: (e.g. posterior[-1] from an
+        # interpreter-tier run, reference: model.py:122-127) seeds every
+        # chain's state with its values; the warm-start pool is bypassed
+        # for addresses it covers
+        initial_values = {}
+        if initial_trace is not None:
+            if not hasattr(initial_trace, "variables_dict_address"):
+                raise TypeError(
+                    "initial_trace must be a Trace or a ChainState (e.g. "
+                    "posterior.final_chain_state from a previous vectorized "
+                    f"run), got {type(initial_trace).__name__}."
+                )
+            for addr in controlled_addresses:
+                v = initial_trace.variables_dict_address.get(addr)
+                if v is not None and v.value is not None:
+                    initial_values[addr] = np.asarray(v.value)
 
-    init_values = {a: _init_value(a) for a in controlled_addresses}
-    init_lps = {
-        a: jnp.asarray(np.asarray(init_out["log_probs"][a])[resample_idx])
-        for a in controlled_addresses
-    }
-    init_obs = jnp.asarray(
-        np.asarray(init_out["log_prob_observed"])[resample_idx]
-    )
-    init_result = jax.tree_util.tree_map(
-        lambda r: jnp.asarray(np.asarray(r)[resample_idx]), init_out["result"]
-    )
+        def _init_value(a):
+            base = np.asarray(init_out["values"][a])
+            if a in initial_values:
+                return jnp.asarray(
+                    np.broadcast_to(
+                        initial_values[a], (num_chains,) + base.shape[1:]
+                    ).copy()
+                )
+            return jnp.asarray(base[resample_idx])
 
-    if initial_values:
+        init_values = {a: _init_value(a) for a in controlled_addresses}
+        init_lps = {
+            a: jnp.asarray(np.asarray(init_out["log_probs"][a])[resample_idx])
+            for a in controlled_addresses
+        }
+        init_obs = jnp.asarray(
+            np.asarray(init_out["log_prob_observed"])[resample_idx]
+        )
+        init_result = jax.tree_util.tree_map(
+            lambda r: jnp.asarray(np.asarray(r)[resample_idx]),
+            init_out["result"],
+        )
+        need_rescore = bool(initial_values)
+
+    if need_rescore:
         # substituted values invalidate the stored per-site log-probs and
         # observed likelihood; one replay pass with no site perturbed
         # (perturb_index=-1 never matches) rescores everything consistently
@@ -446,12 +568,21 @@ def vectorized_mcmc_posterior(
         init_result = put(init_result)
         chain_keys = jax.device_put(chain_keys, shard)
 
-    results, accepts = chain_fn(
+    results, accepts, final_carry = chain_fn(
         init_values, init_lps, init_obs, init_result, chain_keys, obs_arrays
     )
     results = jax.device_get(results)  # [C, S, ...]
     accepts = np.asarray(jax.device_get(accepts))
     accept_rate = float(accepts.mean())
+    fin_values, fin_lps, fin_obs, fin_result = jax.device_get(final_carry)
+    final_state = ChainState(
+        values={a: np.asarray(v) for a, v in fin_values.items()},
+        log_probs={a: np.asarray(v) for a, v in fin_lps.items()},
+        log_prob_observed=np.asarray(fin_obs),
+        result=jax.tree_util.tree_map(np.asarray, fin_result),
+        inference_engine=inference_engine,
+        observe_fingerprint=observe_fp,
+    )
 
     if return_chains:
         # one Empirical of kept values per chain — feeds convergence
@@ -463,7 +594,9 @@ def vectorized_mcmc_posterior(
                 jax.tree_util.tree_map(lambda r: np.asarray(r[c][s]), results)
                 for s in kept
             ]
-            chains_out.append(Empirical.from_arrays(vals))
+            chain_emp = Empirical.from_arrays(vals)
+            chain_emp.final_chain_state = final_state
+            chains_out.append(chain_emp)
         return chains_out
 
     # post-burn-in, thinned, chains interleaved
@@ -512,6 +645,8 @@ def vectorized_mcmc_posterior(
         burn_in=burn_in,
         thinning_steps=thinning_steps,
         acceptance_rate=accept_rate,
+        resumed=resume_state is not None,
         vectorized=True,
     )
+    emp.final_chain_state = final_state
     return emp

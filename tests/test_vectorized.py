@@ -160,3 +160,79 @@ def test_vectorized_missing_observe_raises():
         m.posterior_results(
             num_traces=10, observe={"obs0": None, "obs1": 9}, vectorized=True
         )
+
+
+def test_vectorized_mcmc_per_chain_resume(tmp_path):
+    # ChainState: every chain resumes from its own final state (the
+    # reference can resume only a single sequential chain via
+    # initial_trace=posterior[-1], reference: model.py:122-127)
+    m = GUM()
+    post1 = m.posterior_results(
+        num_traces=20000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    )
+    state = post1.final_chain_state
+    assert isinstance(state, pp.ChainState)
+    assert state.num_chains >= 1
+
+    # save/load round trip
+    fn = str(tmp_path / "chains.pkl")
+    state.save(fn)
+    state2 = pp.ChainState.load(fn)
+    assert state2.num_chains == state.num_chains
+    for a in state.values:
+        assert np.allclose(state2.values[a], state.values[a])
+
+    # resume: no burn-in (chains already at posterior states), same count
+    post2 = m.posterior_results(
+        num_traces=20000,
+        observe=OBS,
+        vectorized=True,
+        initial_trace=state2,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    )
+    assert abs(float(post2.mean) - TRUE_MEAN) < 0.3
+    assert abs(float(post2.stddev) - TRUE_STD) < 0.3
+    assert post2.final_chain_state.num_chains == state.num_chains
+
+    # resume under a CHANGED observation: stored likelihoods are invalid;
+    # one rescore pass must re-anchor the chains to the new posterior
+    obs_new = {"obs0": 0.0, "obs1": 1.0}
+    # true posterior for observes {0, 1}: Normal(0.892..., sqrt(1/1.2))
+    true_mean_new = (1.0 / 5.0 + (0.0 + 1.0) / 2.0) / (1.0 / 5.0 + 2.0 / 2.0)
+    post3 = m.posterior_results(
+        num_traces=20000,
+        observe=obs_new,
+        vectorized=True,
+        initial_trace=state2,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    )
+    assert abs(float(post3.mean) - true_mean_new) < 0.4
+
+
+def test_vectorized_mcmc_chain_state_mismatch():
+    class Other(pp.Model):
+        def forward(self):
+            a = pp.sample(Normal(0.0, 1.0), address="completely_different")
+            pp.observe(Normal(a, 1.0), name="obs0")
+            return a
+
+    m = GUM()
+    post = m.posterior_results(
+        num_traces=4000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+    )
+    state = post.final_chain_state
+    other = Other()
+    with pytest.raises(ValueError):
+        other.posterior_results(
+            num_traces=4000,
+            observe={"obs0": 1.0},
+            vectorized=True,
+            initial_trace=state,
+            inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        )
