@@ -349,13 +349,31 @@ class InferenceNetwork:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sharding = NamedSharding(self._dp_mesh, P("dp"))
+        local_devices = [
+            d
+            for d in self._dp_mesh.devices.flat
+            if d.process_index == jax.process_index()
+        ]
 
         def conv(x):
-            # NOTE: np.asarray pulls device-resident batches to the host
-            # before reassembly; on real multi-host TPU, assembling from
-            # the already-local device shards
-            # (jax.make_array_from_single_device_arrays) would avoid the
-            # per-step transfer (STATUS.md known gaps)
+            if isinstance(x, jax.Array):
+                # device-resident local rows (PackedBatch fast path):
+                # split across this process's mesh devices and stitch the
+                # global array from the shards directly — device-to-device
+                # only, no host round-trip
+                n_local = len(local_devices)
+                rows = x.shape[0]
+                if rows % n_local == 0:
+                    per = rows // n_local
+                    shards = [
+                        jax.device_put(x[i * per : (i + 1) * per], d)
+                        for i, d in enumerate(local_devices)
+                    ]
+                    global_shape = (rows * nprocs,) + tuple(x.shape[1:])
+                    return jax.make_array_from_single_device_arrays(
+                        global_shape, sharding, shards
+                    )
+            # host rows (interpreter-tier batches): one gather per step
             x = np.asarray(x)
             global_shape = (x.shape[0] * nprocs,) + x.shape[1:]
             return jax.make_array_from_process_local_data(
