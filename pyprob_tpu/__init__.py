@@ -23,6 +23,8 @@ from .util import (
     seed,
     set_verbosity,
     set_dtype,
+    set_platform,
+    set_device,
 )
 from .state import sample, observe, factor, tag
 from .address import AddressDictionary
@@ -44,6 +46,8 @@ __all__ = [
     "LearningRateScheduler",
     "seed",
     "set_verbosity",
+    "set_platform",
+    "set_device",
     "set_dtype",
     "sample",
     "observe",

@@ -94,6 +94,49 @@ class PPXSimulatorServer:
             raise RuntimeError(f"Expected TagResult, got {reply.body_type}")
 
     # ---- main loop --------------------------------------------------------
+    @staticmethod
+    def spawn(
+        spec,
+        num_simulators=1,
+        address_prefix=None,
+        python=None,
+        **popen_kwargs,
+    ):
+        """Launch ``num_simulators`` Python simulators as SUBPROCESSES, each
+        serving ``spec`` ("package.module:function") on its own socket.
+
+        Returns (processes, addresses); pass the addresses to
+        RemoteModelPool or LockstepRemoteModel.  Subprocesses sidestep the
+        GIL for CPU-bound Python simulators — the in-thread test doubles
+        (``PPXSimulatorServer(...).serve()`` on a thread) only overlap
+        socket waits.  The reference has no Python simulator runner at all
+        (its simulators are the pyprob_cpp docker binaries,
+        reference: tests/test_inference_remote.py:98).
+        """
+        import subprocess
+        import sys
+        import uuid as _uuid
+
+        if address_prefix is None:
+            address_prefix = f"ipc://@pyprob_tpu_sim_{_uuid.uuid4()}"
+        processes, addresses = [], []
+        for i in range(num_simulators):
+            address = f"{address_prefix}_{i}"
+            processes.append(
+                subprocess.Popen(
+                    [
+                        python or sys.executable,
+                        "-m",
+                        "pyprob_tpu.ppx.server",
+                        spec,
+                        address,
+                    ],
+                    **popen_kwargs,
+                )
+            )
+            addresses.append(address)
+        return processes, addresses
+
     def serve(self, max_runs=None):
         """Handle handshake then Run requests until Reset (or max_runs)."""
         runs = 0
@@ -122,3 +165,38 @@ class PPXSimulatorServer:
                     f"Simulator received unexpected body type: {msg.body_type}"
                 )
         self.close()
+
+
+def _main(argv=None):
+    """CLI simulator runner: ``python -m pyprob_tpu.ppx.server
+    package.module:forward_func tcp://host:port`` serves the named forward
+    function as a PPX simulator until Reset."""
+    import argparse
+    import importlib
+
+    parser = argparse.ArgumentParser(
+        description="Serve a Python forward function as a PPX simulator."
+    )
+    parser.add_argument(
+        "spec", help="import spec of the forward function: module:function"
+    )
+    parser.add_argument("address", help="ZMQ bind address (tcp:// or ipc://)")
+    parser.add_argument("--model-name", default=None)
+    parser.add_argument(
+        "--max-runs", type=int, default=None, help="exit after N Run messages"
+    )
+    args = parser.parse_args(argv)
+    module_name, _, func_name = args.spec.partition(":")
+    if not func_name:
+        parser.error("spec must be module:function")
+    forward_func = getattr(importlib.import_module(module_name), func_name)
+    server = PPXSimulatorServer(
+        args.address,
+        forward_func,
+        model_name=args.model_name or args.spec,
+    )
+    server.serve(max_runs=args.max_runs)
+
+
+if __name__ == "__main__":
+    _main()

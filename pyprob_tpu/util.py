@@ -97,6 +97,16 @@ def set_platform(platform):
     jax.config.update("jax_platforms", platform)
 
 
+def set_device(device):
+    """Reference-compatible alias of ``set_platform``
+    (reference: pyprob/util.py:103).  Accepts JAX platform names ('tpu',
+    'cpu', 'gpu'); the reference's 'cuda[:n]' spellings map to 'gpu'."""
+    device = str(device)
+    if device.startswith("cuda"):
+        device = "gpu"
+    set_platform(device)
+
+
 def set_dtype(dtype):
     global _dtype
     _dtype = np.dtype(dtype).type

@@ -152,3 +152,64 @@ def test_lockstep_inference_compilation(network):
         assert len(cache) >= 1
     finally:
         model.close()
+
+
+_SIM_MODULE = '''
+import jax
+jax.config.update("jax_platforms", "cpu")
+import math
+import numpy as np
+from pyprob_tpu.distributions import Normal
+
+
+def forward(server):
+    mu = float(np.asarray(
+        server.sample(Normal(1.0, math.sqrt(5.0)), address="mu_addr")
+    ).reshape(-1)[0])
+    lik = Normal(mu, math.sqrt(2.0))
+    server.observe(lik, name="obs0", address="o0")
+    server.observe(lik, name="obs1", address="o1")
+    return mu
+'''
+
+
+def test_python_simulator_subprocess_pool(tmp_path):
+    # PPXSimulatorServer.spawn: Python simulators as real subprocesses
+    # (process-level pool, no GIL contention), driven in lockstep
+    import os
+    import sys
+    import time
+
+    (tmp_path / "gum_sim.py").write_text(_SIM_MODULE)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    from pyprob_tpu.ppx.server import PPXSimulatorServer
+
+    procs, addrs = PPXSimulatorServer.spawn(
+        "gum_sim:forward", num_simulators=2, cwd=str(tmp_path), env=env
+    )
+    try:
+        deadline = time.time() + 60
+        model = None
+        while True:
+            try:
+                model = pp.LockstepRemoteModel(addrs, timeout_sec=60)
+                break
+            except Exception:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.5)
+        post = model.posterior_results(
+            num_traces=1500, observe={"obs0": 8, "obs1": 9}
+        )
+        assert abs(float(post.mean) - 7.25) < 0.75
+        model.close()
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.wait(timeout=10)
