@@ -29,8 +29,17 @@ from .util import (
 from .state import sample, observe, factor, tag
 from .address import AddressDictionary
 from .model import Model, RemoteModel, RemoteModelPool, ConditionalModel, ParallelModel
-from .remote_lockstep import LockstepRemoteModel
 from .inference import ChainState
+
+
+def __getattr__(name):
+    # lazy: remote_lockstep pulls in pyzmq at module level; purely local
+    # use must not require it (RemoteModel likewise defers via model.py)
+    if name == "LockstepRemoteModel":
+        from .remote_lockstep import LockstepRemoteModel
+
+        return LockstepRemoteModel
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 from . import distributions
 from . import util
 from . import diagnostics

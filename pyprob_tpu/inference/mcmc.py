@@ -246,6 +246,7 @@ def _discover_structure(model, observe, engine, args, kwargs):
 # model/engine/observe-names/shape reuse the scan executable (observed
 # values are traced arguments, per the compiled-program invariants)
 _chain_fn_cache = {}
+_rescore_fn_cache = {}
 
 
 def vectorized_mcmc_posterior(
@@ -272,11 +273,22 @@ def vectorized_mcmc_posterior(
     Returns an Empirical over post-burn-in states of all chains, or None if
     the model is not traceable (caller falls back to the interpreter tier).
     """
-    if _TraceabilityCache.known_untraceable(model):
-        return None
     kwargs = kwargs or {}
     resume_state = (
         initial_trace if isinstance(initial_trace, ChainState) else None
+    )
+    if _TraceabilityCache.known_untraceable(model):
+        if resume_state is not None:
+            raise ValueError(
+                "ChainState resume requires the compiled MCMC tier, but "
+                f"model {model.name!r} is not jax-traceable; resume the "
+                "interpreter chain with a Trace instead."
+            )
+        return None
+    observe_fp = _observe_fingerprint(observe)
+    resume_obs_changed = (
+        resume_state is not None
+        and resume_state.observe_fingerprint != observe_fp
     )
     if resume_state is not None:
         initial_trace = None
@@ -303,10 +315,12 @@ def vectorized_mcmc_posterior(
     # the post-burn count is not eaten by warmup
     transitions_per_chain = max(1, -(-num_traces // num_chains))
     if burn_in is None:
-        if resume_state is not None:
+        if resume_state is not None and not resume_obs_changed:
             # resumed chains are already at posterior states
             burn_in = 0
         else:
+            # fresh run, or a resume under a CHANGED observation (chains sit
+            # at the OLD posterior and must walk to the new one):
             # chains are warm-started from importance-resampled prior draws
             # (approximate posterior samples), so only short burn-in needed
             burn_in = max(8, transitions_per_chain // 10)
@@ -340,6 +354,12 @@ def vectorized_mcmc_posterior(
             f"({type(e).__name__}); falling back to sequential MCMC."
         )
         _TraceabilityCache.mark(model, False)
+        if resume_state is not None:
+            raise ValueError(
+                "ChainState resume requires the compiled MCMC tier, but "
+                f"model {model.name!r} is not jax-traceable; resume the "
+                "interpreter chain with a Trace instead."
+            ) from e
         return None
     sites = sites_box[0]
     # MCMC controls every sample site (the handler forces control=True for
@@ -433,7 +453,6 @@ def vectorized_mcmc_posterior(
         if cacheable:
             _chain_fn_cache[chain_cache_key] = chain_fn
 
-    observe_fp = _observe_fingerprint(observe)
     need_rescore = False
     if resume_state is not None:
         # per-chain resume: every chain continues from its own final state
@@ -462,7 +481,7 @@ def vectorized_mcmc_posterior(
             lambda r: jnp.asarray(np.asarray(r)[take]), resume_state.result
         )
         # a changed observation invalidates the stored likelihoods
-        need_rescore = resume_state.observe_fingerprint != observe_fp
+        need_rescore = resume_obs_changed
     else:
         # Importance-resampled warm start: the init pass drew each chain's
         # state from the prior and scored the observations, which is exactly
@@ -521,11 +540,14 @@ def vectorized_mcmc_posterior(
     if need_rescore:
         # substituted values invalidate the stored per-site log-probs and
         # observed likelihood; one replay pass with no site perturbed
-        # (perturb_index=-1 never matches) rescores everything consistently
-        def rescore(values, lps, key):
+        # (perturb_index=-1 never matches) rescores everything consistently.
+        # Observed values are a traced ARGUMENT and the jitted fn is cached,
+        # so repeated resumes under new observations reuse the executable
+        # (the compiled-program invariant, CLAUDE.md).
+        def rescore(values, lps, key, obs):
             handler = ReplayHandler(
                 key=key,
-                observed=obs_arrays,
+                observed=obs,
                 root_function_name=root_name,
                 engine=InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
                 current_values=values,
@@ -549,9 +571,19 @@ def vectorized_mcmc_posterior(
             }
             return new_values, new_lps, handler.log_prob_observed, result
 
-        rescore_fn = jax.jit(jax.vmap(rescore, in_axes=(0, 0, 0)))
+        rescore_key = (
+            id(model),
+            K,
+            tuple(sorted((observe or {}).keys())),
+        )
+        if cacheable and rescore_key in _rescore_fn_cache:
+            rescore_fn = _rescore_fn_cache[rescore_key]
+        else:
+            rescore_fn = jax.jit(jax.vmap(rescore, in_axes=(0, 0, 0, None)))
+            if cacheable:
+                _rescore_fn_cache[rescore_key] = rescore_fn
         init_values, init_lps, init_obs, init_result = rescore_fn(
-            init_values, init_lps, util.next_keys(num_chains)
+            init_values, init_lps, util.next_keys(num_chains), obs_arrays
         )
     chain_keys = util.next_keys(num_chains)
 

@@ -355,6 +355,14 @@ class Model:
     ):
         """Single-site Metropolis-Hastings chain with the reference's
         acceptance formula (reference: model.py:118-177)."""
+        from .inference import ChainState
+
+        if isinstance(initial_trace, ChainState):
+            raise TypeError(
+                "ChainState resume requires the compiled MCMC tier "
+                "(posterior(..., vectorized=True) on a jax-traceable "
+                "model); the interpreter chain resumes from a Trace."
+            )
         posterior = Empirical(file_name=file_name)
         if map_func is None:
             map_func = trace_id

@@ -119,9 +119,22 @@ class PPXSimulatorServer:
 
         if address_prefix is None:
             address_prefix = f"ipc://@pyprob_tpu_sim_{_uuid.uuid4()}"
+
+        def _address(i):
+            if address_prefix.startswith("tcp://"):
+                # tcp: consecutive ports from the given base port
+                host, _, port = address_prefix[len("tcp://"):].rpartition(":")
+                if not port.isdigit():
+                    raise ValueError(
+                        "tcp address_prefix must end in a base port, e.g. "
+                        "tcp://127.0.0.1:5555"
+                    )
+                return f"tcp://{host}:{int(port) + i}"
+            return f"{address_prefix}_{i}"
+
         processes, addresses = [], []
         for i in range(num_simulators):
-            address = f"{address_prefix}_{i}"
+            address = _address(i)
             processes.append(
                 subprocess.Popen(
                     [

@@ -138,7 +138,9 @@ class _BatchedProposer:
                         jnp.zeros((h.shape[0], B, h.shape[2]), h.dtype),
                         jnp.zeros((c.shape[0], B, c.shape[2]), c.dtype),
                     )
-                elif prev_addr in params["sample_embedding"]:
+                else:
+                    # _prev only ever records head-served sites, whose
+                    # polymorph pass created the sample/address embeddings
                     prev_sample_emb = mlp_apply(
                         params["sample_embedding"][prev_addr], prev_values
                     )
@@ -148,13 +150,6 @@ class _BatchedProposer:
                     prev_dist_emb = jnp.broadcast_to(
                         params["dist_type_embedding"][prev_dist_name], (B, D)
                     )
-                    rows = jax.tree_util.tree_map(
-                        lambda x: x[:, gather_idx], carry
-                    )
-                else:
-                    prev_sample_emb = jnp.zeros((B, S), util.dtype())
-                    prev_addr_emb = jnp.zeros((B, A), util.dtype())
-                    prev_dist_emb = jnp.zeros((B, D), util.dtype())
                     rows = jax.tree_util.tree_map(
                         lambda x: x[:, gather_idx], carry
                     )
@@ -479,26 +474,56 @@ class LockstepRemoteModel(Model):
                     f = msg.fields
                     dist = distribution_from_spec(f["distribution"])
                     name = f["name"] or None
-                    if (
-                        ic
-                        and f.get("control", True)
-                        and name not in observed
-                        and dist.batch_shape in ((), (1,))
-                        and proposer.knows(
-                            self._full_address_for(ctxs[i], f, dist)
+                    control = f.get("control", True)
+                    if ic and control and name not in observed:
+                        base, full, instance = self._build_address_in(
+                            ctxs[i], f, dist
                         )
-                    ):
-                        ic_requests.append((i, f, dist, name))
+                        if dist.batch_shape in ((), (1,)) and proposer.knows(
+                            full
+                        ):
+                            ic_requests.append(
+                                (i, (base, full, instance), dist, name)
+                            )
+                            continue
+                        # proposal = prior when the network has no head for
+                        # the site (unseen address or non-scalar site):
+                        # per-site weight contribution is zero, exactly as
+                        # _infer_step returning the prior distribution
+                        # (reference: state.py:203-224)
+                        warnings.warn(
+                            f"Using prior. No proposal for address: {full}"
+                        )
+                        value = dist.sample(util.get_rng())
+                        log_prob = dist.log_prob(value, sum=True)
+                        ctxs[i].current_trace.add(
+                            Variable(
+                                distribution=dist,
+                                value=value,
+                                address_base=base,
+                                address=full,
+                                instance=instance,
+                                log_prob=log_prob,
+                                log_importance_weight=0.0,
+                                control=True,
+                                name=name,
+                            )
+                        )
+                        self._requesters[i].send_request(
+                            wire.build_sample_result(
+                                np.asarray(value, np.float64)
+                            )
+                        )
                         continue
                     # per-sim interpreter path (PRIOR/IS branches, observed
-                    # -name overrides, uncontrolled sites, unknown heads)
+                    # -name overrides, uncontrolled sites)
                     prev = state._swap_context(ctxs[i])
                     try:
                         value = state.sample(
                             dist,
                             name=name,
                             address=f["address"] or None,
-                            control=f.get("control", True),
+                            control=control,
                         )
                     finally:
                         state._swap_context(prev)
@@ -543,17 +568,10 @@ class LockstepRemoteModel(Model):
                     )
 
             if ic_requests:
-                batch = []
-                addr_info = {}
-                for i, f, dist, name in ic_requests:
-                    base, full, instance = self._build_address_in(
-                        ctxs[i], f, dist
-                    )
-                    addr_info[i] = (base, full, instance, name, dist)
-                    batch.append((i, full, dist))
-                proposals = proposer.propose(batch)
-                for i, f, dist, name in ic_requests:
-                    base, full, instance, name, dist = addr_info[i]
+                proposals = proposer.propose(
+                    [(i, binfo[1], dist) for i, binfo, dist, _ in ic_requests]
+                )
+                for i, (base, full, instance), dist, name in ic_requests:
                     v, plp = proposals[i]
                     value = np.asarray(v).reshape(dist.batch_shape or ())
                     # prior log-pdf on host; weight = prior - proposal
@@ -643,8 +661,3 @@ class LockstepRemoteModel(Model):
             )
         finally:
             state._swap_context(prev)
-
-    @staticmethod
-    def _full_address_for(ctx, fields, dist):
-        """Full address this request WOULD get (without recording it)."""
-        return LockstepRemoteModel._build_address_in(ctx, fields, dist)[1]

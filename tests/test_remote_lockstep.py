@@ -213,3 +213,37 @@ def test_python_simulator_subprocess_pool(tmp_path):
             p.terminate()
         for p in procs:
             p.wait(timeout=10)
+
+
+def test_lockstep_ic_unknown_address_prior_fallback():
+    # guided IS against simulators whose addresses the network has never
+    # seen: every site must fall back to the prior (weight contribution 0)
+    # instead of crashing — mirrors _infer_step returning the prior
+    gum_addrs = _start_simulators(_gum_forward, 2, "GUM train")
+    trained = pp.LockstepRemoteModel(gum_addrs, timeout_sec=60)
+    try:
+        trained.learn_inference_network(
+            num_traces=512,
+            observe_embeddings={"obs0": {"dim": 8}, "obs1": {"dim": 8}},
+            inference_network=pp.InferenceNetwork.FEEDFORWARD,
+            batch_size=128,
+        )
+        mars_addrs = _start_simulators(_marsaglia_forward, 2, "Mars unseen")
+        other = pp.LockstepRemoteModel(mars_addrs, timeout_sec=60)
+        other._inference_network = trained._inference_network
+        try:
+            import warnings as _w
+
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                post = other.posterior_results(
+                    num_traces=800,
+                    observe={"obs0": 8, "obs1": 9},
+                    inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+                )
+            # prior-proposal IS: still a valid posterior estimate
+            assert abs(float(post.mean) - 7.25) < 1.0
+        finally:
+            other.close()
+    finally:
+        trained.close()

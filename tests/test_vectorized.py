@@ -236,3 +236,34 @@ def test_vectorized_mcmc_chain_state_mismatch():
             initial_trace=state,
             inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
         )
+
+
+def test_chain_state_rejected_on_interpreter_tier():
+    m = GUM()
+    post = m.posterior_results(
+        num_traces=4000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+    )
+    state = post.final_chain_state
+    # untraceable model: compiled tier unavailable -> clear error, not a
+    # silent fall-through into the sequential chain
+    mars = MarsagliaGUM()
+    with pytest.raises((ValueError, TypeError)):
+        mars.posterior_results(
+            num_traces=100,
+            observe=OBS,
+            vectorized=True,
+            initial_trace=state,
+            inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        )
+    # explicit interpreter tier: same protection
+    with pytest.raises(TypeError):
+        m.posterior_results(
+            num_traces=100,
+            observe=OBS,
+            vectorized=False,
+            initial_trace=state,
+            inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        )
