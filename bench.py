@@ -23,7 +23,7 @@ PYPROB_CPU_IC_TRACES_PER_S = 188.6  # measured, BASELINE.md
 PYPROB_CPU_IC_ESS_FRACTION = 0.238
 
 NUM_TRAIN_TRACES = 12800
-NUM_POSTERIOR_TRACES = 100000
+NUM_POSTERIOR_TRACES = 1000000
 
 
 def main():
@@ -59,7 +59,8 @@ def main():
     # chip): at these layer sizes the guided-IS step is VPU/memory-bound and
     # the casts cost more than the MXU saves — stay f32 (BASELINE.md)
 
-    # warmup: compile the guided-IS program for both chunk shapes
+    # warmup: compile the guided-IS program (one padded chunk shape serves
+    # any num_traces; chunks are pipelined so transfer overlaps compute)
     model.posterior_results(
         num_traces=NUM_POSTERIOR_TRACES,
         observe=observe,

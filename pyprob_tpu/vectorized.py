@@ -374,7 +374,18 @@ def run_traced(
     return outputs, handler
 
 
-_BATCH_LIMIT = 1 << 16  # particles per device dispatch (bounds HBM footprint)
+# Particles per device dispatch: bounds HBM footprint while amortizing
+# per-dispatch overhead.  Measured on one chip (guided-IS GUM, warm): 2^16
+# -> 0.94M traces/s, 2^17 -> 1.43M, 2^18 -> 1.61M, 2^19+ flat-to-worse
+# (BASELINE.md).
+_BATCH_LIMIT = 1 << 18
+
+
+def _next_pow2(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 class _TraceabilityCache:
@@ -573,16 +584,40 @@ def _run_batched(
         k: jnp.asarray(v, util.dtype()) for k, v in (observed or {}).items()
     }
 
+    # Pipelined chunks: JAX dispatch is async, so keeping a bounded number
+    # of chunk computations in flight overlaps chunk k's device->host
+    # transfer with chunk k+1's compute — the serial
+    # dispatch/wait/fetch loop pays one full RTT per chunk over a remote
+    # (tunneled) device, which dominates multi-chunk runs.
+    #
+    # On accelerators the chunk size is padded to a power of two (excess
+    # particles dropped after fetch): compilation cost dwarfs the <2x
+    # redundant compute, and padding bounds the set of compiled shapes a
+    # long-lived service ever sees to log2(_BATCH_LIMIT).  On CPU (tests)
+    # compute dominates and compilation is cheap, so shapes stay exact.
+    _PIPELINE_DEPTH = 2
+    pad_shapes = jax.default_backend() != "cpu"
     chunks = []
+    in_flight = []  # (pending outputs, rows to keep)
     remaining = num_traces
-    while remaining > 0:
-        n = min(remaining, _BATCH_LIMIT)
-        keys = util.next_keys(n)
-        out = run(keys, obs_arrays)
-        if fetch is not None:
-            out = {k: out[k] for k in fetch}
-        chunks.append(jax.device_get(out))
-        remaining -= n
+    while remaining > 0 or in_flight:
+        if remaining > 0 and len(in_flight) < _PIPELINE_DEPTH:
+            n = min(remaining, _BATCH_LIMIT)
+            n_padded = _next_pow2(n) if pad_shapes else n
+            keys = util.next_keys(n_padded)
+            out = run(keys, obs_arrays)
+            if fetch is not None:
+                out = {k: out[k] for k in fetch}
+            in_flight.append((out, n))
+            remaining -= n
+        else:
+            out, n = in_flight.pop(0)
+            host_chunk = jax.device_get(out)
+            if pad_shapes:
+                host_chunk = jax.tree_util.tree_map(
+                    lambda x: x[:n], host_chunk
+                )
+            chunks.append(host_chunk)
     if len(chunks) == 1:
         host = chunks[0]
     else:
