@@ -247,9 +247,17 @@ class Model:
         thinning_steps=None,
         likelihood_importance=1.0,
         vectorized=None,
+        num_chains=None,
+        burn_in=None,
+        return_chains=False,
+        mesh=None,
         *args,
         **kwargs,
     ):
+        """num_chains / burn_in / return_chains / mesh configure the
+        compiled MCMC tier (vmapped parallel chains,
+        pyprob_tpu.inference.mcmc); they have no meaning for the
+        reference-style sequential interpreter chain."""
         if self._use_vectorized(vectorized):
             from .vectorized import vectorized_posterior
 
@@ -263,11 +271,21 @@ class Model:
                 initial_trace=initial_trace,
                 thinning_steps=thinning_steps,
                 likelihood_importance=likelihood_importance,
+                num_chains=num_chains,
+                burn_in=burn_in,
+                return_chains=return_chains,
+                mesh=mesh,
                 *args,
                 **kwargs,
             )
             if result is not None:
                 return result
+        if num_chains is not None or burn_in is not None or return_chains or mesh is not None:
+            warnings.warn(
+                "num_chains/burn_in/return_chains/mesh only apply to the "
+                "compiled MCMC tier (vectorized=True on a jax-traceable "
+                "model); the sequential interpreter chain ignores them."
+            )
 
         if inference_engine == InferenceEngine.IMPORTANCE_SAMPLING:
             posterior = self._traces(

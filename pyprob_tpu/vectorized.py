@@ -787,6 +787,10 @@ def vectorized_posterior(
     initial_trace=None,
     thinning_steps=None,
     likelihood_importance=1.0,
+    num_chains=None,
+    burn_in=None,
+    return_chains=False,
+    mesh=None,
     *args,
     **kwargs,
 ):
@@ -869,6 +873,10 @@ def vectorized_posterior(
         file_name=file_name,
         initial_trace=initial_trace,
         thinning_steps=thinning_steps,
+        num_chains=num_chains,
+        burn_in=burn_in,
+        return_chains=return_chains,
+        mesh=mesh,
         args=args,
         kwargs=kwargs,
     )

@@ -267,3 +267,38 @@ def test_chain_state_rejected_on_interpreter_tier():
             initial_trace=state,
             inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
         )
+
+
+def test_mcmc_chain_knobs_route_through_posterior():
+    # num_chains / burn_in / return_chains are first-class posterior()
+    # arguments for the compiled MCMC tier (previously they leaked into
+    # forward(**kwargs) and crashed)
+    m = GUM()
+    p = m.posterior_results(
+        num_traces=8000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+        num_chains=32,
+        burn_in=16,
+    )
+    assert p.final_chain_state.num_chains == 32
+    # chain count pads to a mesh-size multiple (8 virtual devices in tests)
+    chains = m.posterior_results(
+        num_traces=4000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+        num_chains=8,
+        return_chains=True,
+    )
+    assert len(chains) == 8
+    # interpreter tier: warned and ignored, not forwarded to forward()
+    with pytest.warns(UserWarning, match="compiled MCMC tier"):
+        m.posterior_results(
+            num_traces=50,
+            observe=OBS,
+            vectorized=False,
+            inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+            num_chains=4,
+        )
