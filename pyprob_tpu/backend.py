@@ -112,6 +112,13 @@ class _NumpyBackend:
         _np.put_along_axis(out.reshape(-1, n), idx.reshape(-1, 1), 1, axis=-1)
         return out
 
+    cholesky = staticmethod(_np.linalg.cholesky)
+
+    @staticmethod
+    def tri_solve_lower(L, b):
+        """Solve L x = b for lower-triangular L; b has shape (..., k)."""
+        return _np.linalg.solve(L, b[..., None])[..., 0]
+
 
 class _JaxBackend:
     name = "jax"
@@ -185,6 +192,14 @@ class _JaxBackend:
     @staticmethod
     def one_hot(idx, n, dtype=_jnp.float32):
         return jax.nn.one_hot(idx, n, dtype=dtype)
+
+    cholesky = staticmethod(_jnp.linalg.cholesky)
+
+    @staticmethod
+    def tri_solve_lower(L, b):
+        import jax.scipy.linalg as _jsl
+
+        return _jsl.solve_triangular(L, b[..., None], lower=True)[..., 0]
 
 
 NUMPY = _NumpyBackend()

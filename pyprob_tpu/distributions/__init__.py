@@ -12,6 +12,10 @@ from .log_normal import LogNormal
 from .von_mises import VonMises
 from .weibull import Weibull
 from .truncated_normal import TruncatedNormal
+from .laplace import Laplace
+from .student_t import StudentT
+from .dirichlet import Dirichlet
+from .multivariate_normal import MultivariateNormal
 from .mixture import Mixture
 from .factor import Factor
 from .empirical import Empirical, EmpiricalType
