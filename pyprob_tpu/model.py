@@ -251,14 +251,19 @@ class Model:
         burn_in=None,
         return_chains=False,
         mesh=None,
+        resample_threshold=0.5,
         *args,
         **kwargs,
     ):
         """num_chains / burn_in / return_chains / mesh configure the
         compiled MCMC tier (vmapped parallel chains,
-        pyprob_tpu.inference.mcmc); they have no meaning for the
+        pyprob_tpu.inference.mcmc); resample_threshold configures the SMC
+        engine (pyprob_tpu.inference.smc).  They have no meaning for the
         reference-style sequential interpreter chain."""
-        if self._use_vectorized(vectorized):
+        is_smc = inference_engine == InferenceEngine.SEQUENTIAL_MONTE_CARLO
+        # SMC exists only on the compiled tier: attempt it regardless of the
+        # vectorized default, and fail loudly when the model can't compile
+        if self._use_vectorized(vectorized) or (is_smc and vectorized is not False):
             from .vectorized import vectorized_posterior
 
             result = vectorized_posterior(
@@ -275,11 +280,19 @@ class Model:
                 burn_in=burn_in,
                 return_chains=return_chains,
                 mesh=mesh,
+                resample_threshold=resample_threshold,
                 *args,
                 **kwargs,
             )
             if result is not None:
                 return result
+        if is_smc:
+            raise RuntimeError(
+                "SEQUENTIAL_MONTE_CARLO requires a jax-traceable model "
+                "(compiled tier); this model fell back to the interpreter "
+                "tier, which has no SMC engine. Use IMPORTANCE_SAMPLING or "
+                "an MCMC engine instead."
+            )
         if num_chains is not None or burn_in is not None or return_chains or mesh is not None:
             warnings.warn(
                 "num_chains/burn_in/return_chains/mesh only apply to the "

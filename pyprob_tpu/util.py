@@ -45,6 +45,9 @@ class InferenceEngine(enum.Enum):
     IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK = 1
     LIGHTWEIGHT_METROPOLIS_HASTINGS = 2
     RANDOM_WALK_METROPOLIS_HASTINGS = 3
+    # Beyond parity (no reference counterpart): fully-compiled particle
+    # filter over the observe sequence (pyprob_tpu.inference.smc)
+    SEQUENTIAL_MONTE_CARLO = 4
 
 
 class InferenceNetwork(enum.Enum):

@@ -71,6 +71,7 @@ class VectorizedHandler:
         likelihood_importance=1.0,
         address_dictionary=None,
         proposal_step=None,
+        replay_values=None,
     ):
         self.key = key
         self.trace_mode = trace_mode
@@ -81,6 +82,10 @@ class VectorizedHandler:
         self.likelihood_importance = likelihood_importance
         self.address_dictionary = address_dictionary
         self.proposal_step = proposal_step  # callable(site, dist, key) -> (value, proposal_log_prob) for IC
+        # replay_values: {full_address: traced value} — controlled sites in
+        # the dict take the given value instead of sampling (SMC prefix
+        # replay after resampling; pyprob_tpu.inference.smc)
+        self.replay_values = replay_values or None
         if proposal_step is not None and hasattr(proposal_step, "reset"):
             proposal_step.reset()  # fresh per-trace state (LSTM hidden etc.)
         self.sites = []  # [SiteRecord]
@@ -162,6 +167,31 @@ class VectorizedHandler:
                     name=name,
                     control=False,
                     observed=True,
+                    tagged=False,
+                    distribution_name=distribution.name,
+                    distribution=distribution,
+                ),
+                value,
+                log_prob,
+            )
+            return value
+
+        if (
+            self.replay_values is not None
+            and control
+            and full in self.replay_values
+        ):
+            value = self.replay_values[full]
+            log_prob = distribution.log_prob(value, sum=True)
+            self.log_prob_total = self.log_prob_total + log_prob
+            self._record(
+                SiteRecord(
+                    address_base=base,
+                    address=full,
+                    instance=instance,
+                    name=name,
+                    control=True,
+                    observed=False,
                     tagged=False,
                     distribution_name=distribution.name,
                     distribution=distribution,
@@ -329,6 +359,7 @@ def run_traced(
     prior_inflation=PriorInflation.DISABLED,
     likelihood_importance=1.0,
     proposal_step=None,
+    replay_values=None,
     args=(),
     kwargs=None,
 ):
@@ -344,6 +375,7 @@ def run_traced(
         likelihood_importance=likelihood_importance,
         address_dictionary=model._address_dictionary,
         proposal_step=proposal_step,
+        replay_values=replay_values,
     )
     prev = state._set_handler(handler)
     try:
@@ -791,11 +823,27 @@ def vectorized_posterior(
     burn_in=None,
     return_chains=False,
     mesh=None,
+    resample_threshold=0.5,
     *args,
     **kwargs,
 ):
     """Vectorized posterior.  IS and IC run as full particle batches; MCMC
-    engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc)."""
+    engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc);
+    SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc)."""
+    if inference_engine == InferenceEngine.SEQUENTIAL_MONTE_CARLO:
+        from .inference.smc import vectorized_smc_posterior
+
+        return vectorized_smc_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            resample_threshold=resample_threshold,
+            likelihood_importance=likelihood_importance,
+            args=args,
+            kwargs=kwargs,
+        )
     if inference_engine == InferenceEngine.IMPORTANCE_SAMPLING:
         emp = vectorized_traces(
             model,
