@@ -135,6 +135,7 @@ def vectorized_smc_posterior(
     file_name=None,
     resample_threshold=0.5,
     likelihood_importance=1.0,
+    mesh=None,
     args=(),
     kwargs=None,
 ):
@@ -143,7 +144,11 @@ def vectorized_smc_posterior(
     not jax-traceable (caller falls back / raises).
 
     Unlike the IS path there is no chunking: resampling couples all
-    particles, so they live in one on-device batch."""
+    particles, so they live in one on-device batch.  With a ``mesh`` the
+    particle axis is sharded over the devices; the SPMD partitioner turns
+    the ESS reduction and the cross-shard resampling gather into mesh
+    collectives (the scaling-book recipe: annotate shardings, let XLA
+    insert the collectives)."""
     from ..vectorized import _TraceabilityCache, _materialize_traces
 
     if _TraceabilityCache.known_untraceable(model):
@@ -154,6 +159,14 @@ def vectorized_smc_posterior(
         )
     if any(v is None for v in observe.values()):
         raise RuntimeError(f"Observe has missing value(s): {observe}")
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+    if mesh is not None:
+        from ..parallel import pad_to_multiple
+
+        num_traces = pad_to_multiple(num_traces, mesh.size)
 
     t0 = time.time()
     results_only = getattr(map_func, "__name__", "") == "trace_result"
@@ -188,6 +201,17 @@ def vectorized_smc_posterior(
             (n_obs, num_traces) + flat_keys.shape[1:]
         )
         resample_keys = util.next_keys(max(n_obs - 1, 1))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            run_keys = jax.device_put(
+                run_keys, NamedSharding(mesh, P(None, "dp"))
+            )
+            repl = NamedSharding(mesh, P())
+            resample_keys = jax.device_put(resample_keys, repl)
+            obs_arrays = {
+                k: jax.device_put(v, repl) for k, v in obs_arrays.items()
+            }
         outputs, w, log_z = program(run_keys, resample_keys, obs_arrays)
         host = jax.device_get(outputs)
         log_weights = np.asarray(jax.device_get(w), dtype=np.float64)

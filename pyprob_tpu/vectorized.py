@@ -841,6 +841,7 @@ def vectorized_posterior(
             file_name=file_name,
             resample_threshold=resample_threshold,
             likelihood_importance=likelihood_importance,
+            mesh=mesh,
             args=args,
             kwargs=kwargs,
         )

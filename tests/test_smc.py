@@ -191,3 +191,20 @@ def test_smc_requires_observes():
     m = GUM()
     with pytest.raises(RuntimeError, match="observe"):
         m.posterior(num_traces=100, inference_engine=SMC)
+
+
+def test_smc_sharded_over_mesh():
+    import jax
+    from pyprob_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh(len(jax.devices()))
+    m = GUM()
+    post = m.posterior_results(
+        num_traces=8192,
+        observe=GUM_OBS,
+        inference_engine=SMC,
+        resample_threshold=1.0,
+        mesh=mesh,
+    )
+    assert abs(float(post.mean) - 7.25) < 0.4
+    assert np.isfinite(post.log_evidence)
