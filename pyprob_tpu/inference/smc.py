@@ -42,13 +42,23 @@ _smc_cache = {}
 
 
 def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
-               results_only, args, kwargs):
+               results_only, args, kwargs, proposal_step=None):
     """Build (jitted_program, sites, observe_addrs).  The program takes
     (run_keys [n_obs, N], resample_keys [n_obs-1], obs_arrays dict) and
-    returns (final outputs, final log-weights [N], log_evidence scalar)."""
+    returns (final outputs, final log-weights [N], log_evidence scalar).
+
+    With ``proposal_step`` (a trained IC network's vectorized step), every
+    stage proposes from the network instead of the prior (amortized SMC);
+    per-site prior-proposal corrections enter the incremental weight of
+    the stage that commits the site."""
     from ..vectorized import run_traced
 
     sites_box = []
+    engine = (
+        InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        if proposal_step is not None
+        else InferenceEngine.IMPORTANCE_SAMPLING
+    )
 
     def single(key, obs, replay):
         outputs, handler = run_traced(
@@ -56,9 +66,11 @@ def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
             key,
             obs,
             TraceMode.POSTERIOR,
-            InferenceEngine.IMPORTANCE_SAMPLING,
+            engine,
             likelihood_importance=likelihood_importance,
+            proposal_step=proposal_step,
             replay_values=replay if replay else None,
+            record_site_log_iws=proposal_step is not None,
             args=args,
             kwargs=kwargs,
         )
@@ -97,7 +109,17 @@ def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
         log_z = jnp.zeros((), util.dtype())
         log_n = jnp.log(jnp.asarray(n_particles, util.dtype()))
         for r in range(1, n_obs + 1):
-            w = w + outputs["log_probs"][observe_addrs[r - 1]]
+            incr = outputs["log_probs"][observe_addrs[r - 1]]
+            if proposal_step is not None:
+                # prior-proposal correction for the sites this stage
+                # commits (fresh in run r-1, replayed from run r on); the
+                # final stage also commits everything after the last observe
+                liws = outputs.get("site_log_iws", {})
+                for a, st in stage_of.items():
+                    commits = st == r - 1 or (r == n_obs and st >= r - 1)
+                    if commits and a in liws:
+                        incr = incr + liws[a]
+            w = w + incr
             if r == n_obs:
                 break
             ess = sharded_effective_sample_size(w)
@@ -136,6 +158,7 @@ def vectorized_smc_posterior(
     resample_threshold=0.5,
     likelihood_importance=1.0,
     mesh=None,
+    proposal_step=None,
     args=(),
     kwargs=None,
 ):
@@ -171,6 +194,9 @@ def vectorized_smc_posterior(
     t0 = time.time()
     results_only = getattr(map_func, "__name__", "") == "trace_result"
     cacheable = not args and not kwargs
+    # proposal_step identity is a freshness check, not part of the key:
+    # retraining creates a new closure, and keeping the old id keyed would
+    # pin the stale compiled program (and its parameter pytree) forever
     cache_key = (
         id(model),
         tuple(sorted(observe.keys())),
@@ -178,12 +204,14 @@ def vectorized_smc_posterior(
         float(resample_threshold),
         results_only,
     )
+    ps_id = id(proposal_step) if proposal_step is not None else None
     try:
         obs_arrays = {
             k: jnp.asarray(v, util.dtype()) for k, v in observe.items()
         }
-        if cacheable and cache_key in _smc_cache:
-            program, sites, n_obs = _smc_cache[cache_key]
+        cached = _smc_cache.get(cache_key) if cacheable else None
+        if cached is not None and cached[0] == ps_id:
+            _, program, sites, n_obs = cached
         else:
             program, sites, n_obs = _build_smc(
                 model,
@@ -193,9 +221,10 @@ def vectorized_smc_posterior(
                 results_only,
                 args,
                 kwargs,
+                proposal_step=proposal_step,
             )
             if cacheable:
-                _smc_cache[cache_key] = program, sites, n_obs
+                _smc_cache[cache_key] = ps_id, program, sites, n_obs
         flat_keys = util.next_keys(n_obs * num_traces)
         run_keys = flat_keys.reshape(
             (n_obs, num_traces) + flat_keys.shape[1:]
@@ -271,14 +300,20 @@ def vectorized_smc_posterior(
 
     duration = time.time() - t0
     emp.log_evidence = log_evidence
+    kind = "guided SMC" if proposal_step is not None else "SMC"
+    engine_name = (
+        "InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK"
+        if proposal_step is not None
+        else "InferenceEngine.SEQUENTIAL_MONTE_CARLO"
+    )
     emp.rename(
-        f"Posterior, SMC (compiled, {n_obs} stages), particles: "
+        f"Posterior, {kind} (compiled, {n_obs} stages), particles: "
         f"{emp.length:,}, ESS: {emp.effective_sample_size:,.2f}"
     )
     emp.add_metadata(
         op="posterior",
         num_traces=num_traces,
-        inference_engine="InferenceEngine.SEQUENTIAL_MONTE_CARLO",
+        inference_engine=engine_name,
         effective_sample_size=emp.effective_sample_size,
         log_evidence=log_evidence,
         resample_threshold=resample_threshold,

@@ -255,12 +255,16 @@ class Model:
         *args,
         **kwargs,
     ):
-        """num_chains / burn_in / return_chains / mesh configure the
-        compiled MCMC tier (vmapped parallel chains,
-        pyprob_tpu.inference.mcmc); resample_threshold configures the SMC
-        engine (pyprob_tpu.inference.smc).  They have no meaning for the
+        """num_chains / burn_in / return_chains configure the compiled MCMC
+        tier (vmapped parallel chains, pyprob_tpu.inference.mcmc);
+        resample_threshold configures the SMC engines
+        (pyprob_tpu.inference.smc); mesh shards MCMC chains or SMC
+        particles over devices.  None of them apply to the
         reference-style sequential interpreter chain."""
-        is_smc = inference_engine == InferenceEngine.SEQUENTIAL_MONTE_CARLO
+        is_smc = inference_engine in (
+            InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+            InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
+        )
         # SMC exists only on the compiled tier: attempt it regardless of the
         # vectorized default, and fail loudly when the model can't compile
         if self._use_vectorized(vectorized) or (is_smc and vectorized is not False):
@@ -296,8 +300,9 @@ class Model:
         if num_chains is not None or burn_in is not None or return_chains or mesh is not None:
             warnings.warn(
                 "num_chains/burn_in/return_chains/mesh only apply to the "
-                "compiled MCMC tier (vectorized=True on a jax-traceable "
-                "model); the sequential interpreter chain ignores them."
+                "compiled MCMC/SMC tiers (vectorized=True on a "
+                "jax-traceable model); the sequential interpreter chain "
+                "ignores them."
             )
 
         if inference_engine == InferenceEngine.IMPORTANCE_SAMPLING:

@@ -756,7 +756,7 @@ class InferenceNetwork:
         try:
             tar = tarfile.open(file_name, "r:gz")
             tmp_dir = tempfile.mkdtemp(suffix=str(uuid.uuid4()))
-            tar.extract(_CHECKPOINT_MEMBER, tmp_dir)
+            tar.extract(_CHECKPOINT_MEMBER, tmp_dir, filter="data")
             tar.close()
             with open(os.path.join(tmp_dir, _CHECKPOINT_MEMBER), "rb") as f:
                 data = pickle.load(f)

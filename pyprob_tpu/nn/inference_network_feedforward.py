@@ -194,9 +194,14 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 state["emb"] = embed(params, obs)
             return state["emb"]
 
-        def proposal_step(site, distribution, key, observed):
+        def proposal_step(site, distribution, key, observed, forced_value=None):
+            # forced_value: score instead of sampling (guided SMC replay)
             addr = site.address
             if addr not in head_meta:
+                if forced_value is not None:
+                    return forced_value, distribution.log_prob(
+                        forced_value, sum=True
+                    )
                 value = distribution._sample_jax(key, ())
                 return value, distribution.log_prob(value, sum=True)
             prior = {
@@ -204,8 +209,10 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 for k, v in prior_param_arrays(distribution).items()
             }
             d = head_apply(params["proposal"][addr], _emb(observed), prior)
-            value = d._sample_jax(key, ())
-            value = jnp.reshape(value, ())
+            if forced_value is not None:
+                value = jnp.reshape(forced_value, ())
+            else:
+                value = jnp.reshape(d._sample_jax(key, ()), ())
             plp = jnp.sum(d.log_prob(value))
             return value, plp
 

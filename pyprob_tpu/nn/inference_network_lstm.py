@@ -390,9 +390,15 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 state["emb"] = embed(params, obs)
             return state["emb"]
 
-        def proposal_step(site, distribution, key, observed):
+        def proposal_step(site, distribution, key, observed, forced_value=None):
+            # forced_value: score/advance-state instead of sampling — used
+            # by guided SMC to step the LSTM through replayed prefix sites
             addr = site.address
             if addr not in head_meta:
+                if forced_value is not None:
+                    return forced_value, distribution.log_prob(
+                        forced_value, sum=True
+                    )
                 value = distribution._sample_jax(key, ())
                 return value, distribution.log_prob(value, sum=True)
             emb = _emb(observed)
@@ -430,7 +436,10 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 for k, v in prior_param_arrays(distribution).items()
             }
             d = head_apply(params["proposal"][addr], out, prior)
-            value = jnp.reshape(d._sample_jax(key, ()), ())
+            if forced_value is not None:
+                value = jnp.reshape(forced_value, ())
+            else:
+                value = jnp.reshape(d._sample_jax(key, ()), ())
             plp = jnp.sum(d.log_prob(value))
             state["prev"] = (addr, value, distribution.name)
             return value, plp

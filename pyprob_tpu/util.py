@@ -46,8 +46,11 @@ class InferenceEngine(enum.Enum):
     LIGHTWEIGHT_METROPOLIS_HASTINGS = 2
     RANDOM_WALK_METROPOLIS_HASTINGS = 3
     # Beyond parity (no reference counterpart): fully-compiled particle
-    # filter over the observe sequence (pyprob_tpu.inference.smc)
+    # filter over the observe sequence (pyprob_tpu.inference.smc); the
+    # _WITH_INFERENCE_NETWORK variant proposes from a trained IC network
+    # inside every stage (amortized SMC)
     SEQUENTIAL_MONTE_CARLO = 4
+    SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK = 5
 
 
 class InferenceNetwork(enum.Enum):

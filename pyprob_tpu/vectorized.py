@@ -72,6 +72,7 @@ class VectorizedHandler:
         address_dictionary=None,
         proposal_step=None,
         replay_values=None,
+        record_site_log_iws=False,
     ):
         self.key = key
         self.trace_mode = trace_mode
@@ -86,11 +87,15 @@ class VectorizedHandler:
         # the dict take the given value instead of sampling (SMC prefix
         # replay after resampling; pyprob_tpu.inference.smc)
         self.replay_values = replay_values or None
+        # per-site prior-proposal deltas are extra [N] outputs only guided
+        # SMC consumes; keep them out of guided-IS transfers
+        self.record_site_log_iws = record_site_log_iws
         if proposal_step is not None and hasattr(proposal_step, "reset"):
             proposal_step.reset()  # fresh per-trace state (LSTM hidden etc.)
         self.sites = []  # [SiteRecord]
         self.values = []  # traced value per site
         self.log_probs = []  # traced scalar log_prob per site (None for tags)
+        self.site_log_iws = []  # per-site prior-proposal delta (IC sites)
         self.dist_leaves = []  # flattened distribution params per site
         self.instance_counts = {}
         self.log_importance_weight = jnp.zeros((), util.dtype())
@@ -122,7 +127,7 @@ class VectorizedHandler:
                 return Normal(distribution.mean, distribution.stddev * 3)
         return None
 
-    def _record(self, site, value, log_prob):
+    def _record(self, site, value, log_prob, log_iw=None):
         # flatten the site's distribution so per-trace parameter values can
         # be rebuilt on the host (pruned training traces need prior params)
         if site.distribution is not None:
@@ -135,6 +140,7 @@ class VectorizedHandler:
         self.sites.append(site)
         self.values.append(value)
         self.log_probs.append(log_prob)
+        self.site_log_iws.append(log_iw)
 
     # -- the effect API ----------------------------------------------------
     def sample(self, distribution, name=None, address=None, control=True):
@@ -182,23 +188,30 @@ class VectorizedHandler:
             and full in self.replay_values
         ):
             value = self.replay_values[full]
+            site = SiteRecord(
+                address_base=base,
+                address=full,
+                instance=instance,
+                name=name,
+                control=True,
+                observed=False,
+                tagged=False,
+                distribution_name=distribution.name,
+                distribution=distribution,
+            )
+            if self.proposal_step is not None:
+                # advance the proposal network's recurrent state through
+                # the replayed site (guided SMC keeps the LSTM chain intact)
+                self.proposal_step(
+                    site,
+                    distribution,
+                    self._next_key(),
+                    self.observed,
+                    forced_value=value,
+                )
             log_prob = distribution.log_prob(value, sum=True)
             self.log_prob_total = self.log_prob_total + log_prob
-            self._record(
-                SiteRecord(
-                    address_base=base,
-                    address=full,
-                    instance=instance,
-                    name=name,
-                    control=True,
-                    observed=False,
-                    tagged=False,
-                    distribution_name=distribution.name,
-                    distribution=distribution,
-                ),
-                value,
-                log_prob,
-            )
+            self._record(site, value, log_prob)
             return value
 
         key = self._next_key()
@@ -231,7 +244,16 @@ class VectorizedHandler:
                 self.log_importance_weight + log_prob - proposal_log_prob
             )
             self.log_prob_total = self.log_prob_total + log_prob
-            self._record(site, value, log_prob)
+            self._record(
+                site,
+                value,
+                log_prob,
+                log_iw=(
+                    log_prob - proposal_log_prob
+                    if self.record_site_log_iws
+                    else None
+                ),
+            )
             return value
 
         inflated = self._inflate(distribution) if control else None
@@ -360,6 +382,7 @@ def run_traced(
     likelihood_importance=1.0,
     proposal_step=None,
     replay_values=None,
+    record_site_log_iws=False,
     args=(),
     kwargs=None,
 ):
@@ -376,6 +399,7 @@ def run_traced(
         address_dictionary=model._address_dictionary,
         proposal_step=proposal_step,
         replay_values=replay_values,
+        record_site_log_iws=record_site_log_iws,
     )
     prev = state._set_handler(handler)
     try:
@@ -401,6 +425,11 @@ def run_traced(
             s.address: leaves
             for s, leaves in zip(handler.sites, handler.dist_leaves)
             if leaves is not None
+        },
+        "site_log_iws": {
+            s.address: liw
+            for s, liw in zip(handler.sites, handler.site_log_iws)
+            if liw is not None
         },
     }
     return outputs, handler
@@ -830,9 +859,30 @@ def vectorized_posterior(
     """Vectorized posterior.  IS and IC run as full particle batches; MCMC
     engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc);
     SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc)."""
-    if inference_engine == InferenceEngine.SEQUENTIAL_MONTE_CARLO:
+    if inference_engine in (
+        InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+        InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
+    ):
         from .inference.smc import vectorized_smc_posterior
 
+        proposal_step = None
+        if (
+            inference_engine
+            == InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+        ):
+            network = model._inference_network
+            if network is None:
+                raise RuntimeError(
+                    "No inference network available. Use "
+                    "learn_inference_network or load_inference_network first."
+                )
+            proposal_step = network.cached_vectorized_proposal_step(observe)
+            if proposal_step is None:
+                raise RuntimeError(
+                    f"{type(network).__name__} does not support vectorized "
+                    "proposal steps (make_vectorized_proposal_step returned "
+                    "None), so it cannot drive guided SMC."
+                )
         return vectorized_smc_posterior(
             model,
             num_traces=num_traces,
@@ -842,6 +892,7 @@ def vectorized_posterior(
             resample_threshold=resample_threshold,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
+            proposal_step=proposal_step,
             args=args,
             kwargs=kwargs,
         )

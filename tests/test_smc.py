@@ -193,6 +193,69 @@ def test_smc_requires_observes():
         m.posterior(num_traces=100, inference_engine=SMC)
 
 
+def test_guided_smc_with_inference_network():
+    # amortized SMC: IC proposals inside every stage; the replayed prefix
+    # advances the LSTM via forced values so the recurrent chain stays
+    # intact across resampling
+    m = GUM()
+    m.learn_inference_network(
+        num_traces=4000,
+        observe_embeddings={"obs0": {"dim": 8}, "obs1": {"dim": 8}},
+        inference_network=pp.InferenceNetwork.LSTM,
+        batch_size=256,
+        learning_rate_init=0.01,
+        lstm_dim=32,
+    )
+    post = m.posterior_results(
+        num_traces=20000,
+        observe=GUM_OBS,
+        inference_engine=(
+            pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+        ),
+        resample_threshold=1.0,
+    )
+    assert abs(float(post.mean) - 7.25) < 0.2
+    assert abs(float(post.stddev) - math.sqrt(1 / 1.2)) < 0.1
+    assert abs(post.log_evidence - GUM_LOGZ) < 0.3
+    assert post.effective_sample_size > 0.2 * 20000
+    assert "WITH_INFERENCE_NETWORK" in post.metadata[-1]["inference_engine"]
+
+
+def test_guided_smc_feedforward_network():
+    # the FF proposal_step's forced_value/replay branches
+    m = GUM()
+    m.learn_inference_network(
+        num_traces=4000,
+        observe_embeddings={"obs0": {"dim": 8}, "obs1": {"dim": 8}},
+        inference_network=pp.InferenceNetwork.FEEDFORWARD,
+        batch_size=256,
+        learning_rate_init=0.01,
+    )
+    post = m.posterior_results(
+        num_traces=20000,
+        observe=GUM_OBS,
+        inference_engine=(
+            pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+        ),
+        resample_threshold=1.0,
+    )
+    assert abs(float(post.mean) - 7.25) < 0.2
+    assert abs(post.log_evidence - GUM_LOGZ) < 0.3
+    assert post.effective_sample_size > 0.2 * 20000
+
+
+def test_guided_smc_requires_network():
+    m = GUM()
+    with pytest.raises(RuntimeError, match="inference network"):
+        m.posterior(
+            num_traces=100,
+            observe=GUM_OBS,
+            inference_engine=(
+                pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+            ),
+        )
+
+
 def test_smc_sharded_over_mesh():
     import jax
     from pyprob_tpu.parallel import data_parallel_mesh

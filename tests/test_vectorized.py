@@ -294,7 +294,7 @@ def test_mcmc_chain_knobs_route_through_posterior():
     )
     assert len(chains) == 8
     # interpreter tier: warned and ignored, not forwarded to forward()
-    with pytest.warns(UserWarning, match="compiled MCMC tier"):
+    with pytest.warns(UserWarning, match="compiled MCMC/SMC tiers"):
         m.posterior_results(
             num_traces=50,
             observe=OBS,
