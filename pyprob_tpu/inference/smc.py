@@ -327,3 +327,131 @@ def vectorized_smc_posterior(
             f"log Z {log_evidence:.4f}"
         )
     return emp
+
+
+def interpreter_smc_posterior(
+    model,
+    num_traces,
+    observe=None,
+    map_func=None,
+    file_name=None,
+    resample_threshold=0.5,
+    likelihood_importance=1.0,
+    args=(),
+    kwargs=None,
+):
+    """Host (interpreter-tier) SMC for models that are not jax-traceable —
+    the universal-PPL fallback, mirroring the compiled filter's staged
+    prefix-replay design one trace at a time.  Each stage re-runs every
+    particle's forward with the controlled sites before the stage's observe
+    replayed from its (resampled) ancestor via ``ctx.smc_replay_values``;
+    control flow up to that observe is deterministic given those values, so
+    divergent programs stay on their ancestor's path through the committed
+    prefix.  Weight math is float64 on host.
+
+    Requires every execution to pass the same NUMBER of observes (their
+    addresses may differ); raises otherwise."""
+    from scipy.special import logsumexp
+
+    from .. import state
+    from ..model import trace_id
+
+    if not observe:
+        raise RuntimeError(
+            "SEQUENTIAL_MONTE_CARLO requires observe={...} values"
+        )
+    t0 = time.time()
+    n = num_traces
+    generator = model._trace_generator(
+        trace_mode=TraceMode.POSTERIOR,
+        inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+        observe=observe,
+        likelihood_importance=likelihood_importance,
+        *args,
+        **(kwargs or {}),
+    )
+
+    def run_particle(replay):
+        state._set_smc_replay(replay)
+        try:
+            return next(generator)
+        finally:
+            state._set_smc_replay(None)
+
+    traces = [run_particle(None) for _ in range(n)]
+    n_obs = len(traces[0].variables_observed)
+    if n_obs == 0:
+        raise RuntimeError(
+            "SEQUENTIAL_MONTE_CARLO requires at least one observed site"
+        )
+    if any(len(t.variables_observed) != n_obs for t in traces):
+        raise RuntimeError(
+            "SEQUENTIAL_MONTE_CARLO requires a fixed number of observes "
+            "per execution; this model's executions disagree."
+        )
+
+    rng = util.get_rng()
+    w = np.zeros(n, dtype=np.float64)
+    log_z = 0.0
+    log_n = np.log(n)
+    for r in range(1, n_obs + 1):
+        for i, t in enumerate(traces):
+            w[i] += float(t.variables_observed[r - 1].log_prob)
+        w[~np.isfinite(w)] = -np.inf
+        if r == n_obs:
+            break
+        if util.effective_sample_size(w) < resample_threshold * n:
+            log_z += float(logsumexp(w)) - log_n
+            probs = np.exp(w - w.max())
+            cdf = np.cumsum(probs / probs.sum())
+            points = (rng.random() + np.arange(n)) / n
+            idx = np.searchsorted(cdf, points)
+            ancestors = [traces[j] for j in np.minimum(idx, n - 1)]
+            w[:] = 0.0
+        else:
+            ancestors = list(traces)
+        new_traces = []
+        for a in ancestors:
+            replay = {}
+            seen_obs = 0
+            for v in a.variables:
+                if v.observed:
+                    seen_obs += 1
+                    if seen_obs >= r:
+                        break
+                elif v.control:
+                    replay[v.address] = v.value
+            new_traces.append(run_particle(replay))
+        traces = new_traces
+    log_z += float(logsumexp(w)) - log_n
+
+    if map_func is None:
+        map_func = trace_id
+    emp = Empirical(file_name=file_name)
+    for t, lw in zip(traces, w):
+        if np.isfinite(lw):
+            emp.add(map_func(t), log_weight=float(lw))
+    emp.finalize()
+    duration = time.time() - t0
+    emp.log_evidence = log_z
+    emp.rename(
+        f"Posterior, SMC (interpreter, {n_obs} stages), particles: "
+        f"{emp.length:,}, ESS: {emp.effective_sample_size:,.2f}"
+    )
+    emp.add_metadata(
+        op="posterior",
+        num_traces=num_traces,
+        inference_engine="InferenceEngine.SEQUENTIAL_MONTE_CARLO",
+        effective_sample_size=emp.effective_sample_size,
+        log_evidence=log_z,
+        resample_threshold=resample_threshold,
+        stages=n_obs,
+        vectorized=False,
+    )
+    if util.verbosity() > 1:
+        util.log_print(
+            f"[SMC interp] {num_traces:,} particles x {n_obs} stages in "
+            f"{duration:.3f}s, ESS {emp.effective_sample_size:,.1f}, "
+            f"log Z {log_z:.4f}"
+        )
+    return emp

@@ -291,11 +291,28 @@ class Model:
             if result is not None:
                 return result
         if is_smc:
-            raise RuntimeError(
-                "SEQUENTIAL_MONTE_CARLO requires a jax-traceable model "
-                "(compiled tier); this model fell back to the interpreter "
-                "tier, which has no SMC engine. Use IMPORTANCE_SAMPLING or "
-                "an MCMC engine instead."
+            if (
+                inference_engine
+                == InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+            ):
+                raise RuntimeError(
+                    "SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK requires "
+                    "a jax-traceable model (compiled tier); for this model "
+                    "use plain SEQUENTIAL_MONTE_CARLO (interpreter filter) "
+                    "or IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK."
+                )
+            from .inference.smc import interpreter_smc_posterior
+
+            return interpreter_smc_posterior(
+                self,
+                num_traces=num_traces,
+                observe=observe,
+                map_func=map_func,
+                file_name=file_name,
+                resample_threshold=resample_threshold,
+                likelihood_importance=likelihood_importance,
+                args=args,
+                kwargs=kwargs,
             )
         if num_chains is not None or burn_in is not None or return_chains or mesh is not None:
             warnings.warn(

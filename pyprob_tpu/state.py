@@ -51,6 +51,10 @@ class _Context:
         self.metropolis_hastings_site_transition_log_prob = 0
         self.address_dictionary = None
         self.rng = None  # per-context host RNG (None -> the global one)
+        # {full_address: value} — controlled sites take the given value
+        # instead of sampling (interpreter-tier SMC prefix replay,
+        # pyprob_tpu.inference.smc)
+        self.smc_replay_values = None
 
 
 class _ContextLocal(threading.local):
@@ -81,6 +85,11 @@ _ctx = _CtxProxy()
 
 def _get_rng():
     return _ctx.rng if _ctx.rng is not None else util.get_rng()
+
+
+def _set_smc_replay(replay_values):
+    """Install/clear the interpreter SMC replay dict for the next forward."""
+    _ctx.smc_replay_values = replay_values
 
 
 def _swap_context(ctx):
@@ -293,9 +302,20 @@ def sample(distribution, name=None, address=None, control=True):
     if ctx.trace_mode == TraceMode.POSTERIOR:
         engine = ctx.inference_engine
         if engine == InferenceEngine.IMPORTANCE_SAMPLING:
-            value, log_prob, log_importance_weight = _sample_from_prior(
-                distribution, rng
-            )
+            if (
+                control
+                and ctx.smc_replay_values is not None
+                and full_address in ctx.smc_replay_values
+            ):
+                # SMC prefix replay: reuse the (resampled) ancestor's value
+                value = ctx.smc_replay_values[full_address]
+                log_prob = distribution.log_prob(value, sum=True)
+                log_importance_weight = None
+                reused = True
+            else:
+                value, log_prob, log_importance_weight = _sample_from_prior(
+                    distribution, rng
+                )
         elif engine == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK:
             if control:
                 stub = Variable(
@@ -480,6 +500,7 @@ def _init_traces(
     _ctx.likelihood_importance = likelihood_importance
     _ctx.address_dictionary = address_dictionary
     _ctx.root_function_name = func.__code__.co_name
+    _ctx.smc_replay_values = None
     if observe is None:
         _ctx.observed_variables = {}
     else:

@@ -169,21 +169,51 @@ def test_smc_hmm_integer_sites():
     assert np.allclose(est, truth, atol=0.03)
 
 
-class NotTraceable(pp.Model):
+class MarsagliaGUM(pp.Model):
+    """Unbounded rejection loop with host control flow: NOT jax-traceable;
+    SMC must fall back to the interpreter-tier filter."""
+
     def forward(self):
         while True:
-            x = pp.sample(Uniform(0.0, 1.0))
-            if float(x) < 0.5:
+            x = pp.sample(Uniform(-1.0, 1.0))
+            y = pp.sample(Uniform(-1.0, 1.0))
+            s = float(x) ** 2 + float(y) ** 2
+            if s < 1:
                 break
-        pp.observe(Normal(float(x), 1.0), name="y")
-        return x
+        mu = 1.0 + math.sqrt(5.0) * (
+            float(x) * math.sqrt(-2 * math.log(s) / s)
+        )
+        lik = Normal(mu, math.sqrt(2.0))
+        pp.observe(lik, name="obs0")
+        pp.observe(lik, name="obs1")
+        return mu
 
 
-def test_smc_requires_compiled_tier():
-    m = NotTraceable()
-    with pytest.raises(RuntimeError, match="jax-traceable"):
+def test_smc_interpreter_fallback_untraceable_model():
+    # divergent control flow per particle; replayed prefixes keep each
+    # particle on its ancestor's path through the rejection loop
+    m = MarsagliaGUM()
+    post = m.posterior_results(
+        num_traces=2000, observe=GUM_OBS, inference_engine=SMC,
+        resample_threshold=1.0,
+    )
+    assert abs(float(post.mean) - 7.25) < 0.35
+    assert abs(float(post.stddev) - math.sqrt(1 / 1.2)) < 0.25
+    assert abs(post.log_evidence - GUM_LOGZ) < 0.5
+    assert post.metadata[-1]["vectorized"] is False
+
+
+def test_guided_smc_untraceable_raises():
+    # raises either "no inference network" (none trained) or, with one,
+    # "requires a jax-traceable model" — never silently falls back
+    m = MarsagliaGUM()
+    with pytest.raises(RuntimeError):
         m.posterior(
-            num_traces=100, observe={"y": 0.1}, inference_engine=SMC
+            num_traces=100,
+            observe=GUM_OBS,
+            inference_engine=(
+                pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+            ),
         )
 
 
