@@ -115,6 +115,27 @@ def test_remote_marsaglia_variable_length():
         model.close()
 
 
+def test_remote_smc():
+    # SMC across the wire: the simulator holds the program counter and
+    # re-runs each stage; replayed prefix values flow back through the
+    # Sample round-trips (interpreter-tier filter, divergent control flow)
+    address = f"ipc://@pyprob_tpu_test_{uuid.uuid4()}"
+    t, box = _start_simulator(_marsaglia_forward, address, "Marsaglia remote")
+    model = pp.RemoteModel(address)
+    try:
+        post = model.posterior_results(
+            num_traces=800,
+            observe={"obs0": 8, "obs1": 9},
+            inference_engine=pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+            resample_threshold=1.0,
+        )
+        assert abs(float(post.mean) - 7.25) < 0.6
+        assert np.isfinite(post.log_evidence)
+        assert post.metadata[-1]["vectorized"] is False
+    finally:
+        model.close()
+
+
 def test_remote_rmh():
     address = f"ipc://@pyprob_tpu_test_{uuid.uuid4()}"
     t, box = _start_simulator(_gum_forward, address, "GUM remote")
