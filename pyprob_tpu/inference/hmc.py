@@ -1,0 +1,550 @@
+"""Hamiltonian Monte Carlo over the program's continuous latent sites.
+
+Beyond parity: the reference's engines are IS/IC/LMH/RMH
+(pyprob/util.py:49-53) — gradient-based inference is impossible there
+because its trace core is an imperative per-trace interpreter.  Here the
+functionalized replay machinery makes the whole model a differentiable
+map from latent values to joint density: replaying forward() with every
+controlled site substituted turns ``log_prob_total`` into a pure function
+of the latents, and ``jax.grad`` differentiates through the program —
+including through distribution parameters that depend on earlier sites.
+
+Latents live in UNCONSTRAINED space: bounded supports (Uniform,
+TruncatedNormal, Beta incl. low/high rescaling) map through a scaled
+sigmoid, positive supports (Exponential, Gamma, Weibull, LogNormal)
+through exp, with log-Jacobians folded into the potential.  Discrete
+sites are rejected with a pointer to LMH/RMH.
+
+The sampler runs C chains in lockstep (``vmap``) advanced by ``lax.scan``
+— one compiled dispatch for the entire run — with Robbins-Monro step-size
+adaptation toward a target acceptance rate during burn-in.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import state, util
+from ..util import TraceMode, InferenceEngine
+from ..distributions import (
+    Normal,
+    Uniform,
+    Beta,
+    TruncatedNormal,
+    Exponential,
+    Gamma,
+    Weibull,
+    LogNormal,
+    Laplace,
+    StudentT,
+    VonMises,
+    MultivariateNormal,
+    Mixture,
+    Empirical,
+)
+from ..vectorized import VectorizedHandler, SiteRecord, run_traced, _TraceabilityCache
+
+_BOUNDED = (Uniform, TruncatedNormal, Beta)
+_POSITIVE = (Exponential, Gamma, Weibull, LogNormal)
+_UNBOUNDED = (Normal, Laplace, StudentT, VonMises, MultivariateNormal, Mixture)
+
+
+def _to_x(dist, z):
+    """Unconstrained z -> support x, plus summed log|dx/dz|."""
+    if isinstance(dist, _BOUNDED):
+        low = jnp.asarray(dist.low, util.dtype())
+        high = jnp.asarray(dist.high, util.dtype())
+        x = low + (high - low) * jax.nn.sigmoid(z)
+        logdet = jnp.sum(
+            jnp.log(high - low)
+            + jax.nn.log_sigmoid(z)
+            + jax.nn.log_sigmoid(-z)
+        )
+        return x, logdet
+    if isinstance(dist, _POSITIVE):
+        return jnp.exp(z), jnp.sum(z)
+    if isinstance(dist, _UNBOUNDED):
+        return z, jnp.zeros((), util.dtype())
+    raise NotImplementedError(
+        f"HAMILTONIAN_MONTE_CARLO requires continuous sample sites; "
+        f"{dist.name} is not supported — use LMH/RMH for discrete or "
+        f"simplex-valued latents."
+    )
+
+
+def _to_z(dist, x):
+    """Support x -> unconstrained z (chain initialization)."""
+    if isinstance(dist, _BOUNDED):
+        low = jnp.asarray(dist.low, util.dtype())
+        high = jnp.asarray(dist.high, util.dtype())
+        u = jnp.clip((x - low) / (high - low), 1e-6, 1.0 - 1e-6)
+        return jnp.log(u) - jnp.log1p(-u)
+    if isinstance(dist, _POSITIVE):
+        return jnp.log(jnp.clip(x, 1e-30, None))
+    if isinstance(dist, _UNBOUNDED):
+        return x
+    raise NotImplementedError(dist.name)
+
+
+class _TransformedReplayHandler(VectorizedHandler):
+    """Replay every controlled site from unconstrained values (decode), or
+    record the unconstrained image of given support values (encode)."""
+
+    def __init__(
+        self,
+        key,
+        observed,
+        root_function_name,
+        replay,
+        encode=False,
+        likelihood_importance=1.0,
+    ):
+        super().__init__(
+            key=key,
+            trace_mode=TraceMode.POSTERIOR,
+            inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+            observed=observed,
+            root_function_name=root_function_name,
+            likelihood_importance=likelihood_importance,
+        )
+        self._replay = replay
+        self._encode = encode
+        self.logdet = jnp.zeros((), util.dtype())
+        self.z_values = {}
+
+    def sample(self, distribution, name=None, address=None, control=True):
+        if name is not None and name in self.observed:
+            return super().sample(
+                distribution, name=name, address=address, control=control
+            )
+        base, full, instance = self._make_address(
+            address, distribution.address_suffix
+        )
+        if self._encode:
+            value = jnp.asarray(self._replay[full], util.dtype())
+            self.z_values[full] = _to_z(distribution, value)
+        else:
+            value, ld = _to_x(distribution, self._replay[full])
+            self.logdet = self.logdet + ld
+        log_prob = distribution.log_prob(value, sum=True)
+        self.log_prob_total = self.log_prob_total + log_prob
+        self._record(
+            SiteRecord(
+                address_base=base,
+                address=full,
+                instance=instance,
+                name=name,
+                control=True,
+                observed=False,
+                tagged=False,
+                distribution_name=distribution.name,
+                distribution=distribution,
+            ),
+            value,
+            log_prob,
+        )
+        return value
+
+
+def _run_transformed(model, key, obs, replay, encode, likelihood_importance,
+                     args, kwargs):
+    handler = _TransformedReplayHandler(
+        key=key,
+        observed=obs,
+        root_function_name=model.forward.__code__.co_name,
+        replay=replay,
+        encode=encode,
+        likelihood_importance=likelihood_importance,
+    )
+    prev = state._set_handler(handler)
+    try:
+        result = model.forward(*args, **(kwargs or {}))
+    finally:
+        state._set_handler(prev)
+    return result, handler
+
+
+_hmc_cache = {}
+
+
+def vectorized_hmc_posterior(
+    model,
+    num_traces,
+    observe=None,
+    map_func=None,
+    file_name=None,
+    num_chains=None,
+    burn_in=None,
+    thinning_steps=None,
+    leapfrog_steps=10,
+    target_accept=0.75,
+    step_size=0.1,
+    likelihood_importance=1.0,
+    mesh=None,
+    args=(),
+    kwargs=None,
+):
+    """HMC posterior: C vmapped chains x scanned transitions, one compiled
+    dispatch.  Returns an Empirical of ``num_traces`` (uniform-weight)
+    samples with acceptance-rate metadata, or None if the model is not
+    jax-traceable (HMC has no interpreter tier — gradients need XLA)."""
+    if _TraceabilityCache.known_untraceable(model):
+        return None
+    if not observe:
+        raise RuntimeError(
+            "HAMILTONIAN_MONTE_CARLO requires observe={...} values"
+        )
+    if any(v is None for v in observe.values()):
+        raise RuntimeError(f"Observe has missing value(s): {observe}")
+    t0 = time.time()
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+    if num_chains is None:
+        num_chains = int(min(max(1, num_traces // 256), 1024))
+    if mesh is not None:
+        from ..parallel import pad_to_multiple
+
+        num_chains = pad_to_multiple(num_chains, mesh.size)
+    if burn_in is None:
+        burn_in = 200
+    if thinning_steps is None:
+        thinning_steps = 1
+    keep_steps = -(-num_traces // num_chains) * thinning_steps
+    total_steps = burn_in + keep_steps
+
+    obs_arrays = {
+        k: jnp.asarray(v, util.dtype()) for k, v in observe.items()
+    }
+    results_only = getattr(map_func, "__name__", "") == "trace_result"
+    cacheable = not args and not kwargs
+    cache_key = (
+        id(model),
+        tuple(sorted(observe.keys())),
+        likelihood_importance,
+        int(leapfrog_steps),
+        float(target_accept),
+        results_only,
+    )
+
+    try:
+        if cacheable and cache_key in _hmc_cache:
+            program, decode_fn, sites = _hmc_cache[cache_key]
+        else:
+            program, decode_fn, sites = _build_hmc(
+                model,
+                obs_arrays,
+                likelihood_importance,
+                leapfrog_steps,
+                target_accept,
+                results_only,
+                args,
+                kwargs,
+            )
+            if cacheable:
+                _hmc_cache[cache_key] = program, decode_fn, sites
+
+        init_keys = util.next_keys(num_chains)
+        chain_keys = util.next_keys(num_chains)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("dp"))
+            init_keys = jax.device_put(init_keys, shard)
+            chain_keys = jax.device_put(chain_keys, shard)
+        z_samples, accept_rate, final_eps = program(
+            init_keys,
+            chain_keys,
+            obs_arrays,
+            jnp.asarray(burn_in, jnp.int32),
+            jnp.asarray(total_steps, jnp.int32),
+            jnp.asarray(step_size, util.dtype()),
+        )
+        # [total_steps, C, ...] -> keep post-burn-in, thinned, then flatten
+        z_kept = jax.tree_util.tree_map(
+            lambda a: a[burn_in::thinning_steps].reshape(
+                (-1,) + a.shape[2:]
+            )[:num_traces],
+            z_samples,
+        )
+        outputs = decode_fn(z_kept, obs_arrays)
+        host = jax.device_get(outputs)
+        accept_rate = float(jax.device_get(accept_rate))
+    except NotImplementedError:
+        raise
+    except (
+        jax.errors.ConcretizationTypeError,
+        jax.errors.TracerArrayConversionError,
+        jax.errors.TracerBoolConversionError,
+        jax.errors.TracerIntegerConversionError,
+    ) as e:
+        util.log_print(
+            f"[pyprob_tpu] model {model.name!r} is not jax-traceable "
+            f"({type(e).__name__}); HMC has no interpreter tier."
+        )
+        _TraceabilityCache.mark(model, False)
+        return None
+    _TraceabilityCache.mark(model, True)
+
+    n_out = int(
+        np.asarray(
+            jax.tree_util.tree_leaves(host["log_prob_total"])[0]
+        ).shape[0]
+    )
+    results_host = host["result"]
+    if results_only and file_name is None and isinstance(results_host, np.ndarray):
+        emp = Empirical.from_arrays(
+            np.asarray(results_host), np.zeros(n_out)
+        )
+    else:
+        from ..vectorized import _materialize_traces
+
+        emp = Empirical(file_name=file_name)
+        if map_func is None:
+            values = _materialize_traces(
+                sites, host, n_out, None, results_host
+            )
+        elif results_only:
+            leaves, treedef = jax.tree_util.tree_flatten(results_host)
+            leaves = [np.asarray(l) for l in leaves]
+            values = [
+                jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
+                for i in range(n_out)
+            ]
+        else:
+            values = [
+                map_func(t)
+                for t in _materialize_traces(
+                    sites, host, n_out, None, results_host
+                )
+            ]
+        for v in values:
+            emp.add(v, log_weight=0.0)
+        emp.finalize()
+
+    duration = time.time() - t0
+    emp.rename(
+        f"Posterior, HMC (compiled, {num_chains} chains), samples: "
+        f"{emp.length:,}, acceptance: {accept_rate:.2f}"
+    )
+    emp.add_metadata(
+        op="posterior",
+        num_traces=num_traces,
+        inference_engine="InferenceEngine.HAMILTONIAN_MONTE_CARLO",
+        num_chains=num_chains,
+        burn_in=burn_in,
+        thinning_steps=thinning_steps,
+        leapfrog_steps=leapfrog_steps,
+        acceptance_rate=accept_rate,
+        final_step_size=float(jax.device_get(final_eps)),
+        vectorized=True,
+    )
+    if util.verbosity() > 1:
+        util.log_print(
+            f"[HMC] {emp.length:,} samples ({num_chains} chains x "
+            f"{total_steps} steps, L={leapfrog_steps}) in {duration:.3f}s, "
+            f"acceptance {accept_rate:.2f}"
+        )
+    return emp
+
+
+def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
+               target_accept, results_only, args, kwargs):
+    """Build (program, decode_fn, sites).
+
+    program(init_keys [C], chain_keys [C], obs, burn_in, total_steps, eps0)
+      -> (z samples [T, C, ...] dict, mean acceptance, final step size)
+    decode_fn(z [S] dict, obs) -> outputs (result, values, log_probs, ...)
+    """
+    sites_box = []
+
+    def fresh_single(key, obs):
+        outputs, handler = run_traced(
+            model,
+            key,
+            obs,
+            TraceMode.POSTERIOR,
+            InferenceEngine.IMPORTANCE_SAMPLING,
+            likelihood_importance=likelihood_importance,
+            args=args,
+            kwargs=kwargs,
+        )
+        if not sites_box:
+            sites_box.append(handler.sites)
+        return outputs
+
+    # static structure probe (also validates continuity of latent sites)
+    probe = jax.eval_shape(
+        lambda k, o: fresh_single(k, o), jax.random.PRNGKey(0), obs_arrays
+    )
+    sites = sites_box[0]
+    latent_addrs = [
+        s.address for s in sites if s.control and not s.observed
+    ]
+    if not latent_addrs:
+        raise RuntimeError(
+            "HAMILTONIAN_MONTE_CARLO found no latent (controlled) sites"
+        )
+    for s in sites:
+        if s.address in latent_addrs:
+            dt = probe["values"][s.address].dtype
+            if not jnp.issubdtype(dt, jnp.floating):
+                raise NotImplementedError(
+                    f"HAMILTONIAN_MONTE_CARLO requires continuous sample "
+                    f"sites; {s.address} ({s.distribution_name}) has dtype "
+                    f"{dt} — use LMH/RMH instead."
+                )
+
+    fixed_key = jax.random.PRNGKey(0)
+
+    def encode_single(key, obs):
+        out = fresh_single(key, obs)
+        x = {a: out["values"][a] for a in latent_addrs}
+        _, handler = _run_transformed(
+            model, fixed_key, obs, x, True, likelihood_importance,
+            args, kwargs,
+        )
+        return {a: handler.z_values[a] for a in latent_addrs}
+
+    def potential(z, obs):
+        _, handler = _run_transformed(
+            model, fixed_key, obs, z, False, likelihood_importance,
+            args, kwargs,
+        )
+        return -(handler.log_prob_total + handler.logdet)
+
+    grad_potential = jax.grad(potential)
+
+    def decode_single(z, obs):
+        result, handler = _run_transformed(
+            model, fixed_key, obs, z, False, likelihood_importance,
+            args, kwargs,
+        )
+        out = {
+            "result": result,
+            "log_prob_total": handler.log_prob_total,
+            "log_importance_weight": handler.log_importance_weight,
+            "log_prob_observed": handler.log_prob_observed,
+            "values": {
+                s.address: v
+                for s, v in zip(handler.sites, handler.values)
+                if v is not None
+            },
+            "log_probs": {
+                s.address: lp
+                for s, lp in zip(handler.sites, handler.log_probs)
+                if lp is not None
+            },
+            "dist_leaves": {},
+        }
+        if results_only:
+            out = {"result": out["result"], "log_prob_total": out["log_prob_total"]}
+        return out
+
+    def momentum(key, like):
+        leaves, treedef = jax.tree_util.tree_flatten(like)
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jax.random.normal(k, jnp.shape(l), util.dtype())
+                for k, l in zip(keys, leaves)
+            ],
+        )
+
+    def kinetic(p):
+        return sum(
+            jnp.sum(l * l) for l in jax.tree_util.tree_leaves(p)
+        ) * 0.5
+
+    def chain_step(carry, t):
+        z, u, log_eps, key, acc_sum = carry
+        key, k_mom, k_acc = jax.random.split(key, 3)
+        eps = jnp.exp(log_eps)
+        p0 = momentum(k_mom, z)
+
+        # leapfrog (static unroll; leapfrog_steps is small)
+        g = grad_potential(z, carry_obs[0])
+        p = jax.tree_util.tree_map(lambda a, b: a - 0.5 * eps * b, p0, g)
+        zl = z
+        for i in range(leapfrog_steps):
+            zl = jax.tree_util.tree_map(lambda a, b: a + eps * b, zl, p)
+            g = grad_potential(zl, carry_obs[0])
+            scale = 0.5 * eps if i == leapfrog_steps - 1 else eps
+            p = jax.tree_util.tree_map(
+                lambda a, b, s=scale: a - s * b, p, g
+            )
+        u_new = potential(zl, carry_obs[0])
+        log_alpha = (u - u_new) + (kinetic(p0) - kinetic(p))
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
+        z = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), z, zl
+        )
+        u = jnp.where(accept, u_new, u)
+        # Robbins-Monro step-size adaptation during burn-in only
+        alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
+        adapting = t < carry_burn_in[0]
+        rate = 0.5 / jnp.sqrt(1.0 + t.astype(util.dtype()))
+        log_eps = jnp.where(
+            adapting, log_eps + rate * (alpha - target_accept), log_eps
+        )
+        acc_sum = acc_sum + jnp.where(adapting, 0.0, alpha)
+        return (z, u, log_eps, key, acc_sum), z
+
+    # obs/burn_in threaded via closure boxes so chain_step stays a clean
+    # scan body (they're constant across steps)
+    carry_obs = [None]
+    carry_burn_in = [None]
+
+    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+        carry_obs[0] = obs
+        carry_burn_in[0] = burn_in
+        z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
+        u0 = jax.vmap(potential, in_axes=(0, None))(z0, obs)
+
+        def one_chain(z, u, key):
+            (zf, uf, log_eps, _, acc_sum), zs = jax.lax.scan(
+                chain_step,
+                (z, u, jnp.log(eps0), key, jnp.zeros((), util.dtype())),
+                jnp.arange(_TOTAL[0]),
+            )
+            return zs, acc_sum, jnp.exp(log_eps)
+
+        zs, acc_sums, final_eps = jax.vmap(one_chain)(z0, u0, chain_keys)
+        # zs: [C, T, ...] -> [T, C, ...]
+        zs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), zs)
+        post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
+        accept_rate = jnp.mean(acc_sums) / post_steps
+        return zs, accept_rate, jnp.mean(final_eps)
+
+    # scan length must be static: close over it per (total_steps) value
+    _TOTAL = [None]
+    _program_cache = {}
+
+    def program_dispatch(init_keys, chain_keys, obs, burn_in, total_steps,
+                         eps0):
+        n = int(total_steps)
+        if n not in _program_cache:
+            _TOTAL_local = n
+
+            def jitted(init_keys, chain_keys, obs, burn_in, eps0):
+                _TOTAL[0] = _TOTAL_local
+                return program(
+                    init_keys, chain_keys, obs, burn_in, _TOTAL_local, eps0
+                )
+
+            _program_cache[n] = jax.jit(jitted)
+        _TOTAL[0] = n
+        return _program_cache[n](
+            init_keys, chain_keys, obs, jnp.asarray(int(burn_in), jnp.int32),
+            eps0,
+        )
+
+    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, None)))
+    return program_dispatch, decode_fn, sites

@@ -265,9 +265,13 @@ class Model:
             InferenceEngine.SEQUENTIAL_MONTE_CARLO,
             InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
         )
-        # SMC exists only on the compiled tier: attempt it regardless of the
-        # vectorized default, and fail loudly when the model can't compile
-        if self._use_vectorized(vectorized) or (is_smc and vectorized is not False):
+        is_hmc = inference_engine == InferenceEngine.HAMILTONIAN_MONTE_CARLO
+        # SMC/HMC exist only on the compiled tier (SMC has an interpreter
+        # fallback): attempt it regardless of the vectorized default, and
+        # fail loudly when the model can't compile
+        if self._use_vectorized(vectorized) or (
+            (is_smc or is_hmc) and vectorized is not False
+        ):
             from .vectorized import vectorized_posterior
 
             result = vectorized_posterior(
@@ -290,6 +294,12 @@ class Model:
             )
             if result is not None:
                 return result
+        if is_hmc:
+            raise RuntimeError(
+                "HAMILTONIAN_MONTE_CARLO requires a jax-traceable model "
+                "(gradients need XLA); this model fell back to the "
+                "interpreter tier. Use LMH/RMH or SMC instead."
+            )
         if is_smc:
             if (
                 inference_engine

@@ -51,6 +51,10 @@ class InferenceEngine(enum.Enum):
     # inside every stage (amortized SMC)
     SEQUENTIAL_MONTE_CARLO = 4
     SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK = 5
+    # Beyond parity: gradient-based MCMC over the program's continuous
+    # latents (jax.grad through the replayed forward);
+    # pyprob_tpu.inference.hmc
+    HAMILTONIAN_MONTE_CARLO = 6
 
 
 class InferenceNetwork(enum.Enum):

@@ -859,6 +859,23 @@ def vectorized_posterior(
     """Vectorized posterior.  IS and IC run as full particle batches; MCMC
     engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc);
     SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc)."""
+    if inference_engine == InferenceEngine.HAMILTONIAN_MONTE_CARLO:
+        from .inference.hmc import vectorized_hmc_posterior
+
+        return vectorized_hmc_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            num_chains=num_chains,
+            burn_in=burn_in,
+            thinning_steps=thinning_steps,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
     if inference_engine in (
         InferenceEngine.SEQUENTIAL_MONTE_CARLO,
         InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
