@@ -185,6 +185,7 @@ def vectorized_hmc_posterior(
     step_size=0.1,
     likelihood_importance=1.0,
     mesh=None,
+    return_chains=False,
     args=(),
     kwargs=None,
 ):
@@ -266,10 +267,12 @@ def vectorized_hmc_posterior(
             jnp.asarray(step_size, util.dtype()),
         )
         # [total_steps, C, ...] -> keep post-burn-in, thinned, then flatten
+        # step-major (index = step * C + chain)
+        keep_all = return_chains  # chain split needs the full K x C grid
         z_kept = jax.tree_util.tree_map(
             lambda a: a[burn_in::thinning_steps].reshape(
                 (-1,) + a.shape[2:]
-            )[:num_traces],
+            )[: (None if keep_all else num_traces)],
             z_samples,
         )
         outputs = decode_fn(z_kept, obs_arrays)
@@ -290,6 +293,23 @@ def vectorized_hmc_posterior(
         _TraceabilityCache.mark(model, False)
         return None
     _TraceabilityCache.mark(model, True)
+
+    if return_chains:
+        # one Empirical of kept result values per chain (step-major
+        # flattening: index = step * C + chain) — feeds R-hat diagnostics
+        leaves, treedef = jax.tree_util.tree_flatten(host["result"])
+        leaves = [np.asarray(l) for l in leaves]
+        kept_steps_out = leaves[0].shape[0] // num_chains
+        chains_out = []
+        for c in range(num_chains):
+            vals = [
+                jax.tree_util.tree_unflatten(
+                    treedef, [l[k * num_chains + c] for l in leaves]
+                )
+                for k in range(kept_steps_out)
+            ]
+            chains_out.append(Empirical.from_arrays(vals))
+        return chains_out
 
     n_out = int(
         np.asarray(

@@ -873,6 +873,7 @@ def vectorized_posterior(
             thinning_steps=thinning_steps,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
+            return_chains=return_chains,
             args=args,
             kwargs=kwargs,
         )

@@ -124,6 +124,22 @@ def test_hmc_sharded_over_mesh():
     assert abs(float(post.mean) - 7.25) < 0.3
 
 
+def test_hmc_return_chains_rhat():
+    from pyprob_tpu.diagnostics import gelman_rubin_values
+
+    chains = GUM().posterior_results(
+        num_traces=8000,
+        observe=GUM_OBS,
+        inference_engine=HMC,
+        num_chains=8,
+        burn_in=200,
+        return_chains=True,
+    )
+    assert len(chains) == 8
+    iters, rhats = gelman_rubin_values(chains)
+    assert float(np.asarray(rhats)[-1]) < 1.1  # converged chains
+
+
 class Disc(pp.Model):
     def forward(self):
         k = pp.sample(Categorical(probs=[0.5, 0.5]))
