@@ -1,3 +1,16 @@
 from .mcmc import ChainState, vectorized_mcmc_posterior
 
 __all__ = ["ChainState", "vectorized_mcmc_posterior"]
+
+
+def __getattr__(name):
+    # lazy to keep package import light (vi pulls in optax)
+    if name == "vectorized_vi_posterior":
+        from .vi import vectorized_vi_posterior
+
+        return vectorized_vi_posterior
+    if name == "vectorized_hmc_posterior":
+        from .hmc import vectorized_hmc_posterior
+
+        return vectorized_hmc_posterior
+    raise AttributeError(name)

@@ -1,0 +1,441 @@
+"""Automatic-differentiation variational inference over the program's
+continuous latents (ADVI, arXiv:1603.00788).
+
+Beyond parity: the reference's engines (pyprob/util.py:49-53) are
+simulation-based only — VI is impossible in its imperative per-trace
+interpreter.  Here the same functionalized-replay machinery that powers
+HMC (pyprob_tpu/inference/hmc.py) makes the joint density a pure,
+differentiable function of the unconstrained latents, so a Gaussian
+guide can be fitted by reparameterized ELBO gradients.
+
+Design:
+- Latents map to UNCONSTRAINED space with the HMC transforms
+  (sigmoid for bounded supports, exp for positive supports, identity
+  otherwise) and are raveled into one flat D-vector.
+- Guides: ``meanfield`` — diagonal Gaussian (mu, log_sigma);
+  ``fullrank`` — Gaussian with a dense lower-triangular scale L
+  (softplus-free: free strictly-lower entries + exp'd diagonal), which
+  captures posterior correlations mean-field cannot.
+- The ELBO uses the closed-form Gaussian entropy (lower variance than
+  a sampled -log q term) and is maximized by optax.adam inside ONE
+  ``lax.scan`` — the entire fit is a single compiled dispatch.
+- The returned posterior is *importance-reweighted*: the final
+  ``num_traces`` draws from the fitted guide carry weights
+  ``log p(x,obs) - log q(x)``, so the Empirical is a self-normalized
+  importance sampler whose proposal is the guide — asymptotically exact
+  even when the guide is imperfect, with ``posterior.log_evidence`` an
+  unbiased-ish (IS) marginal-likelihood estimate alongside the ELBO.
+
+Discrete sites and untraceable models are rejected with pointers to
+LMH/RMH (VI has no interpreter tier — gradients need XLA).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+from .. import util
+from ..util import TraceMode, InferenceEngine
+from ..distributions import Empirical
+from ..vectorized import run_traced, _TraceabilityCache
+from .hmc import _run_transformed, _to_z  # shared transform machinery
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+_vi_cache = {}
+
+
+def vectorized_vi_posterior(
+    model,
+    num_traces,
+    observe=None,
+    map_func=None,
+    file_name=None,
+    vi_steps=None,
+    vi_particles=None,
+    guide=None,
+    learning_rate=None,
+    likelihood_importance=1.0,
+    mesh=None,
+    args=(),
+    kwargs=None,
+):
+    """Fit a Gaussian guide by ADVI, then return an importance-reweighted
+    Empirical of ``num_traces`` guide draws.  Returns None if the model is
+    not jax-traceable (VI has no interpreter tier)."""
+    if _TraceabilityCache.known_untraceable(model):
+        return None
+    if not observe:
+        raise RuntimeError("VARIATIONAL_INFERENCE requires observe={...} values")
+    if any(v is None for v in observe.values()):
+        raise RuntimeError(f"Observe has missing value(s): {observe}")
+    t0 = time.time()
+    if vi_steps is None:
+        vi_steps = 1500
+    if vi_particles is None:
+        vi_particles = 32
+    if guide is None:
+        guide = "meanfield"
+    if guide not in ("meanfield", "fullrank"):
+        raise ValueError(
+            f"guide must be 'meanfield' or 'fullrank', got {guide!r}"
+        )
+    if learning_rate is None:
+        learning_rate = 0.05
+
+    obs_arrays = {k: jnp.asarray(v, util.dtype()) for k, v in observe.items()}
+    results_only = getattr(map_func, "__name__", "") == "trace_result"
+    cacheable = not args and not kwargs
+    cache_key = (
+        id(model),
+        tuple(sorted(observe.keys())),
+        likelihood_importance,
+        guide,
+        int(vi_particles),
+        results_only,
+    )
+
+    try:
+        if cacheable and cache_key in _vi_cache:
+            built = _vi_cache[cache_key]
+        else:
+            built = _build_vi(
+                model,
+                obs_arrays,
+                likelihood_importance,
+                guide,
+                int(vi_particles),
+                results_only,
+                args,
+                kwargs,
+            )
+            if cacheable:
+                _vi_cache[cache_key] = built
+        fit_fn, draw_fn, init_fn, sites, dim = built
+
+        params0 = init_fn(util.next_key(), obs_arrays)
+        params, elbo_hist = fit_fn(
+            int(vi_steps),
+            float(learning_rate),
+            params0,
+            util.next_key(),
+            obs_arrays,
+        )
+        draw_keys = util.next_keys(num_traces)
+        if mesh is None and len(jax.devices()) > 1:
+            from ..parallel import data_parallel_mesh
+
+            mesh = data_parallel_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel import pad_to_multiple
+
+            n_pad = pad_to_multiple(num_traces, mesh.size)
+            draw_keys = util.next_keys(n_pad)
+            draw_keys = jax.device_put(
+                draw_keys, NamedSharding(mesh, P("dp"))
+            )
+        outputs, log_w = draw_fn(params, draw_keys, obs_arrays)
+        host = jax.device_get(outputs)
+        log_w = np.asarray(
+            jax.device_get(log_w), dtype=np.float64
+        )[:num_traces]
+        elbo_hist = np.asarray(jax.device_get(elbo_hist), dtype=np.float64)
+    except NotImplementedError:
+        raise
+    except (
+        jax.errors.ConcretizationTypeError,
+        jax.errors.TracerArrayConversionError,
+        jax.errors.TracerBoolConversionError,
+        jax.errors.TracerIntegerConversionError,
+    ) as e:
+        util.log_print(
+            f"[pyprob_tpu] model {model.name!r} is not jax-traceable "
+            f"({type(e).__name__}); VARIATIONAL_INFERENCE has no "
+            f"interpreter tier."
+        )
+        _TraceabilityCache.mark(model, False)
+        return None
+    _TraceabilityCache.mark(model, True)
+
+    final_elbo = float(elbo_hist[-1]) if len(elbo_hist) else float("nan")
+    # IS estimate of the marginal likelihood from the reweighted draws
+    with np.errstate(over="ignore"):
+        m = np.max(log_w)
+        log_evidence = float(
+            m + np.log(np.mean(np.exp(log_w - m)))
+        ) if np.isfinite(m) else float("-inf")
+
+    results_host = host["result"]
+    if results_only and file_name is None and isinstance(results_host, np.ndarray):
+        emp = Empirical.from_arrays(
+            np.asarray(results_host)[:num_traces], log_w
+        )
+    else:
+        from ..vectorized import _materialize_traces
+
+        emp = Empirical(file_name=file_name)
+        if map_func is None:
+            values = _materialize_traces(
+                sites, host, num_traces, None, results_host
+            )
+        elif results_only:
+            leaves, treedef = jax.tree_util.tree_flatten(results_host)
+            leaves = [np.asarray(l) for l in leaves]
+            values = [
+                jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
+                for i in range(num_traces)
+            ]
+        else:
+            values = [
+                map_func(t)
+                for t in _materialize_traces(
+                    sites, host, num_traces, None, results_host
+                )
+            ]
+        for v, lw in zip(values, log_w):
+            emp.add(v, log_weight=float(lw))
+        emp.finalize()
+
+    duration = time.time() - t0
+    emp.log_evidence = log_evidence
+    ess = float(emp.effective_sample_size)
+    emp.rename(
+        f"Posterior, VI ({guide}, D={dim}, {vi_steps} steps, "
+        f"ELBO {final_elbo:.3f}), IS-reweighted draws: {emp.length:,}, "
+        f"ESS: {ess:,.2f}"
+    )
+    emp.add_metadata(
+        op="posterior",
+        num_traces=num_traces,
+        inference_engine="InferenceEngine.VARIATIONAL_INFERENCE",
+        guide=guide,
+        latent_dim=dim,
+        vi_steps=int(vi_steps),
+        vi_particles=int(vi_particles),
+        learning_rate=float(learning_rate),
+        final_elbo=final_elbo,
+        log_evidence=log_evidence,
+        effective_sample_size=ess,
+        vectorized=True,
+    )
+    if util.verbosity() > 1:
+        util.log_print(
+            f"[VI] {guide} guide over {dim} latent dim(s): ELBO "
+            f"{final_elbo:.3f} after {vi_steps} steps, {emp.length:,} "
+            f"reweighted draws (ESS {ess:,.1f}) in {duration:.3f}s"
+        )
+    return emp
+
+
+def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
+              results_only, args, kwargs):
+    """Build (fit_fn, draw_fn, init_fn, sites, dim).
+
+    fit_fn(vi_steps, lr, params, key, obs) -> (params, elbo_history)
+    draw_fn(params, keys [N], obs) -> (decoded outputs, log_w [N])
+    init_fn(key, obs) -> initial guide params
+    """
+    sites_box = []
+
+    def fresh_single(key, obs):
+        outputs, handler = run_traced(
+            model,
+            key,
+            obs,
+            TraceMode.POSTERIOR,
+            InferenceEngine.IMPORTANCE_SAMPLING,
+            likelihood_importance=likelihood_importance,
+            args=args,
+            kwargs=kwargs,
+        )
+        if not sites_box:
+            sites_box.append(handler.sites)
+        return outputs
+
+    probe = jax.eval_shape(
+        lambda k, o: fresh_single(k, o), jax.random.PRNGKey(0), obs_arrays
+    )
+    sites = sites_box[0]
+    latent_addrs = [s.address for s in sites if s.control and not s.observed]
+    if not latent_addrs:
+        raise RuntimeError(
+            "VARIATIONAL_INFERENCE found no latent (controlled) sites"
+        )
+    for s in sites:
+        if s.address in latent_addrs:
+            dt = probe["values"][s.address].dtype
+            if not jnp.issubdtype(dt, jnp.floating):
+                raise NotImplementedError(
+                    f"VARIATIONAL_INFERENCE requires continuous sample "
+                    f"sites; {s.address} ({s.distribution_name}) has dtype "
+                    f"{dt} — use LMH/RMH instead."
+                )
+
+    # flat latent layout: ravel the z-tree once on abstract shapes
+    z_proto = {
+        a: jnp.zeros(probe["values"][a].shape, util.dtype())
+        for a in latent_addrs
+    }
+    z_flat_proto, unravel = ravel_pytree(z_proto)
+    dim = int(z_flat_proto.shape[0])
+    n_tril = dim * (dim - 1) // 2
+    tril_rows, tril_cols = np.tril_indices(dim, k=-1)
+
+    fixed_key = jax.random.PRNGKey(0)
+
+    def log_joint(z_vec, obs):
+        """log p(x(z), obs) + log|dx/dz| as a pure function of flat z."""
+        z = unravel(z_vec)
+        _, handler = _run_transformed(
+            model, fixed_key, obs, z, False, likelihood_importance,
+            args, kwargs,
+        )
+        return handler.log_prob_total + handler.logdet
+
+    def encode_single(key, obs):
+        out = fresh_single(key, obs)
+        x = {a: out["values"][a] for a in latent_addrs}
+        _, handler = _run_transformed(
+            model, fixed_key, obs, x, True, likelihood_importance,
+            args, kwargs,
+        )
+        z = {a: handler.z_values[a] for a in latent_addrs}
+        return ravel_pytree(z)[0]
+
+    def decode_single(z_vec, obs):
+        z = unravel(z_vec)
+        result, handler = _run_transformed(
+            model, fixed_key, obs, z, False, likelihood_importance,
+            args, kwargs,
+        )
+        out = {
+            "result": result,
+            "log_prob_total": handler.log_prob_total,
+            "log_importance_weight": handler.log_importance_weight,
+            "log_prob_observed": handler.log_prob_observed,
+            "values": {
+                s.address: v
+                for s, v in zip(handler.sites, handler.values)
+                if v is not None
+            },
+            "log_probs": {
+                s.address: lp
+                for s, lp in zip(handler.sites, handler.log_probs)
+                if lp is not None
+            },
+            "dist_leaves": {},
+        }
+        log_w_joint = handler.log_prob_total + handler.logdet
+        if results_only:
+            out = {
+                "result": out["result"],
+                "log_prob_total": out["log_prob_total"],
+            }
+        return out, log_w_joint
+
+    # ---- guide: sample z and its log-density from params -----------------
+    if guide == "meanfield":
+
+        def guide_sample(params, eps):
+            mu, log_sigma = params["mu"], params["log_sigma"]
+            return mu + jnp.exp(log_sigma) * eps
+
+        def guide_entropy(params):
+            return jnp.sum(params["log_sigma"]) + 0.5 * dim * (1.0 + _LOG_2PI)
+
+        def guide_log_prob(params, z_vec):
+            mu, log_sigma = params["mu"], params["log_sigma"]
+            r = (z_vec - mu) * jnp.exp(-log_sigma)
+            return -0.5 * jnp.sum(r * r) - jnp.sum(log_sigma) \
+                - 0.5 * dim * _LOG_2PI
+
+        def make_params(mu0):
+            return {
+                "mu": mu0,
+                "log_sigma": jnp.full((dim,), -1.0, util.dtype()),
+            }
+
+    else:  # fullrank
+
+        def _scale_tril(params):
+            L = jnp.zeros((dim, dim), util.dtype())
+            if n_tril:
+                L = L.at[tril_rows, tril_cols].set(params["tril"])
+            return L + jnp.diag(jnp.exp(params["log_diag"]))
+
+        def guide_sample(params, eps):
+            return params["mu"] + _scale_tril(params) @ eps
+
+        def guide_entropy(params):
+            return jnp.sum(params["log_diag"]) + 0.5 * dim * (1.0 + _LOG_2PI)
+
+        def guide_log_prob(params, z_vec):
+            L = _scale_tril(params)
+            r = jax.scipy.linalg.solve_triangular(
+                L, z_vec - params["mu"], lower=True
+            )
+            return -0.5 * jnp.sum(r * r) - jnp.sum(params["log_diag"]) \
+                - 0.5 * dim * _LOG_2PI
+
+        def make_params(mu0):
+            return {
+                "mu": mu0,
+                "log_diag": jnp.full((dim,), -1.0, util.dtype()),
+                "tril": jnp.zeros((n_tril,), util.dtype()),
+            }
+
+    @jax.jit
+    def init_fn(key, obs):
+        # initialize the guide mean at the encoded image of a prior draw
+        return make_params(encode_single(key, obs))
+
+    def neg_elbo(params, key, obs):
+        eps = jax.random.normal(key, (vi_particles, dim), util.dtype())
+        z = jax.vmap(lambda e: guide_sample(params, e))(eps)
+        lj = jax.vmap(lambda zv: log_joint(zv, obs))(z)
+        return -(jnp.mean(lj) + guide_entropy(params))
+
+    grad_neg_elbo = jax.value_and_grad(neg_elbo)
+
+    _fit_cache = {}
+
+    def fit_fn(vi_steps, lr, params, key, obs):
+        # compile one scan program per (vi_steps, lr) pair
+        sig = (int(vi_steps), float(lr))
+        if sig not in _fit_cache:
+            opt = optax.adam(float(lr))
+
+            def step(carry, k):
+                p, opt_state = carry
+                loss, g = grad_neg_elbo(p, k, obs_cell[0])
+                updates, opt_state = opt.update(g, opt_state, p)
+                p = optax.apply_updates(p, updates)
+                return (p, opt_state), -loss
+
+            def run(params, key, obs):
+                obs_cell[0] = obs
+                keys = jax.random.split(key, int(vi_steps))
+                (p, _), elbos = jax.lax.scan(
+                    step, (params, opt.init(params)), keys
+                )
+                return p, elbos
+
+            obs_cell = [None]
+            _fit_cache[sig] = jax.jit(run)
+        return _fit_cache[sig](params, key, obs)
+
+    def draw_one(params, key, obs):
+        eps = jax.random.normal(key, (dim,), util.dtype())
+        z_vec = guide_sample(params, eps)
+        out, log_w_joint = decode_single(z_vec, obs)
+        return out, log_w_joint - guide_log_prob(params, z_vec)
+
+    draw_fn = jax.jit(jax.vmap(draw_one, in_axes=(None, 0, None)))
+    return fit_fn, draw_fn, init_fn, sites, dim

@@ -252,25 +252,32 @@ class Model:
         return_chains=False,
         mesh=None,
         resample_threshold=0.5,
+        vi_steps=None,
+        vi_particles=None,
+        guide=None,
+        learning_rate=None,
         *args,
         **kwargs,
     ):
         """num_chains / burn_in / return_chains configure the compiled MCMC
         tier (vmapped parallel chains, pyprob_tpu.inference.mcmc);
         resample_threshold configures the SMC engines
-        (pyprob_tpu.inference.smc); mesh shards MCMC chains or SMC
-        particles over devices.  None of them apply to the
+        (pyprob_tpu.inference.smc); vi_steps / vi_particles / guide /
+        learning_rate configure the VARIATIONAL_INFERENCE engine
+        (pyprob_tpu.inference.vi); mesh shards MCMC chains, SMC particles
+        or VI draws over devices.  None of them apply to the
         reference-style sequential interpreter chain."""
         is_smc = inference_engine in (
             InferenceEngine.SEQUENTIAL_MONTE_CARLO,
             InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
         )
         is_hmc = inference_engine == InferenceEngine.HAMILTONIAN_MONTE_CARLO
-        # SMC/HMC exist only on the compiled tier (SMC has an interpreter
+        is_vi = inference_engine == InferenceEngine.VARIATIONAL_INFERENCE
+        # SMC/HMC/VI exist only on the compiled tier (SMC has an interpreter
         # fallback): attempt it regardless of the vectorized default, and
         # fail loudly when the model can't compile
         if self._use_vectorized(vectorized) or (
-            (is_smc or is_hmc) and vectorized is not False
+            (is_smc or is_hmc or is_vi) and vectorized is not False
         ):
             from .vectorized import vectorized_posterior
 
@@ -289,11 +296,21 @@ class Model:
                 return_chains=return_chains,
                 mesh=mesh,
                 resample_threshold=resample_threshold,
+                vi_steps=vi_steps,
+                vi_particles=vi_particles,
+                guide=guide,
+                learning_rate=learning_rate,
                 *args,
                 **kwargs,
             )
             if result is not None:
                 return result
+        if is_vi:
+            raise RuntimeError(
+                "VARIATIONAL_INFERENCE requires a jax-traceable model "
+                "(ELBO gradients need XLA); this model fell back to the "
+                "interpreter tier. Use LMH/RMH or SMC instead."
+            )
         if is_hmc:
             raise RuntimeError(
                 "HAMILTONIAN_MONTE_CARLO requires a jax-traceable model "

@@ -55,6 +55,10 @@ class InferenceEngine(enum.Enum):
     # latents (jax.grad through the replayed forward);
     # pyprob_tpu.inference.hmc
     HAMILTONIAN_MONTE_CARLO = 6
+    # Beyond parity: ADVI — Gaussian guide (meanfield/fullrank) fitted by
+    # reparameterized ELBO gradients in one compiled scan, posterior =
+    # importance-reweighted guide draws; pyprob_tpu.inference.vi
+    VARIATIONAL_INFERENCE = 7
 
 
 class InferenceNetwork(enum.Enum):

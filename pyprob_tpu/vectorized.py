@@ -853,12 +853,35 @@ def vectorized_posterior(
     return_chains=False,
     mesh=None,
     resample_threshold=0.5,
+    vi_steps=None,
+    vi_particles=None,
+    guide=None,
+    learning_rate=None,
     *args,
     **kwargs,
 ):
     """Vectorized posterior.  IS and IC run as full particle batches; MCMC
     engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc);
-    SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc)."""
+    SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc);
+    VI fits a Gaussian guide by ADVI (pyprob_tpu.inference.vi)."""
+    if inference_engine == InferenceEngine.VARIATIONAL_INFERENCE:
+        from .inference.vi import vectorized_vi_posterior
+
+        return vectorized_vi_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            vi_steps=vi_steps,
+            vi_particles=vi_particles,
+            guide=guide,
+            learning_rate=learning_rate,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
     if inference_engine == InferenceEngine.HAMILTONIAN_MONTE_CARLO:
         from .inference.hmc import vectorized_hmc_posterior
 
