@@ -16,8 +16,11 @@ through exp, with log-Jacobians folded into the potential.  Discrete
 sites are rejected with a pointer to LMH/RMH.
 
 The sampler runs C chains in lockstep (``vmap``) advanced by ``lax.scan``
-— one compiled dispatch for the entire run — with Robbins-Monro step-size
-adaptation toward a target acceptance rate during burn-in.
+— one compiled dispatch for the entire run — with Stan-style warmup:
+dual-averaging step-size adaptation (arXiv:1111.4246 §3.2) toward a
+target acceptance rate plus a diagonal mass matrix estimated by Welford
+accumulation over the middle warmup window, so ill-scaled posteriors are
+preconditioned automatically.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 
 from .. import state, util
 from ..util import TraceMode, InferenceEngine
@@ -180,9 +184,9 @@ def vectorized_hmc_posterior(
     num_chains=None,
     burn_in=None,
     thinning_steps=None,
-    leapfrog_steps=10,
-    target_accept=0.75,
-    step_size=0.1,
+    leapfrog_steps=None,
+    target_accept=None,
+    step_size=None,
     likelihood_importance=1.0,
     mesh=None,
     return_chains=False,
@@ -216,6 +220,12 @@ def vectorized_hmc_posterior(
         burn_in = 200
     if thinning_steps is None:
         thinning_steps = 1
+    if leapfrog_steps is None:
+        leapfrog_steps = 10
+    if target_accept is None:
+        target_accept = 0.75
+    if step_size is None:
+        step_size = 0.1
     keep_steps = -(-num_traces // num_chains) * thinning_steps
     total_steps = burn_in + keep_steps
 
@@ -373,13 +383,15 @@ def vectorized_hmc_posterior(
     return emp
 
 
-def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
-               target_accept, results_only, args, kwargs):
-    """Build (program, decode_fn, sites).
+def _functionalize(model, obs_arrays, likelihood_importance, results_only,
+                   engine_name, args, kwargs):
+    """Probe the model once and return flat-latent-vector closures shared
+    by the gradient-based engines (HMC / NUTS / VI):
 
-    program(init_keys [C], chain_keys [C], obs, burn_in, total_steps, eps0)
-      -> (z samples [T, C, ...] dict, mean acceptance, final step size)
-    decode_fn(z [S] dict, obs) -> outputs (result, values, log_probs, ...)
+    potential(z_vec [D], obs) -> -log p(x(z), obs) - log|dx/dz|
+    encode_single(key, obs)   -> z_vec of one fresh prior/IS draw
+    decode_single(z_vec, obs) -> outputs dict (result, values, log_probs…)
+    plus (dim, sites).
     """
     sites_box = []
 
@@ -408,17 +420,24 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
     ]
     if not latent_addrs:
         raise RuntimeError(
-            "HAMILTONIAN_MONTE_CARLO found no latent (controlled) sites"
+            f"{engine_name} found no latent (controlled) sites"
         )
     for s in sites:
         if s.address in latent_addrs:
             dt = probe["values"][s.address].dtype
             if not jnp.issubdtype(dt, jnp.floating):
                 raise NotImplementedError(
-                    f"HAMILTONIAN_MONTE_CARLO requires continuous sample "
+                    f"{engine_name} requires continuous sample "
                     f"sites; {s.address} ({s.distribution_name}) has dtype "
                     f"{dt} — use LMH/RMH instead."
                 )
+
+    z_proto = {
+        a: jnp.zeros(probe["values"][a].shape, util.dtype())
+        for a in latent_addrs
+    }
+    _, unravel = ravel_pytree(z_proto)
+    dim = int(ravel_pytree(z_proto)[0].shape[0])
 
     fixed_key = jax.random.PRNGKey(0)
 
@@ -429,21 +448,20 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
             model, fixed_key, obs, x, True, likelihood_importance,
             args, kwargs,
         )
-        return {a: handler.z_values[a] for a in latent_addrs}
+        z = {a: handler.z_values[a] for a in latent_addrs}
+        return ravel_pytree(z)[0]
 
-    def potential(z, obs):
+    def potential(z_vec, obs):
         _, handler = _run_transformed(
-            model, fixed_key, obs, z, False, likelihood_importance,
-            args, kwargs,
+            model, fixed_key, obs, unravel(z_vec), False,
+            likelihood_importance, args, kwargs,
         )
         return -(handler.log_prob_total + handler.logdet)
 
-    grad_potential = jax.grad(potential)
-
-    def decode_single(z, obs):
+    def decode_single(z_vec, obs):
         result, handler = _run_transformed(
-            model, fixed_key, obs, z, False, likelihood_importance,
-            args, kwargs,
+            model, fixed_key, obs, unravel(z_vec), False,
+            likelihood_importance, args, kwargs,
         )
         out = {
             "result": result,
@@ -466,56 +484,148 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
             out = {"result": out["result"], "log_prob_total": out["log_prob_total"]}
         return out
 
-    def momentum(key, like):
-        leaves, treedef = jax.tree_util.tree_flatten(like)
-        keys = jax.random.split(key, len(leaves))
-        return jax.tree_util.tree_unflatten(
-            treedef,
-            [
-                jax.random.normal(k, jnp.shape(l), util.dtype())
-                for k, l in zip(keys, leaves)
-            ],
-        )
+    return potential, encode_single, decode_single, dim, sites
 
-    def kinetic(p):
-        return sum(
-            jnp.sum(l * l) for l in jax.tree_util.tree_leaves(p)
-        ) * 0.5
+
+# dual-averaging constants (arXiv:1111.4246 §3.2, Stan defaults)
+_DA_GAMMA = 0.05
+_DA_T0 = 10.0
+_DA_KAPPA = 0.75
+
+
+def _da_init(eps0):
+    """(mu, log_eps, log_eps_bar, h_bar, m) dual-averaging state."""
+    log_eps0 = jnp.log(eps0)
+    return (
+        log_eps0 + jnp.log(10.0),
+        log_eps0,
+        log_eps0,
+        jnp.zeros((), util.dtype()),
+        jnp.zeros((), util.dtype()),
+    )
+
+
+def _da_update(da, alpha, target_accept):
+    mu, log_eps, log_eps_bar, h_bar, m = da
+    m = m + 1.0
+    h_bar = (1.0 - 1.0 / (m + _DA_T0)) * h_bar + (
+        target_accept - alpha
+    ) / (m + _DA_T0)
+    log_eps = mu - jnp.sqrt(m) / _DA_GAMMA * h_bar
+    w = m ** (-_DA_KAPPA)
+    log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+    return (mu, log_eps, log_eps_bar, h_bar, m)
+
+
+def _da_restart(da):
+    """Restart averaging around the current step size (after a mass-matrix
+    update the old average is for the wrong metric)."""
+    mu, log_eps, _, _, _ = da
+    return (
+        log_eps + jnp.log(10.0),
+        log_eps,
+        log_eps,
+        jnp.zeros((), util.dtype()),
+        jnp.zeros((), util.dtype()),
+    )
+
+
+def _welford_init(dim):
+    return (
+        jnp.zeros((), util.dtype()),
+        jnp.zeros((dim,), util.dtype()),
+        jnp.zeros((dim,), util.dtype()),
+    )
+
+
+def _welford_update(wf, z):
+    n, mean, m2 = wf
+    n = n + 1.0
+    delta = z - mean
+    mean = mean + delta / n
+    m2 = m2 + delta * (z - mean)
+    return (n, mean, m2)
+
+
+def _welford_variance(wf):
+    """Regularized sample variance (Stan's shrinkage toward 1e-3)."""
+    n, _, m2 = wf
+    var = m2 / jnp.maximum(n - 1.0, 1.0)
+    return jnp.where(
+        n > 1.0,
+        (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0)),
+        jnp.ones_like(var),
+    )
+
+
+def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
+               target_accept, results_only, args, kwargs):
+    """Build (program, decode_fn, sites).
+
+    program(init_keys [C], chain_keys [C], obs, burn_in, total_steps, eps0)
+      -> (z samples [T, C, D], mean acceptance, final step size)
+    decode_fn(z [S, D], obs) -> outputs (result, values, log_probs, ...)
+    """
+    potential, encode_single, decode_single, dim, sites = _functionalize(
+        model, obs_arrays, likelihood_importance, results_only,
+        "HAMILTONIAN_MONTE_CARLO", args, kwargs,
+    )
+    grad_potential = jax.grad(potential)
 
     def chain_step(carry, t):
-        z, u, log_eps, key, acc_sum = carry
+        z, u, g, da, inv_mass, wf, key, acc_sum = carry
+        obs = carry_obs[0]
+        burn_in = carry_burn_in[0]
         key, k_mom, k_acc = jax.random.split(key, 3)
-        eps = jnp.exp(log_eps)
-        p0 = momentum(k_mom, z)
+        # warmup uses the live step size; sampling uses the averaged one
+        eps = jnp.exp(jnp.where(t < burn_in, da[1], da[2]))
+        # p ~ N(0, M) with M^-1 = inv_mass (diagonal)
+        p0 = jax.random.normal(k_mom, (dim,), util.dtype()) / jnp.sqrt(
+            inv_mass
+        )
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(inv_mass * p * p)
 
         # leapfrog (static unroll; leapfrog_steps is small)
-        g = grad_potential(z, carry_obs[0])
-        p = jax.tree_util.tree_map(lambda a, b: a - 0.5 * eps * b, p0, g)
-        zl = z
+        p = p0 - 0.5 * eps * g
+        zl, gl = z, g
         for i in range(leapfrog_steps):
-            zl = jax.tree_util.tree_map(lambda a, b: a + eps * b, zl, p)
-            g = grad_potential(zl, carry_obs[0])
+            zl = zl + eps * inv_mass * p
+            gl = grad_potential(zl, obs)
             scale = 0.5 * eps if i == leapfrog_steps - 1 else eps
-            p = jax.tree_util.tree_map(
-                lambda a, b, s=scale: a - s * b, p, g
-            )
-        u_new = potential(zl, carry_obs[0])
+            p = p - scale * gl
+        u_new = potential(zl, obs)
         log_alpha = (u - u_new) + (kinetic(p0) - kinetic(p))
         log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
         accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
-        z = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, b, a), z, zl
-        )
+        z = jnp.where(accept, zl, z)
         u = jnp.where(accept, u_new, u)
-        # Robbins-Monro step-size adaptation during burn-in only
+        g = jnp.where(accept, gl, g)
         alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
-        adapting = t < carry_burn_in[0]
-        rate = 0.5 / jnp.sqrt(1.0 + t.astype(util.dtype()))
-        log_eps = jnp.where(
-            adapting, log_eps + rate * (alpha - target_accept), log_eps
+
+        # dual-averaging step-size adaptation during burn-in
+        adapting = t < burn_in
+        da_new = _da_update(da, alpha, target_accept)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(adapting, b, a), da, da_new
+        )
+        # Welford mass-matrix accumulation over the middle warmup window
+        win_start = burn_in // 4
+        win_end = (3 * burn_in) // 4
+        in_window = (t >= win_start) & (t < win_end)
+        wf_new = _welford_update(wf, z)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(in_window, b, a), wf, wf_new
+        )
+        # commit the mass matrix once at the window end, restart averaging
+        set_mass = t == win_end
+        inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
         )
         acc_sum = acc_sum + jnp.where(adapting, 0.0, alpha)
-        return (z, u, log_eps, key, acc_sum), z
+        return (z, u, g, da, inv_mass, wf, key, acc_sum), z
 
     # obs/burn_in threaded via closure boxes so chain_step stays a clean
     # scan body (they're constant across steps)
@@ -527,18 +637,27 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
         carry_burn_in[0] = burn_in
         z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
         u0 = jax.vmap(potential, in_axes=(0, None))(z0, obs)
+        g0 = jax.vmap(grad_potential, in_axes=(0, None))(z0, obs)
 
-        def one_chain(z, u, key):
-            (zf, uf, log_eps, _, acc_sum), zs = jax.lax.scan(
-                chain_step,
-                (z, u, jnp.log(eps0), key, jnp.zeros((), util.dtype())),
-                jnp.arange(_TOTAL[0]),
+        def one_chain(z, u, g, key):
+            carry0 = (
+                z,
+                u,
+                g,
+                _da_init(eps0),
+                jnp.ones((dim,), util.dtype()),
+                _welford_init(dim),
+                key,
+                jnp.zeros((), util.dtype()),
             )
-            return zs, acc_sum, jnp.exp(log_eps)
+            (_, _, _, da, _, _, _, acc_sum), zs = jax.lax.scan(
+                chain_step, carry0, jnp.arange(_TOTAL[0])
+            )
+            return zs, acc_sum, jnp.exp(da[2])
 
-        zs, acc_sums, final_eps = jax.vmap(one_chain)(z0, u0, chain_keys)
-        # zs: [C, T, ...] -> [T, C, ...]
-        zs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), zs)
+        zs, acc_sums, final_eps = jax.vmap(one_chain)(z0, u0, g0, chain_keys)
+        # zs: [C, T, D] -> [T, C, D]
+        zs = jnp.swapaxes(zs, 0, 1)
         post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
         accept_rate = jnp.mean(acc_sums) / post_steps
         return zs, accept_rate, jnp.mean(final_eps)

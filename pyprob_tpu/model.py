@@ -256,6 +256,9 @@ class Model:
         vi_particles=None,
         guide=None,
         learning_rate=None,
+        leapfrog_steps=None,
+        target_accept=None,
+        step_size=None,
         *args,
         **kwargs,
     ):
@@ -264,7 +267,9 @@ class Model:
         resample_threshold configures the SMC engines
         (pyprob_tpu.inference.smc); vi_steps / vi_particles / guide /
         learning_rate configure the VARIATIONAL_INFERENCE engine
-        (pyprob_tpu.inference.vi); mesh shards MCMC chains, SMC particles
+        (pyprob_tpu.inference.vi); leapfrog_steps / target_accept /
+        step_size configure HAMILTONIAN_MONTE_CARLO
+        (pyprob_tpu.inference.hmc); mesh shards MCMC chains, SMC particles
         or VI draws over devices.  None of them apply to the
         reference-style sequential interpreter chain."""
         is_smc = inference_engine in (
@@ -300,6 +305,9 @@ class Model:
                 vi_particles=vi_particles,
                 guide=guide,
                 learning_rate=learning_rate,
+                leapfrog_steps=leapfrog_steps,
+                target_accept=target_accept,
+                step_size=step_size,
                 *args,
                 **kwargs,
             )

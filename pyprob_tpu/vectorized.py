@@ -857,6 +857,9 @@ def vectorized_posterior(
     vi_particles=None,
     guide=None,
     learning_rate=None,
+    leapfrog_steps=None,
+    target_accept=None,
+    step_size=None,
     *args,
     **kwargs,
 ):
@@ -894,6 +897,9 @@ def vectorized_posterior(
             num_chains=num_chains,
             burn_in=burn_in,
             thinning_steps=thinning_steps,
+            leapfrog_steps=leapfrog_steps,
+            target_accept=target_accept,
+            step_size=step_size,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
             return_chains=return_chains,

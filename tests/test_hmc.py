@@ -38,7 +38,7 @@ def test_hmc_gum_posterior():
     assert abs(float(post.mean) - 7.25) < 0.1
     assert abs(float(post.stddev) - math.sqrt(1 / 1.2)) < 0.1
     md = post.metadata[-1]
-    # Robbins-Monro adaptation should land near the target
+    # dual-averaging adaptation should land near the target
     assert 0.5 < md["acceptance_rate"] <= 1.0
     assert md["final_step_size"] > 0
 
@@ -106,6 +106,37 @@ def test_hmc_positive_support():
     # cross-check the mean against a large vectorized-IS estimate
     ref = m.posterior_results(num_traces=100000, observe=obs, vectorized=True)
     assert abs(float(post.mean) - float(ref.mean)) < 0.1
+
+
+class TwoScale(pp.Model):
+    """Latent scales 100x apart: exercises the diagonal mass-matrix
+    (Welford) warmup — a single unpreconditioned step size cannot serve
+    both dimensions well."""
+
+    def forward(self):
+        import jax.numpy as jnp
+
+        a = pp.sample(Normal(0.0, 10.0))
+        b = pp.sample(Normal(0.0, 0.1))
+        pp.observe(Normal(a, 10.0), name="ya")
+        pp.observe(Normal(b, 0.1), name="yb")
+        return jnp.stack([a, b])
+
+
+def test_hmc_mass_matrix_two_scale():
+    post = TwoScale().posterior_results(
+        num_traces=20000,
+        observe={"ya": 6.0, "yb": 0.12},
+        inference_engine=HMC,
+        burn_in=400,
+    )
+    mean = np.asarray(post.mean, dtype=np.float64)
+    std = np.asarray(post.stddev, dtype=np.float64)
+    # analytic: a|ya ~ N(3, 50), b|yb ~ N(0.06, 0.005)
+    assert abs(mean[0] - 3.0) < 0.5
+    assert abs(mean[1] - 0.06) < 0.02
+    assert abs(std[0] - math.sqrt(50.0)) < 0.6
+    assert abs(std[1] - math.sqrt(0.005)) < 0.01
 
 
 def test_hmc_sharded_over_mesh():
