@@ -13,4 +13,8 @@ def __getattr__(name):
         from .hmc import vectorized_hmc_posterior
 
         return vectorized_hmc_posterior
+    if name == "vectorized_nuts_posterior":
+        from .nuts import vectorized_nuts_posterior
+
+        return vectorized_nuts_posterior
     raise AttributeError(name)

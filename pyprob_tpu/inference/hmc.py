@@ -197,12 +197,73 @@ def vectorized_hmc_posterior(
     dispatch.  Returns an Empirical of ``num_traces`` (uniform-weight)
     samples with acceptance-rate metadata, or None if the model is not
     jax-traceable (HMC has no interpreter tier — gradients need XLA)."""
+    if leapfrog_steps is None:
+        leapfrog_steps = 10
+    if target_accept is None:
+        target_accept = 0.75
+    return _gradient_mcmc_posterior(
+        model=model,
+        engine_name="HAMILTONIAN_MONTE_CARLO",
+        engine_label="HMC",
+        builder=lambda obs_arrays, results_only: _build_hmc(
+            model,
+            obs_arrays,
+            likelihood_importance,
+            int(leapfrog_steps),
+            float(target_accept),
+            results_only,
+            args,
+            kwargs,
+        ),
+        builder_cache=_hmc_cache,
+        cache_key_extra=(int(leapfrog_steps), float(target_accept)),
+        metadata_extra={"leapfrog_steps": int(leapfrog_steps)},
+        num_traces=num_traces,
+        observe=observe,
+        map_func=map_func,
+        file_name=file_name,
+        num_chains=num_chains,
+        burn_in=burn_in,
+        thinning_steps=thinning_steps,
+        step_size=step_size,
+        likelihood_importance=likelihood_importance,
+        mesh=mesh,
+        return_chains=return_chains,
+        args=args,
+        kwargs=kwargs,
+    )
+
+
+def _gradient_mcmc_posterior(
+    model,
+    engine_name,
+    engine_label,
+    builder,
+    builder_cache,
+    cache_key_extra,
+    metadata_extra,
+    num_traces,
+    observe,
+    map_func,
+    file_name,
+    num_chains,
+    burn_in,
+    thinning_steps,
+    step_size,
+    likelihood_importance,
+    mesh,
+    return_chains,
+    args,
+    kwargs,
+):
+    """Shared driver for the gradient-based chain engines (HMC, NUTS):
+    resolve chain geometry, run the compiled program (which returns kept
+    unconstrained samples plus a stats dict), decode, and materialize an
+    Empirical (or per-chain Empiricals for ``return_chains``)."""
     if _TraceabilityCache.known_untraceable(model):
         return None
     if not observe:
-        raise RuntimeError(
-            "HAMILTONIAN_MONTE_CARLO requires observe={...} values"
-        )
+        raise RuntimeError(f"{engine_name} requires observe={{...}} values")
     if any(v is None for v in observe.values()):
         raise RuntimeError(f"Observe has missing value(s): {observe}")
     t0 = time.time()
@@ -220,10 +281,6 @@ def vectorized_hmc_posterior(
         burn_in = 200
     if thinning_steps is None:
         thinning_steps = 1
-    if leapfrog_steps is None:
-        leapfrog_steps = 10
-    if target_accept is None:
-        target_accept = 0.75
     if step_size is None:
         step_size = 0.1
     keep_steps = -(-num_traces // num_chains) * thinning_steps
@@ -238,27 +295,16 @@ def vectorized_hmc_posterior(
         id(model),
         tuple(sorted(observe.keys())),
         likelihood_importance,
-        int(leapfrog_steps),
-        float(target_accept),
         results_only,
-    )
+    ) + tuple(cache_key_extra)
 
     try:
-        if cacheable and cache_key in _hmc_cache:
-            program, decode_fn, sites = _hmc_cache[cache_key]
+        if cacheable and cache_key in builder_cache:
+            program, decode_fn, sites = builder_cache[cache_key]
         else:
-            program, decode_fn, sites = _build_hmc(
-                model,
-                obs_arrays,
-                likelihood_importance,
-                leapfrog_steps,
-                target_accept,
-                results_only,
-                args,
-                kwargs,
-            )
+            program, decode_fn, sites = builder(obs_arrays, results_only)
             if cacheable:
-                _hmc_cache[cache_key] = program, decode_fn, sites
+                builder_cache[cache_key] = program, decode_fn, sites
 
         init_keys = util.next_keys(num_chains)
         chain_keys = util.next_keys(num_chains)
@@ -268,7 +314,7 @@ def vectorized_hmc_posterior(
             shard = NamedSharding(mesh, P("dp"))
             init_keys = jax.device_put(init_keys, shard)
             chain_keys = jax.device_put(chain_keys, shard)
-        z_samples, accept_rate, final_eps = program(
+        z_samples, stats = program(
             init_keys,
             chain_keys,
             obs_arrays,
@@ -287,7 +333,7 @@ def vectorized_hmc_posterior(
         )
         outputs = decode_fn(z_kept, obs_arrays)
         host = jax.device_get(outputs)
-        accept_rate = float(jax.device_get(accept_rate))
+        stats = {k: float(v) for k, v in jax.device_get(stats).items()}
     except NotImplementedError:
         raise
     except (
@@ -298,11 +344,12 @@ def vectorized_hmc_posterior(
     ) as e:
         util.log_print(
             f"[pyprob_tpu] model {model.name!r} is not jax-traceable "
-            f"({type(e).__name__}); HMC has no interpreter tier."
+            f"({type(e).__name__}); {engine_label} has no interpreter tier."
         )
         _TraceabilityCache.mark(model, False)
         return None
     _TraceabilityCache.mark(model, True)
+    accept_rate = stats["acceptance_rate"]
 
     if return_chains:
         # one Empirical of kept result values per chain (step-major
@@ -359,26 +406,31 @@ def vectorized_hmc_posterior(
 
     duration = time.time() - t0
     emp.rename(
-        f"Posterior, HMC (compiled, {num_chains} chains), samples: "
-        f"{emp.length:,}, acceptance: {accept_rate:.2f}"
+        f"Posterior, {engine_label} (compiled, {num_chains} chains), "
+        f"samples: {emp.length:,}, acceptance: {accept_rate:.2f}"
     )
     emp.add_metadata(
         op="posterior",
         num_traces=num_traces,
-        inference_engine="InferenceEngine.HAMILTONIAN_MONTE_CARLO",
+        inference_engine=f"InferenceEngine.{engine_name}",
         num_chains=num_chains,
         burn_in=burn_in,
         thinning_steps=thinning_steps,
-        leapfrog_steps=leapfrog_steps,
         acceptance_rate=accept_rate,
-        final_step_size=float(jax.device_get(final_eps)),
+        final_step_size=stats["final_step_size"],
         vectorized=True,
+        **metadata_extra,
+        **{
+            k: v
+            for k, v in stats.items()
+            if k not in ("acceptance_rate", "final_step_size")
+        },
     )
     if util.verbosity() > 1:
         util.log_print(
-            f"[HMC] {emp.length:,} samples ({num_chains} chains x "
-            f"{total_steps} steps, L={leapfrog_steps}) in {duration:.3f}s, "
-            f"acceptance {accept_rate:.2f}"
+            f"[{engine_label}] {emp.length:,} samples ({num_chains} chains "
+            f"x {total_steps} steps) in {duration:.3f}s, acceptance "
+            f"{accept_rate:.2f}"
         )
     return emp
 
@@ -660,7 +712,10 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
         zs = jnp.swapaxes(zs, 0, 1)
         post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
         accept_rate = jnp.mean(acc_sums) / post_steps
-        return zs, accept_rate, jnp.mean(final_eps)
+        return zs, {
+            "acceptance_rate": accept_rate,
+            "final_step_size": jnp.mean(final_eps),
+        }
 
     # scan length must be static: close over it per (total_steps) value
     _TOTAL = [None]

@@ -259,6 +259,7 @@ class Model:
         leapfrog_steps=None,
         target_accept=None,
         step_size=None,
+        max_tree_depth=None,
         *args,
         **kwargs,
     ):
@@ -269,18 +270,23 @@ class Model:
         learning_rate configure the VARIATIONAL_INFERENCE engine
         (pyprob_tpu.inference.vi); leapfrog_steps / target_accept /
         step_size configure HAMILTONIAN_MONTE_CARLO
-        (pyprob_tpu.inference.hmc); mesh shards MCMC chains, SMC particles
+        (pyprob_tpu.inference.hmc) and max_tree_depth / target_accept /
+        step_size NO_U_TURN_SAMPLER (pyprob_tpu.inference.nuts); mesh
+        shards MCMC chains, SMC particles
         or VI draws over devices.  None of them apply to the
         reference-style sequential interpreter chain."""
         is_smc = inference_engine in (
             InferenceEngine.SEQUENTIAL_MONTE_CARLO,
             InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
         )
-        is_hmc = inference_engine == InferenceEngine.HAMILTONIAN_MONTE_CARLO
+        is_hmc = inference_engine in (
+            InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+            InferenceEngine.NO_U_TURN_SAMPLER,
+        )
         is_vi = inference_engine == InferenceEngine.VARIATIONAL_INFERENCE
-        # SMC/HMC/VI exist only on the compiled tier (SMC has an interpreter
-        # fallback): attempt it regardless of the vectorized default, and
-        # fail loudly when the model can't compile
+        # SMC/HMC/NUTS/VI exist only on the compiled tier (SMC has an
+        # interpreter fallback): attempt it regardless of the vectorized
+        # default, and fail loudly when the model can't compile
         if self._use_vectorized(vectorized) or (
             (is_smc or is_hmc or is_vi) and vectorized is not False
         ):
@@ -308,6 +314,7 @@ class Model:
                 leapfrog_steps=leapfrog_steps,
                 target_accept=target_accept,
                 step_size=step_size,
+                max_tree_depth=max_tree_depth,
                 *args,
                 **kwargs,
             )
@@ -321,7 +328,7 @@ class Model:
             )
         if is_hmc:
             raise RuntimeError(
-                "HAMILTONIAN_MONTE_CARLO requires a jax-traceable model "
+                f"{inference_engine.name} requires a jax-traceable model "
                 "(gradients need XLA); this model fell back to the "
                 "interpreter tier. Use LMH/RMH or SMC instead."
             )

@@ -59,6 +59,10 @@ class InferenceEngine(enum.Enum):
     # reparameterized ELBO gradients in one compiled scan, posterior =
     # importance-reweighted guide draws; pyprob_tpu.inference.vi
     VARIATIONAL_INFERENCE = 7
+    # Beyond parity: NUTS (arXiv:1111.4246) — HMC with dynamic trajectory
+    # lengths (iterative doubling + multinomial leaf sampling), Stan-style
+    # warmup; pyprob_tpu.inference.nuts
+    NO_U_TURN_SAMPLER = 8
 
 
 class InferenceNetwork(enum.Enum):

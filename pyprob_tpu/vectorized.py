@@ -860,6 +860,7 @@ def vectorized_posterior(
     leapfrog_steps=None,
     target_accept=None,
     step_size=None,
+    max_tree_depth=None,
     *args,
     **kwargs,
 ):
@@ -882,6 +883,27 @@ def vectorized_posterior(
             learning_rate=learning_rate,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
+    if inference_engine == InferenceEngine.NO_U_TURN_SAMPLER:
+        from .inference.nuts import vectorized_nuts_posterior
+
+        return vectorized_nuts_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            num_chains=num_chains,
+            burn_in=burn_in,
+            thinning_steps=thinning_steps,
+            max_tree_depth=max_tree_depth,
+            target_accept=target_accept,
+            step_size=step_size,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            return_chains=return_chains,
             args=args,
             kwargs=kwargs,
         )
