@@ -532,10 +532,10 @@ def gelman_rubin(trace_dists, names=None, iters=None, n_most_frequent=50, figsiz
     return iters, result
 
 
-def gelman_rubin_values(chains, iters=None):
-    """R-hat evolution over chains of scalar *values* (e.g. the per-chain
-    Empiricals from vectorized MCMC with return_chains=True), as opposed to
-    ``gelman_rubin`` which extracts variables from trace-valued chains."""
+def _chain_matrix(chains):
+    """Stack chains of scalar values (per-chain Empiricals from vectorized
+    MCMC with return_chains=True, or plain arrays) into an [M, N] float64
+    matrix, truncating to the shortest chain."""
     series = []
     for c in chains:
         if isinstance(c, Empirical):
@@ -547,7 +547,15 @@ def gelman_rubin_values(chains, iters=None):
         else:
             series.append(np.asarray(c, dtype=np.float64).reshape(-1))
     length = min(len(s) for s in series)
-    stacked = np.stack([s[:length] for s in series])
+    return np.stack([s[:length] for s in series])
+
+
+def gelman_rubin_values(chains, iters=None):
+    """R-hat evolution over chains of scalar *values* (e.g. the per-chain
+    Empiricals from vectorized MCMC with return_chains=True), as opposed to
+    ``gelman_rubin`` which extracts variables from trace-valued chains."""
+    stacked = _chain_matrix(chains)
+    length = stacked.shape[1]
     if iters is None:
         iters = np.unique(
             np.logspace(1, math.log10(max(length, 11)), 25).astype(int)
@@ -555,6 +563,112 @@ def gelman_rubin_values(chains, iters=None):
         iters = iters[iters <= length]
     rhats = np.asarray([_r_hat(stacked[:, :it]) for it in iters])
     return iters, rhats
+
+
+# ---- modern convergence diagnostics (Vehtari et al. 2021, -------------
+# ---- "Rank-normalization, folding, and localization") -----------------
+# Beyond parity: the reference ships only classic Gelman-Rubin R-hat
+# (diagnostics.py:784-873) and plain autocorrelation.
+
+
+def _split_halves(x):
+    """[M, N] -> [2M, N//2]: split each chain into halves so within-chain
+    trends register as between-chain variance."""
+    n = x.shape[1] // 2
+    return np.concatenate([x[:, :n], x[:, n : 2 * n]], axis=0)
+
+
+def _rank_normal(x):
+    """Average-tied ranks over all pooled draws mapped through the normal
+    quantile function (Blom offsets)."""
+    from scipy.stats import rankdata
+    from scipy.special import ndtri
+
+    r = rankdata(x, axis=None).reshape(x.shape)
+    s = x.size
+    return ndtri((r - 3.0 / 8.0) / (s + 1.0 / 4.0))
+
+
+def _base_rhat(x):
+    """Plain split-free R-hat of an [M, N] matrix."""
+    m, n = x.shape
+    chain_means = x.mean(axis=1)
+    w = x.var(axis=1, ddof=1).mean()
+    b = n * chain_means.var(ddof=1)
+    var_hat = (n - 1) / n * w + b / n
+    if w <= 0:
+        return 1.0
+    return float(np.sqrt(var_hat / w))
+
+
+def split_rhat(chains):
+    """Rank-normalized split-R-hat: max of the rank-normalized R-hat of
+    the draws and of the draws folded about the median (catches both
+    location and scale disagreements; < 1.01 indicates convergence).
+    Accepts the same chain inputs as ``gelman_rubin_values``."""
+    x = _chain_matrix(chains)
+    if x.shape[1] < 4:
+        raise ValueError("split_rhat needs chains of length >= 4")
+    z = _rank_normal(_split_halves(x))
+    folded = _rank_normal(_split_halves(np.abs(x - np.median(x))))
+    return max(_base_rhat(z), _base_rhat(folded))
+
+
+def _ess_geyer(x):
+    """ESS of an [M, N] matrix via the multi-chain autocorrelation
+    estimate with Geyer's initial monotone positive sequence."""
+    m, n = x.shape
+    if n < 4:
+        return float("nan")
+    chain_vars = x.var(axis=1, ddof=1)
+    w = chain_vars.mean()
+    b_over_n = x.mean(axis=1).var(ddof=1) if m > 1 else 0.0
+    var_hat = (n - 1) / n * w + b_over_n
+    if var_hat <= 0 or w <= 0:
+        return float(m * n)
+    # per-chain autocovariance via FFT
+    xc = x - x.mean(axis=1, keepdims=True)
+    size = 2 ** int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, size, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), size, axis=1)[:, :n].real / n
+    mean_acov = acov.mean(axis=0)
+    rho = 1.0 - (w - mean_acov) / var_hat
+    rho[0] = 1.0
+    # Geyer: pair sums G_k = rho[2k] + rho[2k+1] are positive for
+    # reversible chains — keep while positive, enforce monotone decay
+    pair_sums = []
+    t = 0
+    while t + 1 < n:
+        p = rho[t] + rho[t + 1]
+        if p <= 0:
+            break
+        pair_sums.append(p)
+        t += 2
+    running_min = np.inf
+    s = 0.0
+    for p in pair_sums:
+        running_min = min(running_min, p)
+        s += running_min
+    tau = max(-1.0 + 2.0 * s, 1e-8)
+    return float(m * n / tau)
+
+
+def effective_sample_size_chains(chains, kind="bulk"):
+    """Bulk or tail effective sample size across MCMC chains.
+
+    ``bulk``: ESS of the rank-normalized split draws (mixing in the body
+    of the distribution).  ``tail``: minimum of the ESS of the 5% and 95%
+    quantile exceedance indicators (reliability of tail quantiles).
+    Accepts the same chain inputs as ``gelman_rubin_values``."""
+    x = _chain_matrix(chains)
+    if kind == "bulk":
+        return _ess_geyer(_rank_normal(_split_halves(x)))
+    if kind == "tail":
+        lo, hi = np.quantile(x, [0.05, 0.95])
+        ess_lo = _ess_geyer(_split_halves((x <= lo).astype(np.float64)))
+        ess_hi = _ess_geyer(_split_halves((x >= hi).astype(np.float64)))
+        return min(ess_lo, ess_hi)
+    raise ValueError(f"kind must be 'bulk' or 'tail', got {kind!r}")
 
 
 def jensen_shannon(trace_dist_p, trace_dist_q, names=None, n_most_frequent=50, bins=50, plot=False, plot_show=False, file_name=None, **kwargs):

@@ -156,3 +156,61 @@ def test_network_report():
     report = diagnostics.network(m._inference_network)
     assert "Total parameters" in report
     assert "Total train traces" in report
+
+
+def test_split_rhat_and_ess_synthetic():
+    """Rank-normalized split-R-hat + bulk/tail ESS (Vehtari et al. 2021)
+    on synthetic chains with known behavior."""
+    rng = np.random.default_rng(0)
+    M, N = 4, 4000
+    iid = rng.normal(size=(M, N))
+    assert abs(diagnostics.split_rhat(iid) - 1.0) < 0.01
+    bulk = diagnostics.effective_sample_size_chains(iid, "bulk")
+    tail = diagnostics.effective_sample_size_chains(iid, "tail")
+    assert 0.8 * M * N < bulk < 1.2 * M * N
+    assert 0.8 * M * N < tail < 1.2 * M * N
+
+    # AR(1) phi=0.9: ESS ~ MN(1-phi)/(1+phi)
+    phi = 0.9
+    ar = np.zeros((M, N))
+    for m in range(M):
+        x = 0.0
+        for t in range(N):
+            x = phi * x + rng.normal() * math.sqrt(1 - phi**2)
+            ar[m, t] = x
+    expected = M * N * (1 - phi) / (1 + phi)
+    assert 0.5 * expected < diagnostics.effective_sample_size_chains(ar) < 2.0 * expected
+
+    # location, scale, and trend pathologies must all push R-hat > 1.01
+    shifted = iid.copy()
+    shifted[0] += 3.0
+    assert diagnostics.split_rhat(shifted) > 1.05
+    scale = iid.copy()
+    scale[0] *= 0.1  # folding catches scale-stuck chains
+    assert diagnostics.split_rhat(scale) > 1.05
+    trend = iid.copy()
+    trend[1] += np.linspace(-2, 2, N)  # splitting catches trends
+    assert diagnostics.split_rhat(trend) > 1.05
+
+
+def test_split_rhat_on_nuts_chains():
+    """Integration: NUTS return_chains feed the modern diagnostics."""
+    class GUM3(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(1.0, math.sqrt(5.0)))
+            lik = Normal(mu, math.sqrt(2.0))
+            pp.observe(lik, name="obs0")
+            pp.observe(lik, name="obs1")
+            return mu
+
+    chains = GUM3().posterior_results(
+        num_traces=4000,
+        observe={"obs0": 8.0, "obs1": 9.0},
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER,
+        num_chains=4,
+        burn_in=200,
+        return_chains=True,
+    )
+    assert diagnostics.split_rhat(chains) < 1.05
+    assert diagnostics.effective_sample_size_chains(chains, "bulk") > 500
+    assert diagnostics.effective_sample_size_chains(chains, "tail") > 200
