@@ -17,4 +17,8 @@ def __getattr__(name):
         from .nuts import vectorized_nuts_posterior
 
         return vectorized_nuts_posterior
+    if name == "vectorized_pt_posterior":
+        from .pt import vectorized_pt_posterior
+
+        return vectorized_pt_posterior
     raise AttributeError(name)

@@ -443,7 +443,9 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
     potential(z_vec [D], obs) -> -log p(x(z), obs) - log|dx/dz|
     encode_single(key, obs)   -> z_vec of one fresh prior/IS draw
     decode_single(z_vec, obs) -> outputs dict (result, values, log_probs…)
-    plus (dim, sites).
+    plus (dim, sites, unravel) — unravel maps the flat vector back to the
+    per-address dict (used by engines that need the replay handler's
+    separate density components, e.g. parallel tempering).
     """
     sites_box = []
 
@@ -536,7 +538,7 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             out = {"result": out["result"], "log_prob_total": out["log_prob_total"]}
         return out
 
-    return potential, encode_single, decode_single, dim, sites
+    return potential, encode_single, decode_single, dim, sites, unravel
 
 
 # dual-averaging constants (arXiv:1111.4246 §3.2, Stan defaults)
@@ -618,7 +620,7 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
       -> (z samples [T, C, D], mean acceptance, final step size)
     decode_fn(z [S, D], obs) -> outputs (result, values, log_probs, ...)
     """
-    potential, encode_single, decode_single, dim, sites = _functionalize(
+    potential, encode_single, decode_single, dim, sites, _ = _functionalize(
         model, obs_arrays, likelihood_importance, results_only,
         "HAMILTONIAN_MONTE_CARLO", args, kwargs,
     )

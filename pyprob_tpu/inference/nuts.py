@@ -126,7 +126,7 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
     program(init_keys [C], chain_keys [C], obs, burn_in, total_steps, eps0)
       -> (z samples [T, C, D], stats dict)
     """
-    potential, encode_single, decode_single, dim, sites = _functionalize(
+    potential, encode_single, decode_single, dim, sites, _ = _functionalize(
         model, obs_arrays, likelihood_importance, results_only,
         "NO_U_TURN_SAMPLER", args, kwargs,
     )

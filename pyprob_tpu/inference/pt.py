@@ -1,0 +1,349 @@
+"""Parallel tempering (replica exchange) over the program's continuous
+latent sites.
+
+Beyond parity: none of the reference's engines (pyprob/util.py:49-53)
+can mix between separated posterior modes — single-site MH random walks
+and (our) HMC/NUTS gradients both stay inside the mode basin they start
+in.  Parallel tempering runs K replicas of the chain against a ladder of
+tempered targets
+
+    pi_k(z)  ∝  prior(z) · likelihood(z)^beta_k ,   0 = beta_0 < ... < beta_{K-1} = 1
+
+and periodically proposes swapping configurations between adjacent
+temperatures (accepted w.p. min(1, exp((beta_i - beta_j)(L_j - L_i)))
+where L = log-likelihood).  Hot replicas (small beta) see a nearly-flat
+likelihood and roam freely between modes; swap moves transport those
+jumps down the ladder to the cold beta=1 replica, whose samples are the
+posterior draws.
+
+TPU mapping: a whole ensemble of K replicas advances in lockstep — the
+within-replica HMC move is ``vmap``ed over the temperature axis, the
+even/odd alternating swap sweep is a gather/scatter on the replica
+arrays, C independent ensembles are ``vmap``ed on top and sharded over
+the mesh, and the full run is ONE compiled dispatch.  Each replica
+adapts its own step size (dual averaging) and diagonal mass matrix
+(windowed Welford) against its own tempered target.
+
+Discrete sites and untraceable models are rejected with pointers to
+LMH/RMH (PT has no interpreter tier — gradients need XLA).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import util
+from .hmc import (
+    _functionalize,
+    _gradient_mcmc_posterior,
+    _run_transformed,
+    _da_init,
+    _da_update,
+    _da_restart,
+    _welford_init,
+    _welford_update,
+    _welford_variance,
+)
+
+_pt_cache = {}
+
+
+def vectorized_pt_posterior(
+    model,
+    num_traces,
+    observe=None,
+    map_func=None,
+    file_name=None,
+    num_chains=None,
+    burn_in=None,
+    thinning_steps=None,
+    num_temperatures=None,
+    leapfrog_steps=None,
+    target_accept=None,
+    step_size=None,
+    likelihood_importance=1.0,
+    mesh=None,
+    return_chains=False,
+    args=(),
+    kwargs=None,
+):
+    """Parallel-tempering posterior: C vmapped ensembles x K tempered
+    replicas x scanned transitions, one compiled dispatch.  Returns an
+    Empirical of the cold (beta=1) replicas' samples with acceptance and
+    swap-rate metadata, or None if the model is not jax-traceable."""
+    if num_temperatures is None:
+        num_temperatures = 8
+    if leapfrog_steps is None:
+        leapfrog_steps = 10
+    if target_accept is None:
+        target_accept = 0.75
+    if num_chains is None:
+        # ensembles cost K replica moves per kept sample — default to
+        # fewer, longer chains than plain HMC
+        num_chains = int(min(max(1, num_traces // 1024), 256))
+    return _gradient_mcmc_posterior(
+        model=model,
+        engine_name="PARALLEL_TEMPERING",
+        engine_label="PT",
+        builder=lambda obs_arrays, results_only: _build_pt(
+            model,
+            obs_arrays,
+            likelihood_importance,
+            int(num_temperatures),
+            int(leapfrog_steps),
+            float(target_accept),
+            results_only,
+            args,
+            kwargs,
+        ),
+        builder_cache=_pt_cache,
+        cache_key_extra=(
+            int(num_temperatures),
+            int(leapfrog_steps),
+            float(target_accept),
+        ),
+        metadata_extra={
+            "num_temperatures": int(num_temperatures),
+            "leapfrog_steps": int(leapfrog_steps),
+        },
+        num_traces=num_traces,
+        observe=observe,
+        map_func=map_func,
+        file_name=file_name,
+        num_chains=num_chains,
+        burn_in=burn_in,
+        thinning_steps=thinning_steps,
+        step_size=step_size,
+        likelihood_importance=likelihood_importance,
+        mesh=mesh,
+        return_chains=return_chains,
+        args=args,
+        kwargs=kwargs,
+    )
+
+
+def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
+              leapfrog_steps, target_accept, results_only, args, kwargs):
+    """Build (program, decode_fn, sites) for the shared driver."""
+    potential, encode_single, decode_single, dim, sites, unravel = (
+        _functionalize(
+            model, obs_arrays, likelihood_importance, results_only,
+            "PARALLEL_TEMPERING", args, kwargs,
+        )
+    )
+    f32 = util.dtype()
+    K = num_temperatures
+    # quadratic ladder: dense near beta=1 where the target changes fastest
+    betas = jnp.asarray(
+        [(k / (K - 1)) ** 2 for k in range(K)], f32
+    )
+
+    def potential_parts(z_vec, obs):
+        """(U_prior = -(log prior + log|J|), U_lik = -log likelihood) —
+        the replay handler exposes the components hmc.potential sums."""
+        _, handler = _run_transformed(
+            model, jax.random.PRNGKey(0), obs, unravel(z_vec), False,
+            likelihood_importance, args, kwargs,
+        )
+        u_lik = -handler.log_prob_observed
+        u_prior = -(
+            handler.log_prob_total
+            - handler.log_prob_observed
+            + handler.logdet
+        )
+        return u_prior, u_lik
+
+    def pot_beta(z_vec, beta, obs):
+        u_pr, u_l = potential_parts(z_vec, obs)
+        return u_pr + beta * u_l, (u_pr, u_l)
+
+    grad_pot_beta = jax.value_and_grad(pot_beta, has_aux=True)
+
+    def replica_hmc_move(z, u_pr, u_l, g, beta, da, inv_mass, key, t,
+                         burn_in, obs):
+        """One HMC transition against the beta-tempered target."""
+        k_mom, k_acc = jax.random.split(key)
+        eps = jnp.exp(jnp.where(t < burn_in, da[1], da[2]))
+        p0 = jax.random.normal(k_mom, (dim,), f32) / jnp.sqrt(inv_mass)
+
+        def kinetic(p):
+            return 0.5 * jnp.sum(inv_mass * p * p)
+
+        u = u_pr + beta * u_l
+        p = p0 - 0.5 * eps * g
+        zl, gl = z, g
+        u_pr_l, u_l_l = u_pr, u_l
+        for i in range(leapfrog_steps):
+            zl = zl + eps * inv_mass * p
+            (unused, (u_pr_l, u_l_l)), gl = grad_pot_beta(zl, beta, obs)
+            scale = 0.5 * eps if i == leapfrog_steps - 1 else eps
+            p = p - scale * gl
+        u_new = u_pr_l + beta * u_l_l
+        log_alpha = (u - u_new) + (kinetic(p0) - kinetic(p))
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        accept = jnp.log(jax.random.uniform(k_acc, (), f32)) < log_alpha
+        z = jnp.where(accept, zl, z)
+        g = jnp.where(accept, gl, g)
+        u_pr = jnp.where(accept, u_pr_l, u_pr)
+        u_l = jnp.where(accept, u_l_l, u_l)
+        alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
+        return z, u_pr, u_l, g, alpha
+
+    def chain_step(carry, t):
+        """One ensemble transition: K replica HMC moves + one alternating
+        swap sweep.  Z [K, D]; U_pr, U_l [K]; G [K, D]; per-replica
+        adaptation states."""
+        (Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
+         swap_n) = carry
+        obs = carry_obs[0]
+        burn_in = carry_burn_in[0]
+        key, k_moves, k_swap = jax.random.split(key, 3)
+        move_keys = jax.random.split(k_moves, K)
+
+        Z, U_pr, U_l, G, alphas = jax.vmap(
+            replica_hmc_move,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
+        )(Z, U_pr, U_l, G, betas, da, inv_mass, move_keys, t, burn_in, obs)
+
+        # ---- even/odd alternating swap sweep ------------------------
+        # pairs (k, k+1) with k ≡ t (mod 2); acceptance
+        # log a = (beta_k - beta_{k+1}) (U_l[k] - U_l[k+1])
+        ks = jnp.arange(K - 1)
+        active = (ks % 2) == (t % 2)
+        log_a = (betas[ks] - betas[ks + 1]) * (U_l[ks] - U_l[ks + 1])
+        us = jax.random.uniform(k_swap, (K - 1,), f32)
+        do_swap = active & (jnp.log(us) < log_a)
+        # permutation: start with identity, swap accepted pairs (disjoint
+        # by the parity scheme)
+        perm = jnp.arange(K)
+        perm = perm.at[ks].set(jnp.where(do_swap, ks + 1, perm[ks]))
+        perm = perm.at[ks + 1].set(jnp.where(do_swap, ks, perm[ks + 1]))
+        Z = Z[perm]
+        U_pr = U_pr[perm]
+        U_l = U_l[perm]
+        # cached gradient moved with the configuration, but it was taken
+        # at the *old* beta — recombine: grad = g_pr + beta*g_lik is not
+        # separable from the combined cache, so recompute in one vmapped
+        # pass (cost: 1/leapfrog_steps extra grads)
+        (unused, unused2), G = jax.vmap(
+            grad_pot_beta, in_axes=(0, 0, None)
+        )(Z, betas, obs)
+
+        # ---- per-replica warmup adaptation --------------------------
+        adapting = t < burn_in
+        da_new = jax.vmap(_da_update, in_axes=(0, 0, None))(
+            da, alphas, target_accept
+        )
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(adapting, b, a), da, da_new
+        )
+        win_start = burn_in // 4
+        win_end = (3 * burn_in) // 4
+        in_window = (t >= win_start) & (t < win_end)
+        wf_new = jax.vmap(_welford_update)(wf, Z)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(in_window, b, a), wf, wf_new
+        )
+        set_mass = t == win_end
+        inv_mass = jnp.where(
+            set_mass, jax.vmap(_welford_variance)(wf), inv_mass
+        )
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(set_mass, b, a),
+            da,
+            jax.vmap(_da_restart)(da),
+        )
+        post = ~adapting
+        acc_sum = acc_sum + jnp.where(post, alphas[K - 1], 0.0)
+        n_active = jnp.sum(active.astype(f32))
+        swap_sum = swap_sum + jnp.where(
+            post, jnp.sum((do_swap).astype(f32)), 0.0
+        )
+        swap_n = swap_n + jnp.where(post, n_active, 0.0)
+        return (
+            Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
+            swap_n,
+        ), Z[K - 1]
+
+    carry_obs = [None]
+    carry_burn_in = [None]
+
+    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+        carry_obs[0] = obs
+        carry_burn_in[0] = burn_in
+        C = init_keys.shape[0]
+        # independent prior inits for every replica of every ensemble
+        all_init = jax.vmap(
+            lambda k: jax.vmap(encode_single, in_axes=(0, None))(
+                jax.random.split(k, K), obs
+            )
+        )(init_keys)  # [C, K, D]
+
+        def parts_of(z):
+            u_pr, u_l = potential_parts(z, obs)
+            return u_pr, u_l
+
+        U_pr0, U_l0 = jax.vmap(jax.vmap(parts_of))(all_init)
+        (unused, unused2), G0 = jax.vmap(
+            lambda Zk: jax.vmap(grad_pot_beta, in_axes=(0, 0, None))(
+                Zk, betas, obs
+            )
+        )(all_init)
+
+        def one_ensemble(Z, U_pr, U_l, G, key):
+            carry0 = (
+                Z,
+                U_pr,
+                U_l,
+                G,
+                jax.vmap(lambda _: _da_init(eps0))(jnp.arange(K)),
+                jnp.ones((K, dim), f32),
+                jax.vmap(lambda _: _welford_init(dim))(jnp.arange(K)),
+                key,
+                jnp.zeros((), f32),
+                jnp.zeros((), f32),
+                jnp.zeros((), f32),
+            )
+            (_, _, _, _, da, _, _, _, acc_sum, swap_sum, swap_n), zs = (
+                jax.lax.scan(chain_step, carry0, jnp.arange(_TOTAL[0]))
+            )
+            return zs, acc_sum, swap_sum, swap_n, jnp.exp(da[2][K - 1])
+
+        zs, acc_sums, swap_sums, swap_ns, final_eps = jax.vmap(
+            one_ensemble
+        )(all_init, U_pr0, U_l0, G0, chain_keys)
+        zs = jnp.swapaxes(zs, 0, 1)  # [C, T, D] -> [T, C, D]
+        post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
+        return zs, {
+            "acceptance_rate": jnp.mean(acc_sums) / post_steps,
+            "final_step_size": jnp.mean(final_eps),
+            "swap_acceptance_rate": jnp.sum(swap_sums)
+            / jnp.maximum(jnp.sum(swap_ns), 1.0),
+        }
+
+    # scan length must be static: close over it per (total_steps) value
+    _TOTAL = [None]
+    _program_cache = {}
+
+    def program_dispatch(init_keys, chain_keys, obs, burn_in, total_steps,
+                         eps0):
+        n = int(total_steps)
+        if n not in _program_cache:
+            _TOTAL_local = n
+
+            def jitted(init_keys, chain_keys, obs, burn_in, eps0):
+                _TOTAL[0] = _TOTAL_local
+                return program(
+                    init_keys, chain_keys, obs, burn_in, _TOTAL_local, eps0
+                )
+
+            _program_cache[n] = jax.jit(jitted)
+        _TOTAL[0] = n
+        return _program_cache[n](
+            init_keys, chain_keys, obs, jnp.asarray(int(burn_in), jnp.int32),
+            eps0,
+        )
+
+    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, None)))
+    return program_dispatch, decode_fn, sites

@@ -260,6 +260,7 @@ class Model:
         target_accept=None,
         step_size=None,
         max_tree_depth=None,
+        num_temperatures=None,
         *args,
         **kwargs,
     ):
@@ -282,6 +283,7 @@ class Model:
         is_hmc = inference_engine in (
             InferenceEngine.HAMILTONIAN_MONTE_CARLO,
             InferenceEngine.NO_U_TURN_SAMPLER,
+            InferenceEngine.PARALLEL_TEMPERING,
         )
         is_vi = inference_engine == InferenceEngine.VARIATIONAL_INFERENCE
         # SMC/HMC/NUTS/VI exist only on the compiled tier (SMC has an
@@ -315,6 +317,7 @@ class Model:
                 target_accept=target_accept,
                 step_size=step_size,
                 max_tree_depth=max_tree_depth,
+                num_temperatures=num_temperatures,
                 *args,
                 **kwargs,
             )

@@ -63,6 +63,10 @@ class InferenceEngine(enum.Enum):
     # lengths (iterative doubling + multinomial leaf sampling), Stan-style
     # warmup; pyprob_tpu.inference.nuts
     NO_U_TURN_SAMPLER = 8
+    # Beyond parity: replica exchange — K tempered replicas per ensemble
+    # (likelihood^beta ladder) with alternating adjacent swaps; mixes
+    # between separated posterior modes; pyprob_tpu.inference.pt
+    PARALLEL_TEMPERING = 9
 
 
 class InferenceNetwork(enum.Enum):

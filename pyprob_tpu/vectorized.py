@@ -861,6 +861,7 @@ def vectorized_posterior(
     target_accept=None,
     step_size=None,
     max_tree_depth=None,
+    num_temperatures=None,
     *args,
     **kwargs,
 ):
@@ -883,6 +884,28 @@ def vectorized_posterior(
             learning_rate=learning_rate,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
+    if inference_engine == InferenceEngine.PARALLEL_TEMPERING:
+        from .inference.pt import vectorized_pt_posterior
+
+        return vectorized_pt_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            num_chains=num_chains,
+            burn_in=burn_in,
+            thinning_steps=thinning_steps,
+            num_temperatures=num_temperatures,
+            leapfrog_steps=leapfrog_steps,
+            target_accept=target_accept,
+            step_size=step_size,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            return_chains=return_chains,
             args=args,
             kwargs=kwargs,
         )
