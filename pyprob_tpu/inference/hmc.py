@@ -13,6 +13,9 @@ Latents live in UNCONSTRAINED space: bounded supports (Uniform,
 TruncatedNormal, Beta incl. low/high rescaling) map through a scaled
 sigmoid, positive supports (Exponential, Gamma, Weibull, LogNormal)
 through exp, with log-Jacobians folded into the potential.  Discrete
+sites with enumerable support (Categorical/Bernoulli) are marginalized
+out of the potential (logsumexp over the support grid) and redrawn from
+their exact conditional p(d | z, obs) at decode time; other discrete
 sites are rejected with a pointer to LMH/RMH.
 
 The sampler runs C chains in lockstep (``vmap``) advanced by ``lax.scan``
@@ -96,7 +99,10 @@ def _to_z(dist, x):
 
 class _TransformedReplayHandler(VectorizedHandler):
     """Replay every controlled site from unconstrained values (decode), or
-    record the unconstrained image of given support values (encode)."""
+    record the unconstrained image of given support values (encode).
+    Addresses in ``discrete`` are replayed verbatim (integer support — no
+    transform, no Jacobian); their density still enters log_prob_total, so
+    enumeration over a discrete grid marginalizes them exactly."""
 
     def __init__(
         self,
@@ -106,6 +112,7 @@ class _TransformedReplayHandler(VectorizedHandler):
         replay,
         encode=False,
         likelihood_importance=1.0,
+        discrete=frozenset(),
     ):
         super().__init__(
             key=key,
@@ -117,6 +124,7 @@ class _TransformedReplayHandler(VectorizedHandler):
         )
         self._replay = replay
         self._encode = encode
+        self._discrete = discrete
         self.logdet = jnp.zeros((), util.dtype())
         self.z_values = {}
 
@@ -128,7 +136,9 @@ class _TransformedReplayHandler(VectorizedHandler):
         base, full, instance = self._make_address(
             address, distribution.address_suffix
         )
-        if self._encode:
+        if full in self._discrete:
+            value = jnp.asarray(self._replay[full])
+        elif self._encode:
             value = jnp.asarray(self._replay[full], util.dtype())
             self.z_values[full] = _to_z(distribution, value)
         else:
@@ -155,7 +165,7 @@ class _TransformedReplayHandler(VectorizedHandler):
 
 
 def _run_transformed(model, key, obs, replay, encode, likelihood_importance,
-                     args, kwargs):
+                     args, kwargs, discrete=frozenset()):
     handler = _TransformedReplayHandler(
         key=key,
         observed=obs,
@@ -163,6 +173,7 @@ def _run_transformed(model, key, obs, replay, encode, likelihood_importance,
         replay=replay,
         encode=encode,
         likelihood_importance=likelihood_importance,
+        discrete=discrete,
     )
     prev = state._set_handler(handler)
     try:
@@ -331,7 +342,9 @@ def _gradient_mcmc_posterior(
             )[: (None if keep_all else num_traces)],
             z_samples,
         )
-        outputs = decode_fn(z_kept, obs_arrays)
+        n_kept = int(jax.tree_util.tree_leaves(z_kept)[0].shape[0])
+        decode_keys = util.next_keys(n_kept)
+        outputs = decode_fn(z_kept, decode_keys, obs_arrays)
         host = jax.device_get(outputs)
         stats = {k: float(v) for k, v in jax.device_get(stats).items()}
     except NotImplementedError:
@@ -435,17 +448,45 @@ def _gradient_mcmc_posterior(
     return emp
 
 
+_MAX_ENUMERATION = 1024
+
+
+class _FunctionalModel:
+    """Flat-latent-vector closures shared by the gradient-based engines
+    (HMC / NUTS / PT / VI):
+
+    potential(z_vec [D], obs)      -> -log p(x(z), obs) - log|dx/dz|,
+                                      with enumerable discrete sites
+                                      marginalized out (logsumexp over
+                                      the support grid)
+    encode_single(key, obs)        -> z_vec of one fresh prior/IS draw
+    decode_single(z_vec, key, obs) -> outputs dict (result, values,
+                                      log_probs…); discrete sites are
+                                      drawn from their exact conditional
+                                      p(d | z, obs) using ``key``
+    replay_logjoint(z_vec, combo, obs) -> un-marginalized log joint for
+                                      one discrete combo (None = no
+                                      discrete sites); used by engines
+                                      that need density components (PT)
+    plus dim, sites, unravel, discrete (address set), grid (dict of
+    [G, ...] support arrays or None).
+    """
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 def _functionalize(model, obs_arrays, likelihood_importance, results_only,
                    engine_name, args, kwargs):
-    """Probe the model once and return flat-latent-vector closures shared
-    by the gradient-based engines (HMC / NUTS / VI):
+    """Probe the model once and build its _FunctionalModel.
 
-    potential(z_vec [D], obs) -> -log p(x(z), obs) - log|dx/dz|
-    encode_single(key, obs)   -> z_vec of one fresh prior/IS draw
-    decode_single(z_vec, obs) -> outputs dict (result, values, log_probs…)
-    plus (dim, sites, unravel) — unravel maps the flat vector back to the
-    per-address dict (used by engines that need the replay handler's
-    separate density components, e.g. parallel tempering).
+    Continuous latents are transformed to unconstrained space and raveled
+    into one flat D-vector.  Discrete latents with enumerable support
+    (Categorical / Bernoulli, grid capped at _MAX_ENUMERATION combos) are
+    marginalized: the potential sums the joint over every support combo,
+    so gradient-based engines work on mixed discrete-continuous programs
+    — impossible in the reference, and beyond what most PPLs automate.
     """
     sites_box = []
 
@@ -464,7 +505,7 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             sites_box.append(handler.sites)
         return outputs
 
-    # static structure probe (also validates continuity of latent sites)
+    # static structure probe (also classifies latent sites)
     probe = jax.eval_shape(
         lambda k, o: fresh_single(k, o), jax.random.PRNGKey(0), obs_arrays
     )
@@ -476,19 +517,69 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
         raise RuntimeError(
             f"{engine_name} found no latent (controlled) sites"
         )
+    cont_addrs, disc_addrs, disc_supports = [], [], {}
     for s in sites:
-        if s.address in latent_addrs:
-            dt = probe["values"][s.address].dtype
-            if not jnp.issubdtype(dt, jnp.floating):
-                raise NotImplementedError(
-                    f"{engine_name} requires continuous sample "
-                    f"sites; {s.address} ({s.distribution_name}) has dtype "
-                    f"{dt} — use LMH/RMH instead."
-                )
+        if s.address not in latent_addrs:
+            continue
+        dt = probe["values"][s.address].dtype
+        # enumerable discrete first: Bernoulli samples are float-dtyped
+        if s.distribution_name == "Categorical":
+            disc_addrs.append(s.address)
+            disc_supports[s.address] = int(s.distribution.num_categories)
+        elif s.distribution_name == "Bernoulli":
+            disc_addrs.append(s.address)
+            disc_supports[s.address] = 2
+        elif jnp.issubdtype(dt, jnp.floating):
+            cont_addrs.append(s.address)
+        else:
+            raise NotImplementedError(
+                f"{engine_name} requires continuous or enumerable "
+                f"(Categorical/Bernoulli) sample sites; {s.address} "
+                f"({s.distribution_name}) has dtype {dt} — use LMH/RMH "
+                f"instead."
+            )
+    if not cont_addrs:
+        raise RuntimeError(
+            f"{engine_name} found no continuous latent sites (all-discrete "
+            f"programs: use LMH/RMH or importance sampling)"
+        )
+
+    # enumeration grid over the product of discrete element supports
+    if disc_addrs:
+        elem_sizes = []
+        for a in disc_addrs:
+            shape = probe["values"][a].shape
+            n_elem = int(np.prod(shape)) if shape else 1
+            elem_sizes.extend([disc_supports[a]] * n_elem)
+        n_combos = int(np.prod(elem_sizes))
+        if n_combos > _MAX_ENUMERATION:
+            raise NotImplementedError(
+                f"{engine_name}: {n_combos} discrete support combinations "
+                f"exceed the enumeration cap ({_MAX_ENUMERATION}) — use "
+                f"LMH/RMH instead."
+            )
+        meshes = np.meshgrid(
+            *[np.arange(n) for n in elem_sizes], indexing="ij"
+        )
+        flat_cols = [m.reshape(-1) for m in meshes]
+        grid = {}
+        e = 0
+        for a in disc_addrs:
+            shape = probe["values"][a].shape
+            n_elem = int(np.prod(shape)) if shape else 1
+            cols = np.stack(flat_cols[e : e + n_elem], axis=-1)
+            grid[a] = jnp.asarray(
+                cols.reshape((n_combos,) + tuple(shape)),
+                probe["values"][a].dtype,
+            )
+            e += n_elem
+    else:
+        grid = None
+    discrete_set = frozenset(disc_addrs)
 
     z_proto = {
         a: jnp.zeros(probe["values"][a].shape, util.dtype())
-        for a in latent_addrs
+        for a in cont_addrs
     }
     _, unravel = ravel_pytree(z_proto)
     dim = int(ravel_pytree(z_proto)[0].shape[0])
@@ -500,22 +591,50 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
         x = {a: out["values"][a] for a in latent_addrs}
         _, handler = _run_transformed(
             model, fixed_key, obs, x, True, likelihood_importance,
-            args, kwargs,
+            args, kwargs, discrete=discrete_set,
         )
-        z = {a: handler.z_values[a] for a in latent_addrs}
+        z = {a: handler.z_values[a] for a in cont_addrs}
         return ravel_pytree(z)[0]
 
-    def potential(z_vec, obs):
+    def replay_logjoint(z_vec, combo, obs):
+        replay = unravel(z_vec)
+        if combo is not None:
+            replay = {**replay, **combo}
         _, handler = _run_transformed(
-            model, fixed_key, obs, unravel(z_vec), False,
-            likelihood_importance, args, kwargs,
+            model, fixed_key, obs, replay, False,
+            likelihood_importance, args, kwargs, discrete=discrete_set,
         )
-        return -(handler.log_prob_total + handler.logdet)
+        return handler.log_prob_total + handler.logdet
 
-    def decode_single(z_vec, obs):
+    if grid is None:
+
+        def potential(z_vec, obs):
+            return -replay_logjoint(z_vec, None, obs)
+
+    else:
+
+        def potential(z_vec, obs):
+            ljs = jax.vmap(
+                lambda c: replay_logjoint(z_vec, c, obs)
+            )(grid)
+            return -jax.scipy.special.logsumexp(ljs)
+
+    def decode_single(z_vec, key, obs):
+        replay = unravel(z_vec)
+        if grid is not None:
+            # draw the discrete sites from their exact conditional
+            # p(d | z, obs) ∝ exp(log joint(z, d))
+            ljs = jax.vmap(
+                lambda c: replay_logjoint(z_vec, c, obs)
+            )(grid)
+            gidx = jax.random.categorical(key, ljs)
+            replay = {
+                **replay,
+                **{a: grid[a][gidx] for a in disc_addrs},
+            }
         result, handler = _run_transformed(
-            model, fixed_key, obs, unravel(z_vec), False,
-            likelihood_importance, args, kwargs,
+            model, fixed_key, obs, replay, False,
+            likelihood_importance, args, kwargs, discrete=discrete_set,
         )
         out = {
             "result": result,
@@ -538,7 +657,18 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             out = {"result": out["result"], "log_prob_total": out["log_prob_total"]}
         return out
 
-    return potential, encode_single, decode_single, dim, sites, unravel
+    return _FunctionalModel(
+        potential=potential,
+        encode_single=encode_single,
+        decode_single=decode_single,
+        replay_logjoint=replay_logjoint,
+        dim=dim,
+        sites=sites,
+        unravel=unravel,
+        discrete=discrete_set,
+        grid=grid,
+        disc_addrs=disc_addrs,
+    )
 
 
 # dual-averaging constants (arXiv:1111.4246 §3.2, Stan defaults)
@@ -620,9 +750,12 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
       -> (z samples [T, C, D], mean acceptance, final step size)
     decode_fn(z [S, D], obs) -> outputs (result, values, log_probs, ...)
     """
-    potential, encode_single, decode_single, dim, sites, _ = _functionalize(
+    fm = _functionalize(
         model, obs_arrays, likelihood_importance, results_only,
         "HAMILTONIAN_MONTE_CARLO", args, kwargs,
+    )
+    potential, encode_single, decode_single, dim, sites = (
+        fm.potential, fm.encode_single, fm.decode_single, fm.dim, fm.sites
     )
     grad_potential = jax.grad(potential)
 
@@ -742,5 +875,5 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
             eps0,
         )
 
-    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, None)))
+    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
     return program_dispatch, decode_fn, sites

@@ -28,8 +28,10 @@ scanned — XLA-friendly control flow throughout):
 - Divergent transitions (energy error > 1000) reject the subtree and
   are counted in ``posterior.metadata[-1]['divergences']``.
 
-Discrete sites and untraceable models are rejected with pointers to
-LMH/RMH (NUTS has no interpreter tier — gradients need XLA).
+Enumerable discrete sites (Categorical/Bernoulli) are marginalized out
+of the potential as in the HMC engine; other discrete sites and
+untraceable models are rejected with pointers to LMH/RMH (NUTS has no
+interpreter tier — gradients need XLA).
 """
 
 from __future__ import annotations
@@ -126,9 +128,12 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
     program(init_keys [C], chain_keys [C], obs, burn_in, total_steps, eps0)
       -> (z samples [T, C, D], stats dict)
     """
-    potential, encode_single, decode_single, dim, sites, _ = _functionalize(
+    fm = _functionalize(
         model, obs_arrays, likelihood_importance, results_only,
         "NO_U_TURN_SAMPLER", args, kwargs,
+    )
+    potential, encode_single, decode_single, dim, sites = (
+        fm.potential, fm.encode_single, fm.decode_single, fm.dim, fm.sites
     )
     grad_potential = jax.grad(potential)
     f32 = util.dtype()
@@ -447,5 +452,5 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
             eps0,
         )
 
-    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, None)))
+    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
     return program_dispatch, decode_fn, sites

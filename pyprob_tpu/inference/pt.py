@@ -24,8 +24,10 @@ the mesh, and the full run is ONE compiled dispatch.  Each replica
 adapts its own step size (dual averaging) and diagonal mass matrix
 (windowed Welford) against its own tempered target.
 
-Discrete sites and untraceable models are rejected with pointers to
-LMH/RMH (PT has no interpreter tier — gradients need XLA).
+Enumerable discrete sites (Categorical/Bernoulli) are marginalized as
+in the HMC engine — the tempered likelihood is [sum_d p(d) lik(z,d)]^beta;
+other discrete sites and untraceable models are rejected with pointers
+to LMH/RMH (PT has no interpreter tier — gradients need XLA).
 """
 
 from __future__ import annotations
@@ -126,11 +128,12 @@ def vectorized_pt_posterior(
 def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
               leapfrog_steps, target_accept, results_only, args, kwargs):
     """Build (program, decode_fn, sites) for the shared driver."""
-    potential, encode_single, decode_single, dim, sites, unravel = (
-        _functionalize(
-            model, obs_arrays, likelihood_importance, results_only,
-            "PARALLEL_TEMPERING", args, kwargs,
-        )
+    fm = _functionalize(
+        model, obs_arrays, likelihood_importance, results_only,
+        "PARALLEL_TEMPERING", args, kwargs,
+    )
+    encode_single, decode_single, dim, sites, unravel = (
+        fm.encode_single, fm.decode_single, fm.dim, fm.sites, fm.unravel
     )
     f32 = util.dtype()
     K = num_temperatures
@@ -139,20 +142,44 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
         [(k / (K - 1)) ** 2 for k in range(K)], f32
     )
 
-    def potential_parts(z_vec, obs):
-        """(U_prior = -(log prior + log|J|), U_lik = -log likelihood) —
-        the replay handler exposes the components hmc.potential sums."""
+    def _parts_one(z_vec, combo, obs):
+        """(U_prior, U_lik) for one discrete combo.  Discrete-site prior
+        mass rides in the LIKELIHOOD part so the beta=0 replica targets
+        the (proper) continuous prior and marginalization composes with
+        tempering: [sum_d p(d) lik(z, d)]^beta."""
+        replay = unravel(z_vec)
+        if combo is not None:
+            replay = {**replay, **combo}
         _, handler = _run_transformed(
-            model, jax.random.PRNGKey(0), obs, unravel(z_vec), False,
-            likelihood_importance, args, kwargs,
+            model, jax.random.PRNGKey(0), obs, replay, False,
+            likelihood_importance, args, kwargs, discrete=fm.discrete,
         )
-        u_lik = -handler.log_prob_observed
+        disc_lp = jnp.zeros((), f32)
+        for s, lp in zip(handler.sites, handler.log_probs):
+            if lp is not None and s.address in fm.discrete:
+                disc_lp = disc_lp + lp
+        u_lik = -(handler.log_prob_observed + disc_lp)
         u_prior = -(
             handler.log_prob_total
             - handler.log_prob_observed
+            - disc_lp
             + handler.logdet
         )
         return u_prior, u_lik
+
+    if fm.grid is None:
+
+        def potential_parts(z_vec, obs):
+            return _parts_one(z_vec, None, obs)
+
+    else:
+
+        def potential_parts(z_vec, obs):
+            u_prs, u_ls = jax.vmap(
+                lambda c: _parts_one(z_vec, c, obs)
+            )(fm.grid)
+            # U_prior is combo-independent; marginalize the likelihood
+            return u_prs[0], -jax.scipy.special.logsumexp(-u_ls)
 
     def pot_beta(z_vec, beta, obs):
         u_pr, u_l = potential_parts(z_vec, obs)
@@ -345,5 +372,5 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             eps0,
         )
 
-    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, None)))
+    decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
     return program_dispatch, decode_fn, sites

@@ -171,6 +171,52 @@ def test_hmc_return_chains_rhat():
     assert float(np.asarray(rhats)[-1]) < 1.1  # converged chains
 
 
+class MixedDiscrete(pp.Model):
+    """Categorical indicator + continuous location: the indicator is
+    marginalized out of the potential (enumeration) and redrawn from its
+    exact conditional at decode time."""
+
+    def forward(self):
+        import jax.numpy as jnp
+
+        mu = pp.sample(Normal(0.0, 5.0))
+        k = pp.sample(Categorical([0.5, 0.5]))
+        shift = jnp.where(k == 0, -2.0, 2.0)
+        pp.observe(Normal(mu + shift, 1.0), name="y")
+        return mu
+
+
+def test_hmc_enumerates_discrete_sites():
+    m = MixedDiscrete()
+    ref = m.posterior_results(
+        num_traces=400000, observe={"y": 1.0}, vectorized=True
+    )
+    post = m.posterior_results(
+        num_traces=20000, observe={"y": 1.0}, inference_engine=HMC
+    )
+    assert abs(float(post.mean) - float(ref.mean)) < 0.1
+    assert abs(float(post.stddev) - float(ref.stddev)) < 0.1
+    # the decoded discrete marginal matches the analytic conditional:
+    # y | k ~ N(±2, 26) so P(k=1 | y=1) = softmax of the two logpdfs
+    full = m.posterior(
+        num_traces=30000,
+        observe={"y": 1.0},
+        inference_engine=HMC,
+        num_chains=64,
+        burn_in=400,
+    )
+    ks = []
+    for i in range(full.length):
+        t = full._get_value(i)
+        for v in t.variables:
+            if "Categorical" in (v.address or ""):
+                ks.append(int(v.value))
+    l0 = -((1.0 + 2.0) ** 2) / (2 * 26.0)
+    l1 = -((1.0 - 2.0) ** 2) / (2 * 26.0)
+    true_p1 = math.exp(l1) / (math.exp(l0) + math.exp(l1))
+    assert abs(float(np.mean(ks)) - true_p1) < 0.05
+
+
 class Disc(pp.Model):
     def forward(self):
         k = pp.sample(Categorical(probs=[0.5, 0.5]))
@@ -178,8 +224,8 @@ class Disc(pp.Model):
         return k
 
 
-def test_hmc_discrete_site_raises():
-    with pytest.raises(NotImplementedError, match="continuous"):
+def test_hmc_all_discrete_raises():
+    with pytest.raises(RuntimeError, match="no continuous latent"):
         Disc().posterior_results(
             num_traces=100, observe={"y": 1.0}, inference_engine=HMC
         )

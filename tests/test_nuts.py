@@ -126,6 +126,28 @@ def test_nuts_knobs_and_chains_rhat():
     assert float(np.asarray(rhats)[-1]) < 1.1
 
 
+def test_nuts_enumerates_discrete_sites():
+    """Bernoulli indicator marginalized out of the NUTS potential."""
+    from pyprob_tpu.distributions import Bernoulli
+
+    class BernMix(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(0.0, 5.0))
+            b = pp.sample(Bernoulli(0.3))
+            pp.observe(Normal(mu + 3.0 * b, 1.0), name="y")
+            return mu
+
+    m = BernMix()
+    ref = m.posterior_results(
+        num_traces=400000, observe={"y": 2.0}, vectorized=True
+    )
+    post = m.posterior_results(
+        num_traces=20000, observe={"y": 2.0}, inference_engine=NUTS
+    )
+    assert abs(float(post.mean) - float(ref.mean)) < 0.12
+    assert abs(float(post.stddev) - float(ref.stddev)) < 0.12
+
+
 class Disc(pp.Model):
     def forward(self):
         k = pp.sample(Categorical(probs=[0.5, 0.5]))
@@ -133,8 +155,8 @@ class Disc(pp.Model):
         return k
 
 
-def test_nuts_discrete_site_raises():
-    with pytest.raises(NotImplementedError, match="continuous"):
+def test_nuts_all_discrete_raises():
+    with pytest.raises(RuntimeError, match="no continuous latent"):
         Disc().posterior_results(
             num_traces=100, observe={"y": 1.0}, inference_engine=NUTS
         )

@@ -124,6 +124,35 @@ def test_pt_bounded_support():
     assert 0.25 < frac_pos < 0.75
 
 
+def test_pt_enumerates_discrete_sites():
+    """Marginalization composes with tempering: the tempered likelihood
+    is [sum_k p(k) lik(z, k)]^beta."""
+    import jax.numpy as jnp
+
+    class Mix(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(0.0, 5.0))
+            k = pp.sample(Categorical([0.5, 0.5]))
+            shift = jnp.where(k == 0, -2.0, 2.0)
+            pp.observe(Normal(mu + shift, 1.0), name="y")
+            return mu
+
+    m = Mix()
+    ref = m.posterior_results(
+        num_traces=400000, observe={"y": 1.0}, vectorized=True
+    )
+    post = m.posterior_results(
+        num_traces=12000,
+        observe={"y": 1.0},
+        inference_engine=PT,
+        num_chains=4,
+        burn_in=300,
+        num_temperatures=4,
+    )
+    assert abs(float(post.mean) - float(ref.mean)) < 0.12
+    assert abs(float(post.stddev) - float(ref.stddev)) < 0.12
+
+
 class Disc(pp.Model):
     def forward(self):
         k = pp.sample(Categorical(probs=[0.5, 0.5]))
@@ -131,8 +160,8 @@ class Disc(pp.Model):
         return k
 
 
-def test_pt_discrete_site_raises():
-    with pytest.raises(NotImplementedError, match="continuous"):
+def test_pt_all_discrete_raises():
+    with pytest.raises(RuntimeError, match="no continuous latent"):
         Disc().posterior_results(
             num_traces=100, observe={"y": 1.0}, inference_engine=PT
         )
