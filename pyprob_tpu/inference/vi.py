@@ -26,7 +26,10 @@ Design:
   even when the guide is imperfect, with ``posterior.log_evidence`` an
   unbiased-ish (IS) marginal-likelihood estimate alongside the ELBO.
 
-Discrete sites and untraceable models are rejected with pointers to
+Enumerable discrete sites (Categorical/Bernoulli) are marginalized out
+of the ELBO (shared `_functionalize` machinery) and drawn from their
+exact conditional p(d | z, obs) in the returned posterior; other
+discrete sites and untraceable models are rejected with pointers to
 LMH/RMH (VI has no interpreter tier — gradients need XLA).
 """
 
@@ -38,13 +41,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from jax.flatten_util import ravel_pytree
-
 from .. import util
-from ..util import TraceMode, InferenceEngine
 from ..distributions import Empirical
-from ..vectorized import run_traced, _TraceabilityCache
-from .hmc import _run_transformed, _to_z  # shared transform machinery
+from ..vectorized import _TraceabilityCache
+from .hmc import _functionalize  # shared flat-latent machinery
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
 
@@ -242,103 +242,20 @@ def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
     draw_fn(params, keys [N], obs) -> (decoded outputs, log_w [N])
     init_fn(key, obs) -> initial guide params
     """
-    sites_box = []
-
-    def fresh_single(key, obs):
-        outputs, handler = run_traced(
-            model,
-            key,
-            obs,
-            TraceMode.POSTERIOR,
-            InferenceEngine.IMPORTANCE_SAMPLING,
-            likelihood_importance=likelihood_importance,
-            args=args,
-            kwargs=kwargs,
-        )
-        if not sites_box:
-            sites_box.append(handler.sites)
-        return outputs
-
-    probe = jax.eval_shape(
-        lambda k, o: fresh_single(k, o), jax.random.PRNGKey(0), obs_arrays
+    fm = _functionalize(
+        model, obs_arrays, likelihood_importance, results_only,
+        "VARIATIONAL_INFERENCE", args, kwargs,
     )
-    sites = sites_box[0]
-    latent_addrs = [s.address for s in sites if s.control and not s.observed]
-    if not latent_addrs:
-        raise RuntimeError(
-            "VARIATIONAL_INFERENCE found no latent (controlled) sites"
-        )
-    for s in sites:
-        if s.address in latent_addrs:
-            dt = probe["values"][s.address].dtype
-            if not jnp.issubdtype(dt, jnp.floating):
-                raise NotImplementedError(
-                    f"VARIATIONAL_INFERENCE requires continuous sample "
-                    f"sites; {s.address} ({s.distribution_name}) has dtype "
-                    f"{dt} — use LMH/RMH instead."
-                )
-
-    # flat latent layout: ravel the z-tree once on abstract shapes
-    z_proto = {
-        a: jnp.zeros(probe["values"][a].shape, util.dtype())
-        for a in latent_addrs
-    }
-    z_flat_proto, unravel = ravel_pytree(z_proto)
-    dim = int(z_flat_proto.shape[0])
+    sites, dim = fm.sites, fm.dim
+    encode_single = fm.encode_single
     n_tril = dim * (dim - 1) // 2
     tril_rows, tril_cols = np.tril_indices(dim, k=-1)
 
-    fixed_key = jax.random.PRNGKey(0)
-
     def log_joint(z_vec, obs):
-        """log p(x(z), obs) + log|dx/dz| as a pure function of flat z."""
-        z = unravel(z_vec)
-        _, handler = _run_transformed(
-            model, fixed_key, obs, z, False, likelihood_importance,
-            args, kwargs,
-        )
-        return handler.log_prob_total + handler.logdet
-
-    def encode_single(key, obs):
-        out = fresh_single(key, obs)
-        x = {a: out["values"][a] for a in latent_addrs}
-        _, handler = _run_transformed(
-            model, fixed_key, obs, x, True, likelihood_importance,
-            args, kwargs,
-        )
-        z = {a: handler.z_values[a] for a in latent_addrs}
-        return ravel_pytree(z)[0]
-
-    def decode_single(z_vec, obs):
-        z = unravel(z_vec)
-        result, handler = _run_transformed(
-            model, fixed_key, obs, z, False, likelihood_importance,
-            args, kwargs,
-        )
-        out = {
-            "result": result,
-            "log_prob_total": handler.log_prob_total,
-            "log_importance_weight": handler.log_importance_weight,
-            "log_prob_observed": handler.log_prob_observed,
-            "values": {
-                s.address: v
-                for s, v in zip(handler.sites, handler.values)
-                if v is not None
-            },
-            "log_probs": {
-                s.address: lp
-                for s, lp in zip(handler.sites, handler.log_probs)
-                if lp is not None
-            },
-            "dist_leaves": {},
-        }
-        log_w_joint = handler.log_prob_total + handler.logdet
-        if results_only:
-            out = {
-                "result": out["result"],
-                "log_prob_total": out["log_prob_total"],
-            }
-        return out, log_w_joint
+        """log p(x(z), obs) + log|dx/dz| as a pure function of flat z —
+        with enumerable discrete sites marginalized out, so the guide
+        covers only the continuous latents."""
+        return -fm.potential(z_vec, obs)
 
     # ---- guide: sample z and its log-density from params -----------------
     if guide == "meanfield":
@@ -432,10 +349,14 @@ def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
         return _fit_cache[sig](params, key, obs)
 
     def draw_one(params, key, obs):
-        eps = jax.random.normal(key, (dim,), util.dtype())
+        k_eps, k_dec = jax.random.split(key)
+        eps = jax.random.normal(k_eps, (dim,), util.dtype())
         z_vec = guide_sample(params, eps)
-        out, log_w_joint = decode_single(z_vec, obs)
-        return out, log_w_joint - guide_log_prob(params, z_vec)
+        out = fm.decode_single(z_vec, k_dec, obs)
+        # self-normalized IS weight against the marginalized joint (any
+        # discrete sites in `out` are exact-conditional draws given z)
+        log_w = log_joint(z_vec, obs) - guide_log_prob(params, z_vec)
+        return out, log_w
 
     draw_fn = jax.jit(jax.vmap(draw_one, in_axes=(None, 0, None)))
     return fit_fn, draw_fn, init_fn, sites, dim

@@ -124,6 +124,32 @@ def test_vi_positive_support():
     assert abs(float(post.mean) - 1.76) < 0.1
 
 
+def test_vi_enumerates_discrete_sites():
+    """Mixed discrete-continuous: the Categorical indicator is
+    marginalized out of the ELBO and redrawn exactly per posterior draw."""
+    import jax.numpy as jnp
+
+    class Mix(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(0.0, 5.0))
+            k = pp.sample(Categorical([0.5, 0.5]))
+            shift = jnp.where(k == 0, -2.0, 2.0)
+            pp.observe(Normal(mu + shift, 1.0), name="y")
+            return mu
+
+    m = Mix()
+    ref = m.posterior_results(
+        num_traces=400000, observe={"y": 1.0}, vectorized=True
+    )
+    post = m.posterior_results(
+        num_traces=8000, observe={"y": 1.0}, inference_engine=VI
+    )
+    # IS reweighting is exact against the marginalized joint even though
+    # the (bimodal-ish) posterior is outside the meanfield family
+    assert abs(float(post.mean) - float(ref.mean)) < 0.15
+    assert abs(float(post.stddev) - float(ref.stddev)) < 0.15
+
+
 class DiscreteModel(pp.Model):
     def forward(self):
         k = pp.sample(Categorical([0.3, 0.7]))
@@ -131,8 +157,8 @@ class DiscreteModel(pp.Model):
         return k
 
 
-def test_vi_rejects_discrete():
-    with pytest.raises(NotImplementedError, match="continuous"):
+def test_vi_rejects_all_discrete():
+    with pytest.raises(RuntimeError, match="no continuous latent"):
         DiscreteModel().posterior(
             num_traces=100, observe={"y": 1.0}, inference_engine=VI
         )
