@@ -759,69 +759,68 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
     )
     grad_potential = jax.grad(potential)
 
-    def chain_step(carry, t):
-        z, u, g, da, inv_mass, wf, key, acc_sum = carry
-        obs = carry_obs[0]
-        burn_in = carry_burn_in[0]
-        key, k_mom, k_acc = jax.random.split(key, 3)
-        # warmup uses the live step size; sampling uses the averaged one
-        eps = jnp.exp(jnp.where(t < burn_in, da[1], da[2]))
-        # p ~ N(0, M) with M^-1 = inv_mass (diagonal)
-        p0 = jax.random.normal(k_mom, (dim,), util.dtype()) / jnp.sqrt(
-            inv_mass
-        )
+    # NOTE: the scan body must be a FRESH function object per program
+    # trace — lax.scan caches traced jaxprs by function identity, so a
+    # shared closure reading obs/burn_in through mutable boxes would leak
+    # stale tracers into the next trace (different total_steps/burn_in).
+    def make_chain_step(obs, burn_in):
+        def chain_step(carry, t):
+            z, u, g, da, inv_mass, wf, key, acc_sum = carry
+            key, k_mom, k_acc = jax.random.split(key, 3)
+            # warmup uses the live step size; sampling uses the averaged one
+            eps = jnp.exp(jnp.where(t < burn_in, da[1], da[2]))
+            # p ~ N(0, M) with M^-1 = inv_mass (diagonal)
+            p0 = jax.random.normal(k_mom, (dim,), util.dtype()) / jnp.sqrt(
+                inv_mass
+            )
 
-        def kinetic(p):
-            return 0.5 * jnp.sum(inv_mass * p * p)
+            def kinetic(p):
+                return 0.5 * jnp.sum(inv_mass * p * p)
 
-        # leapfrog (static unroll; leapfrog_steps is small)
-        p = p0 - 0.5 * eps * g
-        zl, gl = z, g
-        for i in range(leapfrog_steps):
-            zl = zl + eps * inv_mass * p
-            gl = grad_potential(zl, obs)
-            scale = 0.5 * eps if i == leapfrog_steps - 1 else eps
-            p = p - scale * gl
-        u_new = potential(zl, obs)
-        log_alpha = (u - u_new) + (kinetic(p0) - kinetic(p))
-        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-        accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
-        z = jnp.where(accept, zl, z)
-        u = jnp.where(accept, u_new, u)
-        g = jnp.where(accept, gl, g)
-        alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
+            # leapfrog (static unroll; leapfrog_steps is small)
+            p = p0 - 0.5 * eps * g
+            zl, gl = z, g
+            for i in range(leapfrog_steps):
+                zl = zl + eps * inv_mass * p
+                gl = grad_potential(zl, obs)
+                scale = 0.5 * eps if i == leapfrog_steps - 1 else eps
+                p = p - scale * gl
+            u_new = potential(zl, obs)
+            log_alpha = (u - u_new) + (kinetic(p0) - kinetic(p))
+            log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+            accept = jnp.log(jax.random.uniform(k_acc, ())) < log_alpha
+            z = jnp.where(accept, zl, z)
+            u = jnp.where(accept, u_new, u)
+            g = jnp.where(accept, gl, g)
+            alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
 
-        # dual-averaging step-size adaptation during burn-in
-        adapting = t < burn_in
-        da_new = _da_update(da, alpha, target_accept)
-        da = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(adapting, b, a), da, da_new
-        )
-        # Welford mass-matrix accumulation over the middle warmup window
-        win_start = burn_in // 4
-        win_end = (3 * burn_in) // 4
-        in_window = (t >= win_start) & (t < win_end)
-        wf_new = _welford_update(wf, z)
-        wf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(in_window, b, a), wf, wf_new
-        )
-        # commit the mass matrix once at the window end, restart averaging
-        set_mass = t == win_end
-        inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
-        da = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
-        )
-        acc_sum = acc_sum + jnp.where(adapting, 0.0, alpha)
-        return (z, u, g, da, inv_mass, wf, key, acc_sum), z
+            # dual-averaging step-size adaptation during burn-in
+            adapting = t < burn_in
+            da_new = _da_update(da, alpha, target_accept)
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(adapting, b, a), da, da_new
+            )
+            # Welford mass-matrix accumulation over the middle warmup window
+            win_start = burn_in // 4
+            win_end = (3 * burn_in) // 4
+            in_window = (t >= win_start) & (t < win_end)
+            wf_new = _welford_update(wf, z)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_window, b, a), wf, wf_new
+            )
+            # commit the mass matrix once at the window end, restart averaging
+            set_mass = t == win_end
+            inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
+            )
+            acc_sum = acc_sum + jnp.where(adapting, 0.0, alpha)
+            return (z, u, g, da, inv_mass, wf, key, acc_sum), z
 
-    # obs/burn_in threaded via closure boxes so chain_step stays a clean
-    # scan body (they're constant across steps)
-    carry_obs = [None]
-    carry_burn_in = [None]
+        return chain_step
 
     def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
-        carry_obs[0] = obs
-        carry_burn_in[0] = burn_in
+        chain_step = make_chain_step(obs, burn_in)
         z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
         u0 = jax.vmap(potential, in_axes=(0, None))(z0, obs)
         g0 = jax.vmap(grad_potential, in_axes=(0, None))(z0, obs)

@@ -138,263 +138,263 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
     grad_potential = jax.grad(potential)
     f32 = util.dtype()
 
-    def chain_step(carry, t):
-        (z, u, g, da, inv_mass, wf, key, acc_sum, depth_sum, div_sum) = carry
-        obs = carry_obs[0]
-        burn_in = carry_burn_in[0]
-        key, k_mom, k_main = jax.random.split(key, 3)
-        eps = jnp.exp(jnp.where(t < burn_in, da[1], da[2]))
-        p0 = jax.random.normal(k_mom, (dim,), f32) / jnp.sqrt(inv_mass)
+    # fresh scan-body per program trace: lax.scan caches jaxprs by
+    # function identity, so a shared closure over mutable boxes would leak
+    # stale tracers into retraces (see hmc.make_chain_step)
+    def make_chain_step(obs, burn_in):
+        def chain_step(carry, t):
+            (z, u, g, da, inv_mass, wf, key, acc_sum, depth_sum, div_sum) = carry
+            key, k_mom, k_main = jax.random.split(key, 3)
+            eps = jnp.exp(jnp.where(t < burn_in, da[1], da[2]))
+            p0 = jax.random.normal(k_mom, (dim,), f32) / jnp.sqrt(inv_mass)
 
-        def kinetic(p):
-            return 0.5 * jnp.sum(inv_mass * p * p)
+            def kinetic(p):
+                return 0.5 * jnp.sum(inv_mass * p * p)
 
-        def is_turning(p_first, p_last, rho):
-            v = inv_mass * rho
-            return (jnp.dot(v, p_first) <= 0.0) | (
-                jnp.dot(v, p_last) <= 0.0
-            )
+            def is_turning(p_first, p_last, rho):
+                v = inv_mass * rho
+                return (jnp.dot(v, p_first) <= 0.0) | (
+                    jnp.dot(v, p_last) <= 0.0
+                )
 
-        def leapfrog(zc, pc, gc, d):
-            # one step of size d*eps (d = ±1 selects the tree direction)
-            ph = pc - 0.5 * d * eps * gc
-            zn = zc + d * eps * inv_mass * ph
-            gn = grad_potential(zn, obs)
-            pn = ph - 0.5 * d * eps * gn
-            return zn, pn, gn
+            def leapfrog(zc, pc, gc, d):
+                # one step of size d*eps (d = ±1 selects the tree direction)
+                ph = pc - 0.5 * d * eps * gc
+                zn = zc + d * eps * inv_mass * ph
+                gn = grad_potential(zn, obs)
+                pn = ph - 0.5 * d * eps * gn
+                return zn, pn, gn
 
-        h0 = u + kinetic(p0)
+            h0 = u + kinetic(p0)
 
-        def build_subtree(j, d, z_e, p_e, g_e, key):
-            """2^j leapfrog leaves from edge state (z_e, p_e, g_e) in
-            direction d, with online balanced-span U-turn checks.  Returns
-            the subtree summary dict."""
-            num_leaves = jax.lax.shift_left(jnp.int32(1), j)
-            st0 = {
-                "i": jnp.int32(0),
-                "z_e": z_e,
-                "p_e": p_e,
-                "g_e": g_e,
-                # subtree proposal (progressive multinomial over leaves)
-                "z_prop": z_e,
-                "u_prop": jnp.zeros((), f32),
-                "g_prop": g_e,
-                "log_sum_w": jnp.full((), -jnp.inf, f32),
-                "r_sum": jnp.zeros((dim,), f32),
-                "r_ckpts": jnp.zeros((max_tree_depth, dim), f32),
-                "r_sum_ckpts": jnp.zeros((max_tree_depth, dim), f32),
-                "turning": jnp.zeros((), bool),
-                "diverging": jnp.zeros((), bool),
-                "key": key,
+            def build_subtree(j, d, z_e, p_e, g_e, key):
+                """2^j leapfrog leaves from edge state (z_e, p_e, g_e) in
+                direction d, with online balanced-span U-turn checks.  Returns
+                the subtree summary dict."""
+                num_leaves = jax.lax.shift_left(jnp.int32(1), j)
+                st0 = {
+                    "i": jnp.int32(0),
+                    "z_e": z_e,
+                    "p_e": p_e,
+                    "g_e": g_e,
+                    # subtree proposal (progressive multinomial over leaves)
+                    "z_prop": z_e,
+                    "u_prop": jnp.zeros((), f32),
+                    "g_prop": g_e,
+                    "log_sum_w": jnp.full((), -jnp.inf, f32),
+                    "r_sum": jnp.zeros((dim,), f32),
+                    "r_ckpts": jnp.zeros((max_tree_depth, dim), f32),
+                    "r_sum_ckpts": jnp.zeros((max_tree_depth, dim), f32),
+                    "turning": jnp.zeros((), bool),
+                    "diverging": jnp.zeros((), bool),
+                    "key": key,
+                    "sum_alpha": jnp.zeros((), f32),
+                    "n_alpha": jnp.zeros((), f32),
+                }
+
+                def cond(st):
+                    return (
+                        (st["i"] < num_leaves)
+                        & ~st["turning"]
+                        & ~st["diverging"]
+                    )
+
+                def body(st):
+                    z_n, p_n, g_n = leapfrog(st["z_e"], st["p_e"], st["g_e"], d)
+                    u_n = potential(z_n, obs)
+                    h_n = u_n + kinetic(p_n)
+                    h_n = jnp.where(jnp.isnan(h_n), jnp.inf, h_n)
+                    log_w = h0 - h_n
+                    diverging = (h_n - h0) > _DELTA_MAX
+                    alpha = jnp.minimum(1.0, jnp.exp(log_w))
+
+                    # progressive multinomial: replace the subtree proposal
+                    # with this leaf w.p. w_leaf / w_subtree_so_far
+                    key, k_sel = jax.random.split(st["key"])
+                    new_lsw = jnp.logaddexp(st["log_sum_w"], log_w)
+                    take = (
+                        jnp.log(jax.random.uniform(k_sel, (), f32))
+                        < log_w - new_lsw
+                    )
+                    z_prop = jnp.where(take, z_n, st["z_prop"])
+                    u_prop = jnp.where(take, u_n, st["u_prop"])
+                    g_prop = jnp.where(take, g_n, st["g_prop"])
+
+                    i = st["i"]
+                    r_sub = st["r_sum"] + p_n
+                    ckpt_idx = jax.lax.population_count(
+                        jax.lax.shift_right_logical(i, 1)
+                    )
+                    even = (i & 1) == 0
+                    # even leaf: open new balanced spans — checkpoint state
+                    r_ckpts = jnp.where(
+                        even, st["r_ckpts"].at[ckpt_idx].set(p_n), st["r_ckpts"]
+                    )
+                    r_sum_ckpts = jnp.where(
+                        even,
+                        st["r_sum_ckpts"].at[ckpt_idx].set(r_sub),
+                        st["r_sum_ckpts"],
+                    )
+                    # odd leaf: check every balanced span ending here
+                    idx_max = ckpt_idx
+                    idx_min = idx_max - _trailing_ones(i) + 1
+
+                    def check_span(k, turn):
+                        valid = (k >= idx_min) & (k <= idx_max)
+                        rho = r_sub - r_sum_ckpts[k] + r_ckpts[k]
+                        return turn | (
+                            valid & is_turning(r_ckpts[k], p_n, rho)
+                        )
+
+                    turning = jnp.where(
+                        even,
+                        jnp.zeros((), bool),
+                        jax.lax.fori_loop(
+                            0, max_tree_depth, check_span, jnp.zeros((), bool)
+                        ),
+                    )
+                    return {
+                        "i": i + 1,
+                        "z_e": z_n,
+                        "p_e": p_n,
+                        "g_e": g_n,
+                        "z_prop": z_prop,
+                        "u_prop": u_prop,
+                        "g_prop": g_prop,
+                        "log_sum_w": new_lsw,
+                        "r_sum": r_sub,
+                        "r_ckpts": r_ckpts,
+                        "r_sum_ckpts": r_sum_ckpts,
+                        "turning": turning,
+                        "diverging": diverging,
+                        "key": key,
+                        "sum_alpha": st["sum_alpha"] + alpha,
+                        "n_alpha": st["n_alpha"] + 1.0,
+                    }
+
+                return jax.lax.while_loop(cond, body, st0)
+
+            # ---- main doubling loop -----------------------------------------
+            main0 = {
+                "j": jnp.int32(0),
+                "key": k_main,
+                "z_left": z,
+                "p_left": p0,
+                "g_left": g,
+                "z_right": z,
+                "p_right": p0,
+                "g_right": g,
+                "z_prop": z,
+                "u_prop": u,
+                "g_prop": g,
+                "r_sum": p0,
+                "log_sum_w": jnp.zeros((), f32),
+                "done": jnp.zeros((), bool),
+                "diverged": jnp.zeros((), bool),
                 "sum_alpha": jnp.zeros((), f32),
                 "n_alpha": jnp.zeros((), f32),
             }
 
-            def cond(st):
-                return (
-                    (st["i"] < num_leaves)
-                    & ~st["turning"]
-                    & ~st["diverging"]
-                )
+            def main_cond(ms):
+                return (ms["j"] < max_tree_depth) & ~ms["done"]
 
-            def body(st):
-                z_n, p_n, g_n = leapfrog(st["z_e"], st["p_e"], st["g_e"], d)
-                u_n = potential(z_n, obs)
-                h_n = u_n + kinetic(p_n)
-                h_n = jnp.where(jnp.isnan(h_n), jnp.inf, h_n)
-                log_w = h0 - h_n
-                diverging = (h_n - h0) > _DELTA_MAX
-                alpha = jnp.minimum(1.0, jnp.exp(log_w))
+            def main_body(ms):
+                key, k_dir, k_sub, k_acc = jax.random.split(ms["key"], 4)
+                d = jnp.where(
+                    jax.random.bernoulli(k_dir), jnp.float32(1.0), jnp.float32(-1.0)
+                ).astype(f32)
+                fwd = d > 0
+                z_e = jnp.where(fwd, ms["z_right"], ms["z_left"])
+                p_e = jnp.where(fwd, ms["p_right"], ms["p_left"])
+                g_e = jnp.where(fwd, ms["g_right"], ms["g_left"])
+                st = build_subtree(ms["j"], d, z_e, p_e, g_e, k_sub)
+                ok = ~st["turning"] & ~st["diverging"]
 
-                # progressive multinomial: replace the subtree proposal
-                # with this leaf w.p. w_leaf / w_subtree_so_far
-                key, k_sel = jax.random.split(st["key"])
-                new_lsw = jnp.logaddexp(st["log_sum_w"], log_w)
+                # biased progressive sampling between tree and new subtree
                 take = (
-                    jnp.log(jax.random.uniform(k_sel, (), f32))
-                    < log_w - new_lsw
-                )
-                z_prop = jnp.where(take, z_n, st["z_prop"])
-                u_prop = jnp.where(take, u_n, st["u_prop"])
-                g_prop = jnp.where(take, g_n, st["g_prop"])
+                    jnp.log(jax.random.uniform(k_acc, (), f32))
+                    < st["log_sum_w"] - ms["log_sum_w"]
+                ) & ok
+                z_prop = jnp.where(take, st["z_prop"], ms["z_prop"])
+                u_prop = jnp.where(take, st["u_prop"], ms["u_prop"])
+                g_prop = jnp.where(take, st["g_prop"], ms["g_prop"])
 
-                i = st["i"]
-                r_sub = st["r_sum"] + p_n
-                ckpt_idx = jax.lax.population_count(
-                    jax.lax.shift_right_logical(i, 1)
+                # merge (only if the subtree is valid)
+                r_sum = jnp.where(ok, ms["r_sum"] + st["r_sum"], ms["r_sum"])
+                log_sum_w = jnp.where(
+                    ok,
+                    jnp.logaddexp(ms["log_sum_w"], st["log_sum_w"]),
+                    ms["log_sum_w"],
                 )
-                even = (i & 1) == 0
-                # even leaf: open new balanced spans — checkpoint state
-                r_ckpts = jnp.where(
-                    even, st["r_ckpts"].at[ckpt_idx].set(p_n), st["r_ckpts"]
-                )
-                r_sum_ckpts = jnp.where(
-                    even,
-                    st["r_sum_ckpts"].at[ckpt_idx].set(r_sub),
-                    st["r_sum_ckpts"],
-                )
-                # odd leaf: check every balanced span ending here
-                idx_max = ckpt_idx
-                idx_min = idx_max - _trailing_ones(i) + 1
+                upd = ok & fwd
+                z_right = jnp.where(upd, st["z_e"], ms["z_right"])
+                p_right = jnp.where(upd, st["p_e"], ms["p_right"])
+                g_right = jnp.where(upd, st["g_e"], ms["g_right"])
+                upd = ok & ~fwd
+                z_left = jnp.where(upd, st["z_e"], ms["z_left"])
+                p_left = jnp.where(upd, st["p_e"], ms["p_left"])
+                g_left = jnp.where(upd, st["g_e"], ms["g_left"])
 
-                def check_span(k, turn):
-                    valid = (k >= idx_min) & (k <= idx_max)
-                    rho = r_sub - r_sum_ckpts[k] + r_ckpts[k]
-                    return turn | (
-                        valid & is_turning(r_ckpts[k], p_n, rho)
-                    )
-
-                turning = jnp.where(
-                    even,
-                    jnp.zeros((), bool),
-                    jax.lax.fori_loop(
-                        0, max_tree_depth, check_span, jnp.zeros((), bool)
-                    ),
-                )
+                turning_full = is_turning(p_left, p_right, r_sum)
+                done = ~ok | turning_full
                 return {
-                    "i": i + 1,
-                    "z_e": z_n,
-                    "p_e": p_n,
-                    "g_e": g_n,
+                    "j": ms["j"] + 1,
+                    "key": key,
+                    "z_left": z_left,
+                    "p_left": p_left,
+                    "g_left": g_left,
+                    "z_right": z_right,
+                    "p_right": p_right,
+                    "g_right": g_right,
                     "z_prop": z_prop,
                     "u_prop": u_prop,
                     "g_prop": g_prop,
-                    "log_sum_w": new_lsw,
-                    "r_sum": r_sub,
-                    "r_ckpts": r_ckpts,
-                    "r_sum_ckpts": r_sum_ckpts,
-                    "turning": turning,
-                    "diverging": diverging,
-                    "key": key,
-                    "sum_alpha": st["sum_alpha"] + alpha,
-                    "n_alpha": st["n_alpha"] + 1.0,
+                    "r_sum": r_sum,
+                    "log_sum_w": log_sum_w,
+                    "done": done,
+                    "diverged": ms["diverged"] | st["diverging"],
+                    "sum_alpha": ms["sum_alpha"] + st["sum_alpha"],
+                    "n_alpha": ms["n_alpha"] + st["n_alpha"],
                 }
 
-            return jax.lax.while_loop(cond, body, st0)
+            ms = jax.lax.while_loop(main_cond, main_body, main0)
+            z = ms["z_prop"]
+            u = ms["u_prop"]
+            g = ms["g_prop"]
+            accept_stat = ms["sum_alpha"] / jnp.maximum(ms["n_alpha"], 1.0)
 
-        # ---- main doubling loop -----------------------------------------
-        main0 = {
-            "j": jnp.int32(0),
-            "key": k_main,
-            "z_left": z,
-            "p_left": p0,
-            "g_left": g,
-            "z_right": z,
-            "p_right": p0,
-            "g_right": g,
-            "z_prop": z,
-            "u_prop": u,
-            "g_prop": g,
-            "r_sum": p0,
-            "log_sum_w": jnp.zeros((), f32),
-            "done": jnp.zeros((), bool),
-            "diverged": jnp.zeros((), bool),
-            "sum_alpha": jnp.zeros((), f32),
-            "n_alpha": jnp.zeros((), f32),
-        }
-
-        def main_cond(ms):
-            return (ms["j"] < max_tree_depth) & ~ms["done"]
-
-        def main_body(ms):
-            key, k_dir, k_sub, k_acc = jax.random.split(ms["key"], 4)
-            d = jnp.where(
-                jax.random.bernoulli(k_dir), jnp.float32(1.0), jnp.float32(-1.0)
-            ).astype(f32)
-            fwd = d > 0
-            z_e = jnp.where(fwd, ms["z_right"], ms["z_left"])
-            p_e = jnp.where(fwd, ms["p_right"], ms["p_left"])
-            g_e = jnp.where(fwd, ms["g_right"], ms["g_left"])
-            st = build_subtree(ms["j"], d, z_e, p_e, g_e, k_sub)
-            ok = ~st["turning"] & ~st["diverging"]
-
-            # biased progressive sampling between tree and new subtree
-            take = (
-                jnp.log(jax.random.uniform(k_acc, (), f32))
-                < st["log_sum_w"] - ms["log_sum_w"]
-            ) & ok
-            z_prop = jnp.where(take, st["z_prop"], ms["z_prop"])
-            u_prop = jnp.where(take, st["u_prop"], ms["u_prop"])
-            g_prop = jnp.where(take, st["g_prop"], ms["g_prop"])
-
-            # merge (only if the subtree is valid)
-            r_sum = jnp.where(ok, ms["r_sum"] + st["r_sum"], ms["r_sum"])
-            log_sum_w = jnp.where(
-                ok,
-                jnp.logaddexp(ms["log_sum_w"], st["log_sum_w"]),
-                ms["log_sum_w"],
+            # warmup: dual-averaging step size + windowed Welford mass matrix
+            adapting = t < burn_in
+            da_new = _da_update(da, accept_stat, target_accept)
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(adapting, b, a), da, da_new
             )
-            upd = ok & fwd
-            z_right = jnp.where(upd, st["z_e"], ms["z_right"])
-            p_right = jnp.where(upd, st["p_e"], ms["p_right"])
-            g_right = jnp.where(upd, st["g_e"], ms["g_right"])
-            upd = ok & ~fwd
-            z_left = jnp.where(upd, st["z_e"], ms["z_left"])
-            p_left = jnp.where(upd, st["p_e"], ms["p_left"])
-            g_left = jnp.where(upd, st["g_e"], ms["g_left"])
+            win_start = burn_in // 4
+            win_end = (3 * burn_in) // 4
+            in_window = (t >= win_start) & (t < win_end)
+            wf_new = _welford_update(wf, z)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_window, b, a), wf, wf_new
+            )
+            set_mass = t == win_end
+            inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
+            )
+            post = ~adapting
+            acc_sum = acc_sum + jnp.where(post, accept_stat, 0.0)
+            depth_sum = depth_sum + jnp.where(post, ms["j"].astype(f32), 0.0)
+            div_sum = div_sum + jnp.where(
+                post & ms["diverged"], 1.0, 0.0
+            )
+            return (
+                z, u, g, da, inv_mass, wf, key, acc_sum, depth_sum, div_sum,
+            ), z
 
-            turning_full = is_turning(p_left, p_right, r_sum)
-            done = ~ok | turning_full
-            return {
-                "j": ms["j"] + 1,
-                "key": key,
-                "z_left": z_left,
-                "p_left": p_left,
-                "g_left": g_left,
-                "z_right": z_right,
-                "p_right": p_right,
-                "g_right": g_right,
-                "z_prop": z_prop,
-                "u_prop": u_prop,
-                "g_prop": g_prop,
-                "r_sum": r_sum,
-                "log_sum_w": log_sum_w,
-                "done": done,
-                "diverged": ms["diverged"] | st["diverging"],
-                "sum_alpha": ms["sum_alpha"] + st["sum_alpha"],
-                "n_alpha": ms["n_alpha"] + st["n_alpha"],
-            }
-
-        ms = jax.lax.while_loop(main_cond, main_body, main0)
-        z = ms["z_prop"]
-        u = ms["u_prop"]
-        g = ms["g_prop"]
-        accept_stat = ms["sum_alpha"] / jnp.maximum(ms["n_alpha"], 1.0)
-
-        # warmup: dual-averaging step size + windowed Welford mass matrix
-        adapting = t < burn_in
-        da_new = _da_update(da, accept_stat, target_accept)
-        da = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(adapting, b, a), da, da_new
-        )
-        win_start = burn_in // 4
-        win_end = (3 * burn_in) // 4
-        in_window = (t >= win_start) & (t < win_end)
-        wf_new = _welford_update(wf, z)
-        wf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(in_window, b, a), wf, wf_new
-        )
-        set_mass = t == win_end
-        inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
-        da = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
-        )
-        post = ~adapting
-        acc_sum = acc_sum + jnp.where(post, accept_stat, 0.0)
-        depth_sum = depth_sum + jnp.where(post, ms["j"].astype(f32), 0.0)
-        div_sum = div_sum + jnp.where(
-            post & ms["diverged"], 1.0, 0.0
-        )
-        return (
-            z, u, g, da, inv_mass, wf, key, acc_sum, depth_sum, div_sum,
-        ), z
-
-    carry_obs = [None]
-    carry_burn_in = [None]
+        return chain_step
 
     def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
-        carry_obs[0] = obs
-        carry_burn_in[0] = burn_in
+        chain_step = make_chain_step(obs, burn_in)
         z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
         u0 = jax.vmap(potential, in_axes=(0, None))(z0, obs)
         g0 = jax.vmap(grad_potential, in_axes=(0, None))(z0, obs)

@@ -217,88 +217,88 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
         alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
         return z, u_pr, u_l, g, alpha
 
-    def chain_step(carry, t):
-        """One ensemble transition: K replica HMC moves + one alternating
-        swap sweep.  Z [K, D]; U_pr, U_l [K]; G [K, D]; per-replica
-        adaptation states."""
-        (Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
-         swap_n) = carry
-        obs = carry_obs[0]
-        burn_in = carry_burn_in[0]
-        key, k_moves, k_swap = jax.random.split(key, 3)
-        move_keys = jax.random.split(k_moves, K)
+    # fresh scan-body per program trace: lax.scan caches jaxprs by
+    # function identity, so a shared closure over mutable boxes would leak
+    # stale tracers into retraces (see hmc.make_chain_step)
+    def make_chain_step(obs, burn_in):
+        def chain_step(carry, t):
+            """One ensemble transition: K replica HMC moves + one
+            alternating swap sweep.  Z [K, D]; U_pr, U_l [K]; G [K, D];
+            per-replica adaptation states."""
+            (Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
+             swap_n) = carry
+            key, k_moves, k_swap = jax.random.split(key, 3)
+            move_keys = jax.random.split(k_moves, K)
 
-        Z, U_pr, U_l, G, alphas = jax.vmap(
-            replica_hmc_move,
-            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
-        )(Z, U_pr, U_l, G, betas, da, inv_mass, move_keys, t, burn_in, obs)
+            Z, U_pr, U_l, G, alphas = jax.vmap(
+                replica_hmc_move,
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
+            )(Z, U_pr, U_l, G, betas, da, inv_mass, move_keys, t, burn_in, obs)
 
-        # ---- even/odd alternating swap sweep ------------------------
-        # pairs (k, k+1) with k ≡ t (mod 2); acceptance
-        # log a = (beta_k - beta_{k+1}) (U_l[k] - U_l[k+1])
-        ks = jnp.arange(K - 1)
-        active = (ks % 2) == (t % 2)
-        log_a = (betas[ks] - betas[ks + 1]) * (U_l[ks] - U_l[ks + 1])
-        us = jax.random.uniform(k_swap, (K - 1,), f32)
-        do_swap = active & (jnp.log(us) < log_a)
-        # permutation: start with identity, swap accepted pairs (disjoint
-        # by the parity scheme)
-        perm = jnp.arange(K)
-        perm = perm.at[ks].set(jnp.where(do_swap, ks + 1, perm[ks]))
-        perm = perm.at[ks + 1].set(jnp.where(do_swap, ks, perm[ks + 1]))
-        Z = Z[perm]
-        U_pr = U_pr[perm]
-        U_l = U_l[perm]
-        # cached gradient moved with the configuration, but it was taken
-        # at the *old* beta — recombine: grad = g_pr + beta*g_lik is not
-        # separable from the combined cache, so recompute in one vmapped
-        # pass (cost: 1/leapfrog_steps extra grads)
-        (unused, unused2), G = jax.vmap(
-            grad_pot_beta, in_axes=(0, 0, None)
-        )(Z, betas, obs)
+            # ---- even/odd alternating swap sweep ------------------------
+            # pairs (k, k+1) with k ≡ t (mod 2); acceptance
+            # log a = (beta_k - beta_{k+1}) (U_l[k] - U_l[k+1])
+            ks = jnp.arange(K - 1)
+            active = (ks % 2) == (t % 2)
+            log_a = (betas[ks] - betas[ks + 1]) * (U_l[ks] - U_l[ks + 1])
+            us = jax.random.uniform(k_swap, (K - 1,), f32)
+            do_swap = active & (jnp.log(us) < log_a)
+            # permutation: start with identity, swap accepted pairs (disjoint
+            # by the parity scheme)
+            perm = jnp.arange(K)
+            perm = perm.at[ks].set(jnp.where(do_swap, ks + 1, perm[ks]))
+            perm = perm.at[ks + 1].set(jnp.where(do_swap, ks, perm[ks + 1]))
+            Z = Z[perm]
+            U_pr = U_pr[perm]
+            U_l = U_l[perm]
+            # cached gradient moved with the configuration, but it was taken
+            # at the *old* beta — recombine: grad = g_pr + beta*g_lik is not
+            # separable from the combined cache, so recompute in one vmapped
+            # pass (cost: 1/leapfrog_steps extra grads)
+            (unused, unused2), G = jax.vmap(
+                grad_pot_beta, in_axes=(0, 0, None)
+            )(Z, betas, obs)
 
-        # ---- per-replica warmup adaptation --------------------------
-        adapting = t < burn_in
-        da_new = jax.vmap(_da_update, in_axes=(0, 0, None))(
-            da, alphas, target_accept
-        )
-        da = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(adapting, b, a), da, da_new
-        )
-        win_start = burn_in // 4
-        win_end = (3 * burn_in) // 4
-        in_window = (t >= win_start) & (t < win_end)
-        wf_new = jax.vmap(_welford_update)(wf, Z)
-        wf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(in_window, b, a), wf, wf_new
-        )
-        set_mass = t == win_end
-        inv_mass = jnp.where(
-            set_mass, jax.vmap(_welford_variance)(wf), inv_mass
-        )
-        da = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(set_mass, b, a),
-            da,
-            jax.vmap(_da_restart)(da),
-        )
-        post = ~adapting
-        acc_sum = acc_sum + jnp.where(post, alphas[K - 1], 0.0)
-        n_active = jnp.sum(active.astype(f32))
-        swap_sum = swap_sum + jnp.where(
-            post, jnp.sum((do_swap).astype(f32)), 0.0
-        )
-        swap_n = swap_n + jnp.where(post, n_active, 0.0)
-        return (
-            Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
-            swap_n,
-        ), Z[K - 1]
+            # ---- per-replica warmup adaptation --------------------------
+            adapting = t < burn_in
+            da_new = jax.vmap(_da_update, in_axes=(0, 0, None))(
+                da, alphas, target_accept
+            )
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(adapting, b, a), da, da_new
+            )
+            win_start = burn_in // 4
+            win_end = (3 * burn_in) // 4
+            in_window = (t >= win_start) & (t < win_end)
+            wf_new = jax.vmap(_welford_update)(wf, Z)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_window, b, a), wf, wf_new
+            )
+            set_mass = t == win_end
+            inv_mass = jnp.where(
+                set_mass, jax.vmap(_welford_variance)(wf), inv_mass
+            )
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(set_mass, b, a),
+                da,
+                jax.vmap(_da_restart)(da),
+            )
+            post = ~adapting
+            acc_sum = acc_sum + jnp.where(post, alphas[K - 1], 0.0)
+            n_active = jnp.sum(active.astype(f32))
+            swap_sum = swap_sum + jnp.where(
+                post, jnp.sum((do_swap).astype(f32)), 0.0
+            )
+            swap_n = swap_n + jnp.where(post, n_active, 0.0)
+            return (
+                Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
+                swap_n,
+            ), Z[K - 1]
 
-    carry_obs = [None]
-    carry_burn_in = [None]
+        return chain_step
 
     def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
-        carry_obs[0] = obs
-        carry_burn_in[0] = burn_in
+        chain_step = make_chain_step(obs, burn_in)
         C = init_keys.shape[0]
         # independent prior inits for every replica of every ensemble
         all_init = jax.vmap(

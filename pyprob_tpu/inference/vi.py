@@ -329,22 +329,23 @@ def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
         if sig not in _fit_cache:
             opt = optax.adam(float(lr))
 
-            def step(carry, k):
-                p, opt_state = carry
-                loss, g = grad_neg_elbo(p, k, obs_cell[0])
-                updates, opt_state = opt.update(g, opt_state, p)
-                p = optax.apply_updates(p, updates)
-                return (p, opt_state), -loss
-
             def run(params, key, obs):
-                obs_cell[0] = obs
+                # step is defined INSIDE run: lax.scan caches jaxprs by
+                # function identity, so the body must be a fresh object
+                # per trace (obs is a closure constant here)
+                def step(carry, k):
+                    p, opt_state = carry
+                    loss, g = grad_neg_elbo(p, k, obs)
+                    updates, opt_state = opt.update(g, opt_state, p)
+                    p = optax.apply_updates(p, updates)
+                    return (p, opt_state), -loss
+
                 keys = jax.random.split(key, int(vi_steps))
                 (p, _), elbos = jax.lax.scan(
                     step, (params, opt.init(params)), keys
                 )
                 return p, elbos
 
-            obs_cell = [None]
             _fit_cache[sig] = jax.jit(run)
         return _fit_cache[sig](params, key, obs)
 

@@ -246,3 +246,20 @@ def test_hmc_untraceable_raises():
         NotTraceable().posterior(
             num_traces=100, observe={"y": 0.1}, inference_engine=HMC
         )
+
+
+def test_hmc_rerun_with_different_chain_geometry():
+    """Regression: lax.scan caches jaxprs by body identity — re-running a
+    cached program builder with a different total_steps/burn_in must not
+    leak tracers from the previous trace."""
+    m = GUM()
+    p1 = m.posterior_results(
+        num_traces=2000, observe=GUM_OBS, inference_engine=HMC,
+        num_chains=8, burn_in=100,
+    )
+    p2 = m.posterior_results(
+        num_traces=2000, observe=GUM_OBS, inference_engine=HMC,
+        num_chains=8, burn_in=300,
+    )
+    assert abs(float(p1.mean) - 7.25) < 0.3
+    assert abs(float(p2.mean) - 7.25) < 0.3
