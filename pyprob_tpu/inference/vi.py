@@ -15,10 +15,15 @@ Design:
 - Guides: ``meanfield`` — diagonal Gaussian (mu, log_sigma);
   ``fullrank`` — Gaussian with a dense lower-triangular scale L
   (softplus-free: free strictly-lower entries + exp'd diagonal), which
-  captures posterior correlations mean-field cannot.
-- The ELBO uses the closed-form Gaussian entropy (lower variance than
-  a sampled -log q term) and is maximized by optax.adam inside ONE
-  ``lax.scan`` — the entire fit is a single compiled dispatch.
+  captures posterior correlations mean-field cannot; ``flow`` — a
+  RealNVP normalizing flow (alternating-mask affine coupling layers
+  over a meanfield base, zero-initialized to the identity), which
+  captures curved/non-Gaussian posteriors no Gaussian family can —
+  couplings invert in closed form so the IS reweighting stays exact.
+- The Gaussian ELBOs use the closed-form entropy (lower variance than
+  a sampled -log q term; the flow ELBO samples -log q) and are
+  maximized by optax.adam inside ONE ``lax.scan`` — the entire fit is
+  a single compiled dispatch.
 - The returned posterior is *importance-reweighted*: the final
   ``num_traces`` draws from the fitted guide carry weights
   ``log p(x,obs) - log q(x)``, so the Empirical is a self-normalized
@@ -47,6 +52,7 @@ from ..vectorized import _TraceabilityCache
 from .hmc import _functionalize  # shared flat-latent machinery
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
+_FLOW_LAYERS = 6
 
 _vi_cache = {}
 
@@ -82,9 +88,9 @@ def vectorized_vi_posterior(
         vi_particles = 32
     if guide is None:
         guide = "meanfield"
-    if guide not in ("meanfield", "fullrank"):
+    if guide not in ("meanfield", "fullrank", "flow"):
         raise ValueError(
-            f"guide must be 'meanfield' or 'fullrank', got {guide!r}"
+            f"guide must be 'meanfield', 'fullrank' or 'flow', got {guide!r}"
         )
     if learning_rate is None:
         learning_rate = 0.05
@@ -279,7 +285,7 @@ def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
                 "log_sigma": jnp.full((dim,), -1.0, util.dtype()),
             }
 
-    else:  # fullrank
+    elif guide == "fullrank":
 
         def _scale_tril(params):
             L = jnp.zeros((dim, dim), util.dtype())
@@ -308,16 +314,102 @@ def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
                 "tril": jnp.zeros((n_tril,), util.dtype()),
             }
 
+    else:  # flow: RealNVP coupling stack over a meanfield base
+        n_layers = _FLOW_LAYERS
+        hidden = max(32, 2 * dim)
+        masks = [
+            jnp.asarray(
+                [(j + l) % 2 for j in range(dim)], util.dtype()
+            )
+            for l in range(n_layers)
+        ]
+
+        def _st(layer, x_masked):
+            """Scale/shift nets of one coupling layer (tanh-bounded scale
+            for stability; identity at zero-initialized output layer)."""
+            h = jnp.tanh(x_masked @ layer["w1"] + layer["b1"])
+            out = h @ layer["w2"] + layer["b2"]
+            return jnp.tanh(out[:dim]) * 2.0, out[dim:]
+
+        def guide_sample_logq(params, eps):
+            z = params["mu"] + jnp.exp(params["log_sigma"]) * eps
+            log_q = (
+                -0.5 * jnp.sum(eps * eps)
+                - 0.5 * dim * _LOG_2PI
+                - jnp.sum(params["log_sigma"])
+            )
+            for l, layer in enumerate(params["layers"]):
+                m = masks[l]
+                s, t = _st(layer, z * m)
+                z = m * z + (1.0 - m) * (z * jnp.exp(s) + t)
+                log_q = log_q - jnp.sum((1.0 - m) * s)
+            return z, log_q
+
+        def guide_sample(params, eps):
+            return guide_sample_logq(params, eps)[0]
+
+        guide_entropy = None  # no closed form: ELBO uses sampled -log q
+
+        def guide_log_prob(params, z_vec):
+            """Exact density via the inverse flow (couplings invert in
+            closed form) — keeps the IS reweighting exact."""
+            z = z_vec
+            logdet = jnp.zeros((), util.dtype())
+            for l in reversed(range(n_layers)):
+                m = masks[l]
+                s, t = _st(params["layers"][l], z * m)
+                z = m * z + (1.0 - m) * ((z - t) * jnp.exp(-s))
+                logdet = logdet + jnp.sum((1.0 - m) * s)
+            eps = (z - params["mu"]) * jnp.exp(-params["log_sigma"])
+            return (
+                -0.5 * jnp.sum(eps * eps)
+                - 0.5 * dim * _LOG_2PI
+                - jnp.sum(params["log_sigma"])
+                - logdet
+            )
+
+        def make_params(mu0):
+            wkeys = jax.random.split(jax.random.PRNGKey(7), n_layers)
+            layers = [
+                {
+                    # zero output layer -> every coupling starts as the
+                    # identity, so the flow begins as the meanfield guide
+                    "w1": 0.01
+                    * jax.random.normal(k, (dim, hidden), util.dtype()),
+                    "b1": jnp.zeros((hidden,), util.dtype()),
+                    "w2": jnp.zeros((hidden, 2 * dim), util.dtype()),
+                    "b2": jnp.zeros((2 * dim,), util.dtype()),
+                }
+                for k in wkeys
+            ]
+            return {
+                "mu": mu0,
+                "log_sigma": jnp.full((dim,), -1.0, util.dtype()),
+                "layers": layers,
+            }
+
     @jax.jit
     def init_fn(key, obs):
         # initialize the guide mean at the encoded image of a prior draw
         return make_params(encode_single(key, obs))
 
-    def neg_elbo(params, key, obs):
-        eps = jax.random.normal(key, (vi_particles, dim), util.dtype())
-        z = jax.vmap(lambda e: guide_sample(params, e))(eps)
-        lj = jax.vmap(lambda zv: log_joint(zv, obs))(z)
-        return -(jnp.mean(lj) + guide_entropy(params))
+    if guide_entropy is None:
+
+        def neg_elbo(params, key, obs):
+            eps = jax.random.normal(key, (vi_particles, dim), util.dtype())
+            z, log_q = jax.vmap(
+                lambda e: guide_sample_logq(params, e)
+            )(eps)
+            lj = jax.vmap(lambda zv: log_joint(zv, obs))(z)
+            return -jnp.mean(lj - log_q)
+
+    else:
+
+        def neg_elbo(params, key, obs):
+            eps = jax.random.normal(key, (vi_particles, dim), util.dtype())
+            z = jax.vmap(lambda e: guide_sample(params, e))(eps)
+            lj = jax.vmap(lambda zv: log_joint(zv, obs))(z)
+            return -(jnp.mean(lj) + guide_entropy(params))
 
     grad_neg_elbo = jax.value_and_grad(neg_elbo)
 
