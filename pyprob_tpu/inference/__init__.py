@@ -21,4 +21,8 @@ def __getattr__(name):
         from .pt import vectorized_pt_posterior
 
         return vectorized_pt_posterior
+    if name == "vectorized_tempered_smc_posterior":
+        from .tempered_smc import vectorized_tempered_smc_posterior
+
+        return vectorized_tempered_smc_posterior
     raise AttributeError(name)

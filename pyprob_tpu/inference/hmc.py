@@ -619,6 +619,47 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             )(grid)
             return -jax.scipy.special.logsumexp(ljs)
 
+    def _parts_one(z_vec, combo, obs):
+        """(U_prior, U_lik) for one discrete combo.  Discrete-site prior
+        mass rides in the LIKELIHOOD part so a beta=0 tempered target is
+        the (proper) continuous prior and marginalization composes with
+        tempering: [sum_d p(d) lik(z, d)]^beta."""
+        replay = unravel(z_vec)
+        if combo is not None:
+            replay = {**replay, **combo}
+        _, handler = _run_transformed(
+            model, fixed_key, obs, replay, False,
+            likelihood_importance, args, kwargs, discrete=discrete_set,
+        )
+        disc_lp = jnp.zeros((), util.dtype())
+        for s, lp in zip(handler.sites, handler.log_probs):
+            if lp is not None and s.address in discrete_set:
+                disc_lp = disc_lp + lp
+        u_lik = -(handler.log_prob_observed + disc_lp)
+        u_prior = -(
+            handler.log_prob_total
+            - handler.log_prob_observed
+            - disc_lp
+            + handler.logdet
+        )
+        return u_prior, u_lik
+
+    if grid is None:
+
+        def potential_parts(z_vec, obs):
+            """(U_prior = -(log prior + log|J|), U_lik = -log lik) —
+            the split the tempered engines (PT, tempered SMC) anneal."""
+            return _parts_one(z_vec, None, obs)
+
+    else:
+
+        def potential_parts(z_vec, obs):
+            u_prs, u_ls = jax.vmap(
+                lambda c: _parts_one(z_vec, c, obs)
+            )(grid)
+            # U_prior is combo-independent; marginalize the likelihood
+            return u_prs[0], -jax.scipy.special.logsumexp(-u_ls)
+
     def decode_single(z_vec, key, obs):
         replay = unravel(z_vec)
         if grid is not None:
@@ -659,6 +700,7 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
 
     return _FunctionalModel(
         potential=potential,
+        potential_parts=potential_parts,
         encode_single=encode_single,
         decode_single=decode_single,
         replay_logjoint=replay_logjoint,

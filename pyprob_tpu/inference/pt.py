@@ -39,7 +39,6 @@ from .. import util
 from .hmc import (
     _functionalize,
     _gradient_mcmc_posterior,
-    _run_transformed,
     _da_init,
     _da_update,
     _da_restart,
@@ -132,8 +131,8 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
         model, obs_arrays, likelihood_importance, results_only,
         "PARALLEL_TEMPERING", args, kwargs,
     )
-    encode_single, decode_single, dim, sites, unravel = (
-        fm.encode_single, fm.decode_single, fm.dim, fm.sites, fm.unravel
+    encode_single, decode_single, dim, sites = (
+        fm.encode_single, fm.decode_single, fm.dim, fm.sites
     )
     f32 = util.dtype()
     K = num_temperatures
@@ -142,44 +141,7 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
         [(k / (K - 1)) ** 2 for k in range(K)], f32
     )
 
-    def _parts_one(z_vec, combo, obs):
-        """(U_prior, U_lik) for one discrete combo.  Discrete-site prior
-        mass rides in the LIKELIHOOD part so the beta=0 replica targets
-        the (proper) continuous prior and marginalization composes with
-        tempering: [sum_d p(d) lik(z, d)]^beta."""
-        replay = unravel(z_vec)
-        if combo is not None:
-            replay = {**replay, **combo}
-        _, handler = _run_transformed(
-            model, jax.random.PRNGKey(0), obs, replay, False,
-            likelihood_importance, args, kwargs, discrete=fm.discrete,
-        )
-        disc_lp = jnp.zeros((), f32)
-        for s, lp in zip(handler.sites, handler.log_probs):
-            if lp is not None and s.address in fm.discrete:
-                disc_lp = disc_lp + lp
-        u_lik = -(handler.log_prob_observed + disc_lp)
-        u_prior = -(
-            handler.log_prob_total
-            - handler.log_prob_observed
-            - disc_lp
-            + handler.logdet
-        )
-        return u_prior, u_lik
-
-    if fm.grid is None:
-
-        def potential_parts(z_vec, obs):
-            return _parts_one(z_vec, None, obs)
-
-    else:
-
-        def potential_parts(z_vec, obs):
-            u_prs, u_ls = jax.vmap(
-                lambda c: _parts_one(z_vec, c, obs)
-            )(fm.grid)
-            # U_prior is combo-independent; marginalize the likelihood
-            return u_prs[0], -jax.scipy.special.logsumexp(-u_ls)
+    potential_parts = fm.potential_parts
 
     def pot_beta(z_vec, beta, obs):
         u_pr, u_l = potential_parts(z_vec, obs)

@@ -261,6 +261,7 @@ class Model:
         step_size=None,
         max_tree_depth=None,
         num_temperatures=None,
+        rejuvenation_steps=None,
         *args,
         **kwargs,
     ):
@@ -284,6 +285,7 @@ class Model:
             InferenceEngine.HAMILTONIAN_MONTE_CARLO,
             InferenceEngine.NO_U_TURN_SAMPLER,
             InferenceEngine.PARALLEL_TEMPERING,
+            InferenceEngine.TEMPERED_SMC,
         )
         is_vi = inference_engine == InferenceEngine.VARIATIONAL_INFERENCE
         # SMC/HMC/NUTS/VI exist only on the compiled tier (SMC has an
@@ -318,6 +320,7 @@ class Model:
                 step_size=step_size,
                 max_tree_depth=max_tree_depth,
                 num_temperatures=num_temperatures,
+                rejuvenation_steps=rejuvenation_steps,
                 *args,
                 **kwargs,
             )

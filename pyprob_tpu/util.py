@@ -67,6 +67,11 @@ class InferenceEngine(enum.Enum):
     # (likelihood^beta ladder) with alternating adjacent swaps; mixes
     # between separated posterior modes; pyprob_tpu.inference.pt
     PARALLEL_TEMPERING = 9
+    # Beyond parity: SMC sampler (Del Moral et al. 2006) — particles
+    # annealed prior->posterior along an ADAPTIVE likelihood-temperature
+    # ladder with systematic resampling + HMC rejuvenation; unbiased
+    # log-evidence; pyprob_tpu.inference.tempered_smc
+    TEMPERED_SMC = 10
 
 
 class InferenceNetwork(enum.Enum):

@@ -862,6 +862,7 @@ def vectorized_posterior(
     step_size=None,
     max_tree_depth=None,
     num_temperatures=None,
+    rejuvenation_steps=None,
     *args,
     **kwargs,
 ):
@@ -882,6 +883,25 @@ def vectorized_posterior(
             vi_particles=vi_particles,
             guide=guide,
             learning_rate=learning_rate,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
+    if inference_engine == InferenceEngine.TEMPERED_SMC:
+        from .inference.tempered_smc import vectorized_tempered_smc_posterior
+
+        return vectorized_tempered_smc_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            resample_threshold=resample_threshold,
+            rejuvenation_steps=rejuvenation_steps,
+            leapfrog_steps=leapfrog_steps,
+            target_accept=target_accept,
+            step_size=step_size,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
             args=args,
