@@ -597,6 +597,60 @@ class Model:
             **kwargs,
         )
 
+    def posterior_predictive(
+        self,
+        posterior,
+        num_traces=1000,
+        map_func=None,
+        file_name=None,
+        *args,
+        **kwargs,
+    ):
+        """Posterior-predictive distribution (beyond parity — no reference
+        counterpart): each draw samples a trace from ``posterior`` (a
+        trace-valued Empirical from ``posterior()``), pins the controlled
+        latents to that trace's values, and re-runs forward() with every
+        observe SAMPLED fresh from its likelihood.  Returns an Empirical
+        over map_func(trace) (default: the full trace)."""
+        from .trace import Trace
+
+        generator = self._trace_generator(
+            trace_mode=TraceMode.PRIOR_FOR_INFERENCE_NETWORK,
+            inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+            *args,
+            **kwargs,
+        )
+        emp = Empirical(file_name=file_name)
+        for _ in range(num_traces):
+            src = posterior.sample()
+            if not isinstance(src, Trace):
+                raise RuntimeError(
+                    "posterior_predictive needs a trace-valued posterior "
+                    "(use posterior(...), not posterior_results(...))"
+                )
+            replay = {
+                v.address: v.value for v in src.variables_controlled
+            }
+            state._set_smc_replay(replay)
+            try:
+                t = next(generator)
+            finally:
+                state._set_smc_replay(None)
+            emp.add(t if map_func is None else map_func(t), log_weight=0.0)
+        emp.finalize()
+        emp.rename(f"Posterior predictive, traces: {emp.length:,}")
+        emp.add_metadata(op="posterior_predictive", num_traces=num_traces)
+        return emp
+
+    def posterior_predictive_results(self, posterior, num_traces=1000,
+                                     *args, **kwargs):
+        """Posterior-predictive distribution over forward()'s return
+        value."""
+        return self.posterior_predictive(
+            posterior, num_traces=num_traces, map_func=trace_result,
+            *args, **kwargs,
+        )
+
     # ------------------------------------------------------------------
     # inference compilation
     # ------------------------------------------------------------------

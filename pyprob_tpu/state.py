@@ -387,9 +387,21 @@ def sample(distribution, name=None, address=None, control=True):
                     log_prob = distribution.log_prob(value, sum=True)
                     reused = False
     else:  # PRIOR / PRIOR_FOR_INFERENCE_NETWORK
-        value, log_prob, log_importance_weight = _sample_from_prior(
-            distribution, rng
-        )
+        if (
+            control
+            and ctx.smc_replay_values is not None
+            and full_address in ctx.smc_replay_values
+        ):
+            # posterior-predictive replay: pin the latent to a posterior
+            # draw while observes sample fresh (Model.posterior_predictive)
+            value = ctx.smc_replay_values[full_address]
+            log_prob = distribution.log_prob(value, sum=True)
+            log_importance_weight = None
+            reused = True
+        else:
+            value, log_prob, log_importance_weight = _sample_from_prior(
+                distribution, rng
+            )
 
     variable = Variable(
         distribution=distribution,

@@ -174,3 +174,49 @@ def test_model_sample_returns_trace():
     t = m.sample()
     assert t.length_controlled == 1
     assert np.isfinite(float(t.result))
+
+
+def test_posterior_predictive():
+    """Beyond parity: pin posterior latents, sample observes fresh.
+    Predictive of obs0 for GUM is N(7.25, 1/1.2 + 2)."""
+    import math
+
+    import numpy as np
+
+    from pyprob_tpu.distributions import Normal
+
+    class GUM2(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(1.0, math.sqrt(5.0)))
+            lik = Normal(mu, math.sqrt(2.0))
+            pp.observe(lik, name="obs0")
+            pp.observe(lik, name="obs1")
+            return mu
+
+    m = GUM2()
+    post = m.posterior(
+        num_traces=20000, observe={"obs0": 8.0, "obs1": 9.0},
+        vectorized=True,
+    )
+    pred = m.posterior_predictive(post, num_traces=3000)
+    obs_vals = []
+    for i in range(pred.length):
+        t = pred._get_value(i)
+        for v in t.variables:
+            if v.name == "obs0":
+                obs_vals.append(float(np.asarray(v.value)))
+    obs_vals = np.asarray(obs_vals)
+    assert len(obs_vals) == 3000
+    assert abs(obs_vals.mean() - 7.25) < 0.2
+    assert abs(obs_vals.std() - math.sqrt(1 / 1.2 + 2.0)) < 0.15
+    # results-valued posteriors are rejected with a pointer
+    import pytest
+
+    with pytest.raises(RuntimeError, match="trace-valued"):
+        m.posterior_predictive(
+            m.posterior_results(
+                num_traces=100, observe={"obs0": 8.0, "obs1": 9.0},
+                vectorized=True,
+            ),
+            num_traces=10,
+        )
