@@ -653,6 +653,47 @@ def _ess_geyer(x):
     return float(m * n / tau)
 
 
+def summary(chains):
+    """One-line convergence summary of MCMC chains (the per-chain
+    Empiricals from ``return_chains=True``, or a list of arrays):
+    mean, sd, 5%/50%/95% quantiles, rank-normalized split-R-hat, and
+    bulk/tail ESS — the table modern samplers print.  Returns a dict;
+    ``print(summary_str(chains))`` renders it."""
+    x = _chain_matrix(chains)
+    flat = x.reshape(-1)
+    q5, q50, q95 = np.quantile(flat, [0.05, 0.5, 0.95])
+    return {
+        "mean": float(flat.mean()),
+        "sd": float(flat.std(ddof=1)),
+        "q5": float(q5),
+        "median": float(q50),
+        "q95": float(q95),
+        "r_hat": float(split_rhat(chains)),
+        "ess_bulk": float(effective_sample_size_chains(chains, "bulk")),
+        "ess_tail": float(effective_sample_size_chains(chains, "tail")),
+        "num_chains": int(x.shape[0]),
+        "num_draws": int(x.shape[1]),
+    }
+
+
+def summary_str(chains):
+    """Rendered convergence summary table for ``summary(chains)``."""
+    s = summary(chains)
+    header = (
+        f"{'mean':>9s} {'sd':>8s} {'5%':>8s} {'50%':>8s} {'95%':>8s} "
+        f"{'r_hat':>7s} {'ess_bulk':>9s} {'ess_tail':>9s}"
+    )
+    row = (
+        f"{s['mean']:9.3f} {s['sd']:8.3f} {s['q5']:8.3f} "
+        f"{s['median']:8.3f} {s['q95']:8.3f} {s['r_hat']:7.3f} "
+        f"{s['ess_bulk']:9.0f} {s['ess_tail']:9.0f}"
+    )
+    return (
+        f"{s['num_chains']} chains x {s['num_draws']} draws\n"
+        + header + "\n" + row
+    )
+
+
 def effective_sample_size_chains(chains, kind="bulk"):
     """Bulk or tail effective sample size across MCMC chains.
 

@@ -214,3 +214,30 @@ def test_split_rhat_on_nuts_chains():
     assert diagnostics.split_rhat(chains) < 1.05
     assert diagnostics.effective_sample_size_chains(chains, "bulk") > 500
     assert diagnostics.effective_sample_size_chains(chains, "tail") > 200
+
+
+def test_summary_table():
+    class GUM4(pp.Model):
+        def forward(self):
+            mu = pp.sample(Normal(1.0, math.sqrt(5.0)))
+            lik = Normal(mu, math.sqrt(2.0))
+            pp.observe(lik, name="obs0")
+            pp.observe(lik, name="obs1")
+            return mu
+
+    chains = GUM4().posterior_results(
+        num_traces=4000,
+        observe={"obs0": 8.0, "obs1": 9.0},
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER,
+        num_chains=4,
+        burn_in=200,
+        return_chains=True,
+    )
+    s = diagnostics.summary(chains)
+    assert abs(s["mean"] - 7.25) < 0.15
+    assert abs(s["sd"] - math.sqrt(1 / 1.2)) < 0.15
+    assert s["r_hat"] < 1.05
+    assert s["ess_bulk"] > 500 and s["ess_tail"] > 200
+    assert s["num_chains"] == len(chains)  # mesh pads chain counts
+    rendered = diagnostics.summary_str(chains)
+    assert "r_hat" in rendered and "ess_bulk" in rendered
