@@ -381,41 +381,16 @@ def _gradient_mcmc_posterior(
             chains_out.append(Empirical.from_arrays(vals))
         return chains_out
 
+    from ..vectorized import materialize_empirical
+
     n_out = int(
         np.asarray(
             jax.tree_util.tree_leaves(host["log_prob_total"])[0]
         ).shape[0]
     )
-    results_host = host["result"]
-    if results_only and file_name is None and isinstance(results_host, np.ndarray):
-        emp = Empirical.from_arrays(
-            np.asarray(results_host), np.zeros(n_out)
-        )
-    else:
-        from ..vectorized import _materialize_traces
-
-        emp = Empirical(file_name=file_name)
-        if map_func is None:
-            values = _materialize_traces(
-                sites, host, n_out, None, results_host
-            )
-        elif results_only:
-            leaves, treedef = jax.tree_util.tree_flatten(results_host)
-            leaves = [np.asarray(l) for l in leaves]
-            values = [
-                jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
-                for i in range(n_out)
-            ]
-        else:
-            values = [
-                map_func(t)
-                for t in _materialize_traces(
-                    sites, host, n_out, None, results_host
-                )
-            ]
-        for v in values:
-            emp.add(v, log_weight=0.0)
-        emp.finalize()
+    emp = materialize_empirical(
+        sites, host, n_out, map_func, results_only, file_name
+    )
 
     duration = time.time() - t0
     emp.rename(
@@ -620,10 +595,8 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             return -jax.scipy.special.logsumexp(ljs)
 
     def _parts_one(z_vec, combo, obs):
-        """(U_prior, U_lik) for one discrete combo.  Discrete-site prior
-        mass rides in the LIKELIHOOD part so a beta=0 tempered target is
-        the (proper) continuous prior and marginalization composes with
-        tempering: [sum_d p(d) lik(z, d)]^beta."""
+        """(log prior incl. |J| and discrete mass, log likelihood) for
+        one discrete combo."""
         replay = unravel(z_vec)
         if combo is not None:
             replay = {**replay, **combo}
@@ -631,34 +604,28 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             model, fixed_key, obs, replay, False,
             likelihood_importance, args, kwargs, discrete=discrete_set,
         )
-        disc_lp = jnp.zeros((), util.dtype())
-        for s, lp in zip(handler.sites, handler.log_probs):
-            if lp is not None and s.address in discrete_set:
-                disc_lp = disc_lp + lp
-        u_lik = -(handler.log_prob_observed + disc_lp)
-        u_prior = -(
-            handler.log_prob_total
-            - handler.log_prob_observed
-            - disc_lp
-            + handler.logdet
-        )
-        return u_prior, u_lik
+        ll = handler.log_prob_observed
+        lp = handler.log_prob_total - ll + handler.logdet
+        return lp, ll
 
     if grid is None:
 
         def potential_parts(z_vec, obs):
-            """(U_prior = -(log prior + log|J|), U_lik = -log lik) —
-            the split the tempered engines (PT, tempered SMC) anneal."""
-            return _parts_one(z_vec, None, obs)
+            """Per-discrete-combo (log prior [G], log lik [G]) vectors
+            (G=1 without discrete sites).  The tempered engines (PT,
+            tempered SMC) target pi_b(z) ∝ sum_k exp(lp_k + b*ll_k) —
+            exact for any dependence of continuous sites on enumerated
+            discrete latents — via pot_b = -logsumexp(lp + b*ll)."""
+            lp, ll = _parts_one(z_vec, None, obs)
+            return lp[None], ll[None]
 
     else:
 
         def potential_parts(z_vec, obs):
-            u_prs, u_ls = jax.vmap(
+            lps, lls = jax.vmap(
                 lambda c: _parts_one(z_vec, c, obs)
             )(grid)
-            # U_prior is combo-independent; marginalize the likelihood
-            return u_prs[0], -jax.scipy.special.logsumexp(-u_ls)
+            return lps, lls
 
     def decode_single(z_vec, key, obs):
         replay = unravel(z_vec)
@@ -784,13 +751,78 @@ def _welford_variance(wf):
     )
 
 
+def _warmup_adapt(da, wf, inv_mass, z, alpha, t, burn_in, target_accept,
+                  batched=False):
+    """One step of the shared warmup schedule: dual-averaging step size
+    during burn-in, Welford mass accumulation over the middle warmup
+    window, mass committed + averaging restarted at the window end.
+    ``batched=True`` adapts a leading axis of independent units (PT's
+    temperature replicas).  Returns (da, wf, inv_mass)."""
+    upd = (
+        jax.vmap(_da_update, in_axes=(0, 0, None)) if batched else _da_update
+    )
+    wf_update = jax.vmap(_welford_update) if batched else _welford_update
+    wf_var = jax.vmap(_welford_variance) if batched else _welford_variance
+    restart = jax.vmap(_da_restart) if batched else _da_restart
+
+    adapting = t < burn_in
+    da_new = upd(da, alpha, target_accept)
+    da = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(adapting, b, a), da, da_new
+    )
+    win_start = burn_in // 4
+    win_end = (3 * burn_in) // 4
+    in_window = (t >= win_start) & (t < win_end)
+    wf_new = wf_update(wf, z)
+    wf = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(in_window, b, a), wf, wf_new
+    )
+    set_mass = t == win_end
+    inv_mass = jnp.where(set_mass, wf_var(wf), inv_mass)
+    da = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(set_mass, b, a), da, restart(da)
+    )
+    return da, wf, inv_mass
+
+
+def _make_program_dispatch(program):
+    """Per-total_steps jit cache: scan lengths must be static, so each
+    distinct total_steps compiles its own program (closing over the
+    python int).  ``program(init_keys, chain_keys, obs, burn_in,
+    total_steps:int, eps0)`` must treat total_steps as static."""
+    cache = {}
+
+    def dispatch(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+        n = int(total_steps)
+        if n not in cache:
+
+            def jitted(init_keys, chain_keys, obs, burn_in, eps0, _n=n):
+                return program(
+                    init_keys, chain_keys, obs, burn_in, _n, eps0
+                )
+
+            cache[n] = jax.jit(jitted)
+        return cache[n](
+            init_keys,
+            chain_keys,
+            obs,
+            jnp.asarray(int(burn_in), jnp.int32),
+            eps0,
+        )
+
+    return dispatch
+
+
 def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
                target_accept, results_only, args, kwargs):
-    """Build (program, decode_fn, sites).
+    """Build (program, decode_fn, sites) for _gradient_mcmc_posterior.
 
     program(init_keys [C], chain_keys [C], obs, burn_in, total_steps, eps0)
-      -> (z samples [T, C, D], mean acceptance, final step size)
-    decode_fn(z [S, D], obs) -> outputs (result, values, log_probs, ...)
+      -> (z samples [T, C, D], stats dict with at least
+          'acceptance_rate' and 'final_step_size')
+    decode_fn(z [S, D], keys [S], obs) -> outputs dict (result, values,
+      log_probs, ...); the keys drive the exact-conditional redraw of
+      enumerated discrete sites.
     """
     fm = _functionalize(
         model, obs_arrays, likelihood_importance, results_only,
@@ -836,27 +868,10 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
             g = jnp.where(accept, gl, g)
             alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
 
-            # dual-averaging step-size adaptation during burn-in
-            adapting = t < burn_in
-            da_new = _da_update(da, alpha, target_accept)
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(adapting, b, a), da, da_new
+            da, wf, inv_mass = _warmup_adapt(
+                da, wf, inv_mass, z, alpha, t, burn_in, target_accept
             )
-            # Welford mass-matrix accumulation over the middle warmup window
-            win_start = burn_in // 4
-            win_end = (3 * burn_in) // 4
-            in_window = (t >= win_start) & (t < win_end)
-            wf_new = _welford_update(wf, z)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_window, b, a), wf, wf_new
-            )
-            # commit the mass matrix once at the window end, restart averaging
-            set_mass = t == win_end
-            inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
-            )
-            acc_sum = acc_sum + jnp.where(adapting, 0.0, alpha)
+            acc_sum = acc_sum + jnp.where(t < burn_in, 0.0, alpha)
             return (z, u, g, da, inv_mass, wf, key, acc_sum), z
 
         return chain_step
@@ -879,42 +894,19 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
                 jnp.zeros((), util.dtype()),
             )
             (_, _, _, da, _, _, _, acc_sum), zs = jax.lax.scan(
-                chain_step, carry0, jnp.arange(_TOTAL[0])
+                chain_step, carry0, jnp.arange(total_steps)
             )
             return zs, acc_sum, jnp.exp(da[2])
 
         zs, acc_sums, final_eps = jax.vmap(one_chain)(z0, u0, g0, chain_keys)
         # zs: [C, T, D] -> [T, C, D]
         zs = jnp.swapaxes(zs, 0, 1)
-        post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
+        post_steps = jnp.maximum(total_steps - burn_in, 1)
         accept_rate = jnp.mean(acc_sums) / post_steps
         return zs, {
             "acceptance_rate": accept_rate,
             "final_step_size": jnp.mean(final_eps),
         }
 
-    # scan length must be static: close over it per (total_steps) value
-    _TOTAL = [None]
-    _program_cache = {}
-
-    def program_dispatch(init_keys, chain_keys, obs, burn_in, total_steps,
-                         eps0):
-        n = int(total_steps)
-        if n not in _program_cache:
-            _TOTAL_local = n
-
-            def jitted(init_keys, chain_keys, obs, burn_in, eps0):
-                _TOTAL[0] = _TOTAL_local
-                return program(
-                    init_keys, chain_keys, obs, burn_in, _TOTAL_local, eps0
-                )
-
-            _program_cache[n] = jax.jit(jitted)
-        _TOTAL[0] = n
-        return _program_cache[n](
-            init_keys, chain_keys, obs, jnp.asarray(int(burn_in), jnp.int32),
-            eps0,
-        )
-
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
-    return program_dispatch, decode_fn, sites
+    return _make_program_dispatch(program), decode_fn, sites

@@ -44,11 +44,9 @@ from .hmc import (
     _functionalize,
     _gradient_mcmc_posterior,
     _da_init,
-    _da_update,
-    _da_restart,
+    _warmup_adapt,
     _welford_init,
-    _welford_update,
-    _welford_variance,
+    _make_program_dispatch,
 )
 
 _DELTA_MAX = 1000.0
@@ -363,25 +361,10 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
             g = ms["g_prop"]
             accept_stat = ms["sum_alpha"] / jnp.maximum(ms["n_alpha"], 1.0)
 
-            # warmup: dual-averaging step size + windowed Welford mass matrix
-            adapting = t < burn_in
-            da_new = _da_update(da, accept_stat, target_accept)
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(adapting, b, a), da, da_new
+            da, wf, inv_mass = _warmup_adapt(
+                da, wf, inv_mass, z, accept_stat, t, burn_in, target_accept
             )
-            win_start = burn_in // 4
-            win_end = (3 * burn_in) // 4
-            in_window = (t >= win_start) & (t < win_end)
-            wf_new = _welford_update(wf, z)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_window, b, a), wf, wf_new
-            )
-            set_mass = t == win_end
-            inv_mass = jnp.where(set_mass, _welford_variance(wf), inv_mass)
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(set_mass, b, a), da, _da_restart(da)
-            )
-            post = ~adapting
+            post = ~(t < burn_in)
             acc_sum = acc_sum + jnp.where(post, accept_stat, 0.0)
             depth_sum = depth_sum + jnp.where(post, ms["j"].astype(f32), 0.0)
             div_sum = div_sum + jnp.where(
@@ -413,7 +396,7 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
                 jnp.zeros((), f32),
             )
             (_, _, _, da, _, _, _, acc_sum, depth_sum, div_sum), zs = (
-                jax.lax.scan(chain_step, carry0, jnp.arange(_TOTAL[0]))
+                jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
             )
             return zs, acc_sum, depth_sum, div_sum, jnp.exp(da[2])
 
@@ -421,7 +404,7 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
             z0, u0, g0, chain_keys
         )
         zs = jnp.swapaxes(zs, 0, 1)  # [C, T, D] -> [T, C, D]
-        post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
+        post_steps = jnp.maximum(total_steps - burn_in, 1)
         return zs, {
             "acceptance_rate": jnp.mean(acc_sums) / post_steps,
             "final_step_size": jnp.mean(final_eps),
@@ -429,28 +412,5 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
             "divergences": jnp.sum(div_sums),
         }
 
-    # scan length must be static: close over it per (total_steps) value
-    _TOTAL = [None]
-    _program_cache = {}
-
-    def program_dispatch(init_keys, chain_keys, obs, burn_in, total_steps,
-                         eps0):
-        n = int(total_steps)
-        if n not in _program_cache:
-            _TOTAL_local = n
-
-            def jitted(init_keys, chain_keys, obs, burn_in, eps0):
-                _TOTAL[0] = _TOTAL_local
-                return program(
-                    init_keys, chain_keys, obs, burn_in, _TOTAL_local, eps0
-                )
-
-            _program_cache[n] = jax.jit(jitted)
-        _TOTAL[0] = n
-        return _program_cache[n](
-            init_keys, chain_keys, obs, jnp.asarray(int(burn_in), jnp.int32),
-            eps0,
-        )
-
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
-    return program_dispatch, decode_fn, sites
+    return _make_program_dispatch(program), decode_fn, sites

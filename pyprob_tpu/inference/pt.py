@@ -10,8 +10,10 @@ tempered targets
     pi_k(z)  ∝  prior(z) · likelihood(z)^beta_k ,   0 = beta_0 < ... < beta_{K-1} = 1
 
 and periodically proposes swapping configurations between adjacent
-temperatures (accepted w.p. min(1, exp((beta_i - beta_j)(L_j - L_i)))
-where L = log-likelihood).  Hot replicas (small beta) see a nearly-flat
+temperatures (general tempered-energy acceptance
+min(1, exp(E_i(z_i)+E_j(z_j)-E_i(z_j)-E_j(z_i))), which reduces to
+min(1, exp((beta_i - beta_j)(L_j - L_i))) without discrete
+marginalization).  Hot replicas (small beta) see a nearly-flat
 likelihood and roam freely between modes; swap moves transport those
 jumps down the ladder to the cold beta=1 replica, whose samples are the
 posterior draws.
@@ -24,10 +26,11 @@ the mesh, and the full run is ONE compiled dispatch.  Each replica
 adapts its own step size (dual averaging) and diagonal mass matrix
 (windowed Welford) against its own tempered target.
 
-Enumerable discrete sites (Categorical/Bernoulli) are marginalized as
-in the HMC engine — the tempered likelihood is [sum_d p(d) lik(z,d)]^beta;
-other discrete sites and untraceable models are rejected with pointers
-to LMH/RMH (PT has no interpreter tier — gradients need XLA).
+Enumerable discrete sites (Categorical/Bernoulli) are marginalized
+per-combo: the tempered target is pi_b ∝ sum_d exp(lp_d + b*ll_d) —
+exact even when continuous sites' parameters depend on the discrete
+latent; other discrete sites and untraceable models are rejected with
+pointers to LMH/RMH (PT has no interpreter tier — gradients need XLA).
 """
 
 from __future__ import annotations
@@ -40,11 +43,9 @@ from .hmc import (
     _functionalize,
     _gradient_mcmc_posterior,
     _da_init,
-    _da_update,
-    _da_restart,
+    _warmup_adapt,
     _welford_init,
-    _welford_update,
-    _welford_variance,
+    _make_program_dispatch,
 )
 
 _pt_cache = {}
@@ -75,6 +76,11 @@ def vectorized_pt_posterior(
     swap-rate metadata, or None if the model is not jax-traceable."""
     if num_temperatures is None:
         num_temperatures = 8
+    if num_temperatures < 2:
+        raise ValueError(
+            "PARALLEL_TEMPERING needs num_temperatures >= 2 (a single "
+            "temperature is plain HMC — use HAMILTONIAN_MONTE_CARLO)"
+        )
     if leapfrog_steps is None:
         leapfrog_steps = 10
     if target_accept is None:
@@ -143,13 +149,19 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
 
     potential_parts = fm.potential_parts
 
+    def pot_of(lp, ll, b):
+        """Tempered potential from per-combo vectors: pi_b ∝ sum_k
+        exp(lp_k + b*ll_k).  Exact for continuous sites whose parameters
+        depend on enumerated discrete latents (G=1 without them)."""
+        return -jax.scipy.special.logsumexp(lp + b * ll)
+
     def pot_beta(z_vec, beta, obs):
-        u_pr, u_l = potential_parts(z_vec, obs)
-        return u_pr + beta * u_l, (u_pr, u_l)
+        lp, ll = potential_parts(z_vec, obs)
+        return pot_of(lp, ll, beta), (lp, ll)
 
     grad_pot_beta = jax.value_and_grad(pot_beta, has_aux=True)
 
-    def replica_hmc_move(z, u_pr, u_l, g, beta, da, inv_mass, key, t,
+    def replica_hmc_move(z, lp, ll, g, beta, da, inv_mass, key, t,
                          burn_in, obs):
         """One HMC transition against the beta-tempered target."""
         k_mom, k_acc = jax.random.split(key)
@@ -159,25 +171,25 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
         def kinetic(p):
             return 0.5 * jnp.sum(inv_mass * p * p)
 
-        u = u_pr + beta * u_l
+        u = pot_of(lp, ll, beta)
         p = p0 - 0.5 * eps * g
         zl, gl = z, g
-        u_pr_l, u_l_l = u_pr, u_l
+        lp_l, ll_l = lp, ll
+        u_new = u
         for i in range(leapfrog_steps):
             zl = zl + eps * inv_mass * p
-            (unused, (u_pr_l, u_l_l)), gl = grad_pot_beta(zl, beta, obs)
+            (u_new, (lp_l, ll_l)), gl = grad_pot_beta(zl, beta, obs)
             scale = 0.5 * eps if i == leapfrog_steps - 1 else eps
             p = p - scale * gl
-        u_new = u_pr_l + beta * u_l_l
         log_alpha = (u - u_new) + (kinetic(p0) - kinetic(p))
         log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
         accept = jnp.log(jax.random.uniform(k_acc, (), f32)) < log_alpha
         z = jnp.where(accept, zl, z)
         g = jnp.where(accept, gl, g)
-        u_pr = jnp.where(accept, u_pr_l, u_pr)
-        u_l = jnp.where(accept, u_l_l, u_l)
+        lp = jnp.where(accept, lp_l, lp)
+        ll = jnp.where(accept, ll_l, ll)
         alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
-        return z, u_pr, u_l, g, alpha
+        return z, lp, ll, g, alpha
 
     # fresh scan-body per program trace: lax.scan caches jaxprs by
     # function identity, so a shared closure over mutable boxes would leak
@@ -185,24 +197,33 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
     def make_chain_step(obs, burn_in):
         def chain_step(carry, t):
             """One ensemble transition: K replica HMC moves + one
-            alternating swap sweep.  Z [K, D]; U_pr, U_l [K]; G [K, D];
+            alternating swap sweep.  Z [K, D]; LP, LL [K, G]; G [K, D];
             per-replica adaptation states."""
-            (Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
+            (Z, LP, LL, G, da, inv_mass, wf, key, acc_sum, swap_sum,
              swap_n) = carry
             key, k_moves, k_swap = jax.random.split(key, 3)
             move_keys = jax.random.split(k_moves, K)
 
-            Z, U_pr, U_l, G, alphas = jax.vmap(
+            Z, LP, LL, G, alphas = jax.vmap(
                 replica_hmc_move,
                 in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
-            )(Z, U_pr, U_l, G, betas, da, inv_mass, move_keys, t, burn_in, obs)
+            )(Z, LP, LL, G, betas, da, inv_mass, move_keys, t, burn_in, obs)
 
             # ---- even/odd alternating swap sweep ------------------------
-            # pairs (k, k+1) with k ≡ t (mod 2); acceptance
-            # log a = (beta_k - beta_{k+1}) (U_l[k] - U_l[k+1])
+            # pairs (k, k+1) with k ≡ t (mod 2); general tempered-energy
+            # acceptance (exact with discrete marginalization):
+            # log a = [E_k(z_k) + E_{k+1}(z_{k+1})]
+            #       - [E_k(z_{k+1}) + E_{k+1}(z_k)]
             ks = jnp.arange(K - 1)
             active = (ks % 2) == (t % 2)
-            log_a = (betas[ks] - betas[ks + 1]) * (U_l[ks] - U_l[ks + 1])
+            E_self = jax.vmap(pot_of)(LP, LL, betas)  # [K]
+            E_lo_hi = jax.vmap(pot_of)(
+                LP[ks + 1], LL[ks + 1], betas[ks]
+            )  # neighbor's config at the lower temperature
+            E_hi_lo = jax.vmap(pot_of)(
+                LP[ks], LL[ks], betas[ks + 1]
+            )
+            log_a = (E_self[ks] + E_self[ks + 1]) - (E_lo_hi + E_hi_lo)
             us = jax.random.uniform(k_swap, (K - 1,), f32)
             do_swap = active & (jnp.log(us) < log_a)
             # permutation: start with identity, swap accepted pairs (disjoint
@@ -211,8 +232,8 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             perm = perm.at[ks].set(jnp.where(do_swap, ks + 1, perm[ks]))
             perm = perm.at[ks + 1].set(jnp.where(do_swap, ks, perm[ks + 1]))
             Z = Z[perm]
-            U_pr = U_pr[perm]
-            U_l = U_l[perm]
+            LP = LP[perm]
+            LL = LL[perm]
             # cached gradient moved with the configuration, but it was taken
             # at the *old* beta — recombine: grad = g_pr + beta*g_lik is not
             # separable from the combined cache, so recompute in one vmapped
@@ -222,30 +243,11 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             )(Z, betas, obs)
 
             # ---- per-replica warmup adaptation --------------------------
-            adapting = t < burn_in
-            da_new = jax.vmap(_da_update, in_axes=(0, 0, None))(
-                da, alphas, target_accept
+            da, wf, inv_mass = _warmup_adapt(
+                da, wf, inv_mass, Z, alphas, t, burn_in, target_accept,
+                batched=True,
             )
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(adapting, b, a), da, da_new
-            )
-            win_start = burn_in // 4
-            win_end = (3 * burn_in) // 4
-            in_window = (t >= win_start) & (t < win_end)
-            wf_new = jax.vmap(_welford_update)(wf, Z)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_window, b, a), wf, wf_new
-            )
-            set_mass = t == win_end
-            inv_mass = jnp.where(
-                set_mass, jax.vmap(_welford_variance)(wf), inv_mass
-            )
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(set_mass, b, a),
-                da,
-                jax.vmap(_da_restart)(da),
-            )
-            post = ~adapting
+            post = ~(t < burn_in)
             acc_sum = acc_sum + jnp.where(post, alphas[K - 1], 0.0)
             n_active = jnp.sum(active.astype(f32))
             swap_sum = swap_sum + jnp.where(
@@ -253,7 +255,7 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             )
             swap_n = swap_n + jnp.where(post, n_active, 0.0)
             return (
-                Z, U_pr, U_l, G, da, inv_mass, wf, key, acc_sum, swap_sum,
+                Z, LP, LL, G, da, inv_mass, wf, key, acc_sum, swap_sum,
                 swap_n,
             ), Z[K - 1]
 
@@ -269,22 +271,20 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             )
         )(init_keys)  # [C, K, D]
 
-        def parts_of(z):
-            u_pr, u_l = potential_parts(z, obs)
-            return u_pr, u_l
-
-        U_pr0, U_l0 = jax.vmap(jax.vmap(parts_of))(all_init)
+        LP0, LL0 = jax.vmap(
+            jax.vmap(potential_parts, in_axes=(0, None)), in_axes=(0, None)
+        )(all_init, obs)
         (unused, unused2), G0 = jax.vmap(
             lambda Zk: jax.vmap(grad_pot_beta, in_axes=(0, 0, None))(
                 Zk, betas, obs
             )
         )(all_init)
 
-        def one_ensemble(Z, U_pr, U_l, G, key):
+        def one_ensemble(Z, LP, LL, G, key):
             carry0 = (
                 Z,
-                U_pr,
-                U_l,
+                LP,
+                LL,
                 G,
                 jax.vmap(lambda _: _da_init(eps0))(jnp.arange(K)),
                 jnp.ones((K, dim), f32),
@@ -295,15 +295,15 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
                 jnp.zeros((), f32),
             )
             (_, _, _, _, da, _, _, _, acc_sum, swap_sum, swap_n), zs = (
-                jax.lax.scan(chain_step, carry0, jnp.arange(_TOTAL[0]))
+                jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
             )
             return zs, acc_sum, swap_sum, swap_n, jnp.exp(da[2][K - 1])
 
         zs, acc_sums, swap_sums, swap_ns, final_eps = jax.vmap(
             one_ensemble
-        )(all_init, U_pr0, U_l0, G0, chain_keys)
+        )(all_init, LP0, LL0, G0, chain_keys)
         zs = jnp.swapaxes(zs, 0, 1)  # [C, T, D] -> [T, C, D]
-        post_steps = jnp.maximum(_TOTAL[0] - burn_in, 1)
+        post_steps = jnp.maximum(total_steps - burn_in, 1)
         return zs, {
             "acceptance_rate": jnp.mean(acc_sums) / post_steps,
             "final_step_size": jnp.mean(final_eps),
@@ -311,28 +311,5 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             / jnp.maximum(jnp.sum(swap_ns), 1.0),
         }
 
-    # scan length must be static: close over it per (total_steps) value
-    _TOTAL = [None]
-    _program_cache = {}
-
-    def program_dispatch(init_keys, chain_keys, obs, burn_in, total_steps,
-                         eps0):
-        n = int(total_steps)
-        if n not in _program_cache:
-            _TOTAL_local = n
-
-            def jitted(init_keys, chain_keys, obs, burn_in, eps0):
-                _TOTAL[0] = _TOTAL_local
-                return program(
-                    init_keys, chain_keys, obs, burn_in, _TOTAL_local, eps0
-                )
-
-            _program_cache[n] = jax.jit(jitted)
-        _TOTAL[0] = n
-        return _program_cache[n](
-            init_keys, chain_keys, obs, jnp.asarray(int(burn_in), jnp.int32),
-            eps0,
-        )
-
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
-    return program_dispatch, decode_fn, sites
+    return _make_program_dispatch(program), decode_fn, sites

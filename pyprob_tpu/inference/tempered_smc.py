@@ -38,7 +38,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import util
-from ..distributions import Empirical
 from ..vectorized import _TraceabilityCache
 from ..parallel.collectives import systematic_resample_indices
 from .hmc import (
@@ -167,37 +166,12 @@ def vectorized_tempered_smc_posterior(
         return None
     _TraceabilityCache.mark(model, True)
 
-    log_evidence = stats["log_evidence"]
-    results_host = host["result"]
-    if results_only and file_name is None and isinstance(results_host, np.ndarray):
-        emp = Empirical.from_arrays(
-            np.asarray(results_host)[:num_traces], np.zeros(num_traces)
-        )
-    else:
-        from ..vectorized import _materialize_traces
+    from ..vectorized import materialize_empirical
 
-        emp = Empirical(file_name=file_name)
-        if map_func is None:
-            values = _materialize_traces(
-                sites, host, num_traces, None, results_host
-            )
-        elif results_only:
-            leaves, treedef = jax.tree_util.tree_flatten(results_host)
-            leaves = [np.asarray(l) for l in leaves]
-            values = [
-                jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
-                for i in range(num_traces)
-            ]
-        else:
-            values = [
-                map_func(t)
-                for t in _materialize_traces(
-                    sites, host, num_traces, None, results_host
-                )
-            ]
-        for v in values:
-            emp.add(v, log_weight=0.0)
-        emp.finalize()
+    log_evidence = stats["log_evidence"]
+    emp = materialize_empirical(
+        sites, host, num_traces, map_func, results_only, file_name
+    )
 
     duration = time.time() - t0
     emp.log_evidence = log_evidence
@@ -244,9 +218,15 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
     dim = fm.dim
     f32 = util.dtype()
 
+    def pot_of(lp, ll, b):
+        """Tempered potential from per-combo vectors: pi_b ∝ sum_k
+        exp(lp_k + b*ll_k) — exact with discrete enumeration (G=1
+        without discrete sites)."""
+        return -jax.scipy.special.logsumexp(lp + b * ll)
+
     def pot_beta(z_vec, beta, obs):
-        u_pr, u_l = fm.potential_parts(z_vec, obs)
-        return u_pr + beta * u_l, (u_pr, u_l)
+        lp, ll = fm.potential_parts(z_vec, obs)
+        return pot_of(lp, ll, beta), (lp, ll)
 
     grad_pot_beta = jax.value_and_grad(pot_beta, has_aux=True)
 
@@ -261,20 +241,31 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
             jnp.asarray(resample_threshold * n, f32)
         )
         z0 = jax.vmap(fm.encode_single, in_axes=(0, None))(init_keys, obs)
-        (_, (U_pr0, U_l0)), G0 = jax.vmap(
+        (_, (LP0, LL0)), _ = jax.vmap(
             grad_pot_beta, in_axes=(0, None, None)
         )(z0, jnp.zeros((), f32), obs)
-        L0 = -U_l0  # per-particle log-likelihood
 
         def make_stage(obs):
             def stage(carry):
-                (z, U_pr, L, beta, log_Z, da, key, n_stages, acc_sum,
+                (z, LP, LL, beta, log_Z, da, key, n_stages, acc_sum,
                  acc_n) = carry
                 key, k_res, k_rej = jax.random.split(key, 3)
 
+                # incremental log-weight of moving the temperature from
+                # beta to b: logsumexp_k(lp+b*ll) - logsumexp_k(lp+beta*ll)
+                cur = jax.scipy.special.logsumexp(
+                    LP + beta * LL, axis=-1
+                )
+
+                def weights_at(b):
+                    return (
+                        jax.scipy.special.logsumexp(LP + b * LL, axis=-1)
+                        - cur
+                    )
+
                 # ---- adaptive next temperature (bisection on ESS) ----
                 def ess_at(b):
-                    return log_ess((b - beta) * L)
+                    return log_ess(weights_at(b))
 
                 full_ok = ess_at(jnp.ones((), f32)) >= log_target_ess
 
@@ -293,29 +284,30 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
                 new_beta = jnp.minimum(new_beta, 1.0)
 
                 # ---- reweight + evidence increment + resample --------
-                w = (new_beta - beta) * L
+                w = weights_at(new_beta)
                 log_Z = log_Z + jax.scipy.special.logsumexp(w) - jnp.log(
                     jnp.asarray(n, f32)
                 )
                 idx = systematic_resample_indices(k_res, w, n)
-                z, U_pr, L = z[idx], U_pr[idx], L[idx]
+                z, LP, LL = z[idx], LP[idx], LL[idx]
 
                 # ---- M Hamiltonian rejuvenation steps at new_beta ----
                 (_, _), G = jax.vmap(
                     grad_pot_beta, in_axes=(0, None, None)
                 )(z, new_beta, obs)
 
-                def hmc_once(z, U_pr, L, G, key, eps):
-                    def one(zp, u_pr, l, g, k):
+                def hmc_once(z, LP, LL, G, key, eps):
+                    def one(zp, lp, ll, g, k):
                         k_mom, k_acc = jax.random.split(k)
                         p0 = jax.random.normal(k_mom, (dim,), f32)
-                        u = u_pr + new_beta * (-l)
+                        u = pot_of(lp, ll, new_beta)
                         p = p0 - 0.5 * eps * g
                         zl, gl = zp, g
-                        u_pr_l, u_l_l = u_pr, -l
+                        lp_l, ll_l = lp, ll
+                        u_new = u
                         for i in range(leapfrog_steps):
                             zl = zl + eps * p
-                            (_, (u_pr_l, u_l_l)), gl = grad_pot_beta(
+                            (u_new, (lp_l, ll_l)), gl = grad_pot_beta(
                                 zl, new_beta, obs
                             )
                             scale = (
@@ -324,7 +316,6 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
                                 else eps
                             )
                             p = p - scale * gl
-                        u_new = u_pr_l + new_beta * u_l_l
                         log_alpha = (u - u_new) + 0.5 * (
                             jnp.sum(p0 * p0) - jnp.sum(p * p)
                         )
@@ -336,21 +327,21 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
                             < log_alpha
                         )
                         zp = jnp.where(accept, zl, zp)
-                        u_pr = jnp.where(accept, u_pr_l, u_pr)
-                        l = jnp.where(accept, -u_l_l, l)
+                        lp = jnp.where(accept, lp_l, lp)
+                        ll = jnp.where(accept, ll_l, ll)
                         g = jnp.where(accept, gl, g)
-                        return zp, u_pr, l, g, jnp.minimum(
+                        return zp, lp, ll, g, jnp.minimum(
                             1.0, jnp.exp(log_alpha)
                         )
 
                     keys = jax.random.split(key, z.shape[0])
-                    return jax.vmap(one)(z, U_pr, L, G, keys)
+                    return jax.vmap(one)(z, LP, LL, G, keys)
 
                 for m in range(rejuvenation_steps):
                     k_rej, k_m = jax.random.split(k_rej)
                     eps = jnp.exp(da[1])
-                    z, U_pr, L, G, alphas = hmc_once(
-                        z, U_pr, L, G, k_m, eps
+                    z, LP, LL, G, alphas = hmc_once(
+                        z, LP, LL, G, k_m, eps
                     )
                     mean_alpha = jnp.mean(alphas)
                     da = _da_update(da, mean_alpha, target_accept)
@@ -358,7 +349,7 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
                     acc_n = acc_n + 1.0
 
                 return (
-                    z, U_pr, L, new_beta, log_Z, da, key,
+                    z, LP, LL, new_beta, log_Z, da, key,
                     n_stages + 1, acc_sum, acc_n,
                 )
 
@@ -370,8 +361,8 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
 
         carry0 = (
             z0,
-            U_pr0,
-            L0,
+            LP0,
+            LL0,
             jnp.zeros((), f32),
             jnp.zeros((), f32),
             _da_init(eps0),

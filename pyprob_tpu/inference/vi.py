@@ -47,7 +47,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from .. import util
-from ..distributions import Empirical
 from ..vectorized import _TraceabilityCache
 from .hmc import _functionalize  # shared flat-latent machinery
 
@@ -178,36 +177,12 @@ def vectorized_vi_posterior(
             m + np.log(np.mean(np.exp(log_w - m)))
         ) if np.isfinite(m) else float("-inf")
 
-    results_host = host["result"]
-    if results_only and file_name is None and isinstance(results_host, np.ndarray):
-        emp = Empirical.from_arrays(
-            np.asarray(results_host)[:num_traces], log_w
-        )
-    else:
-        from ..vectorized import _materialize_traces
+    from ..vectorized import materialize_empirical
 
-        emp = Empirical(file_name=file_name)
-        if map_func is None:
-            values = _materialize_traces(
-                sites, host, num_traces, None, results_host
-            )
-        elif results_only:
-            leaves, treedef = jax.tree_util.tree_flatten(results_host)
-            leaves = [np.asarray(l) for l in leaves]
-            values = [
-                jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
-                for i in range(num_traces)
-            ]
-        else:
-            values = [
-                map_func(t)
-                for t in _materialize_traces(
-                    sites, host, num_traces, None, results_host
-                )
-            ]
-        for v, lw in zip(values, log_w):
-            emp.add(v, log_weight=float(lw))
-        emp.finalize()
+    emp = materialize_empirical(
+        sites, host, num_traces, map_func, results_only, file_name,
+        log_weights=log_w,
+    )
 
     duration = time.time() - t0
     emp.log_evidence = log_evidence
@@ -444,11 +419,16 @@ def _build_vi(model, obs_arrays, likelihood_importance, guide, vi_particles,
     def draw_one(params, key, obs):
         k_eps, k_dec = jax.random.split(key)
         eps = jax.random.normal(k_eps, (dim,), util.dtype())
-        z_vec = guide_sample(params, eps)
+        if guide == "flow":
+            # the forward pass already yields log q — skip the inverse
+            z_vec, log_q = guide_sample_logq(params, eps)
+        else:
+            z_vec = guide_sample(params, eps)
+            log_q = guide_log_prob(params, z_vec)
         out = fm.decode_single(z_vec, k_dec, obs)
         # self-normalized IS weight against the marginalized joint (any
         # discrete sites in `out` are exact-conditional draws given z)
-        log_w = log_joint(z_vec, obs) - guide_log_prob(params, z_vec)
+        log_w = log_joint(z_vec, obs) - log_q
         return out, log_w
 
     draw_fn = jax.jit(jax.vmap(draw_one, in_axes=(None, 0, None)))

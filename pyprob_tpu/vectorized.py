@@ -468,6 +468,50 @@ class _TraceabilityCache:
         cls._cache[type(model)] = ok
 
 
+def materialize_empirical(sites, host, num, map_func, results_only,
+                          file_name, log_weights=None):
+    """Build an Empirical from decoded batched outputs: bulk
+    ``from_arrays`` fast path for array-valued results-only output, else
+    per-trace materialization honoring ``map_func``.  ``log_weights``
+    None means uniform.  Shared by the engines that decode whole sample
+    batches at once (gradient MCMC driver, VI, tempered SMC)."""
+    from .distributions import Empirical
+
+    results_host = host["result"]
+    lw = (
+        np.zeros(num)
+        if log_weights is None
+        else np.asarray(log_weights, np.float64)[:num]
+    )
+    if (
+        results_only
+        and file_name is None
+        and isinstance(results_host, np.ndarray)
+    ):
+        return Empirical.from_arrays(np.asarray(results_host)[:num], lw)
+    emp = Empirical(file_name=file_name)
+    if map_func is None:
+        values = _materialize_traces(sites, host, num, None, results_host)
+    elif results_only:
+        leaves, treedef = jax.tree_util.tree_flatten(results_host)
+        leaves = [np.asarray(l) for l in leaves]
+        values = [
+            jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
+            for i in range(num)
+        ]
+    else:
+        values = [
+            map_func(t)
+            for t in _materialize_traces(
+                sites, host, num, None, results_host
+            )
+        ]
+    for v, w in zip(values, lw):
+        emp.add(v, log_weight=float(w))
+    emp.finalize()
+    return emp
+
+
 def _materialize_traces(sites, outputs_host, num, map_func, results_host):
     """Build per-trace Python Trace objects from batched site arrays.
 

@@ -182,3 +182,44 @@ def test_pt_untraceable_raises():
         NotTraceable().posterior(
             num_traces=100, observe={"y": 0.1}, inference_engine=PT
         )
+
+
+def test_pt_discrete_dependent_continuous():
+    """Regression: a continuous site whose parameters depend on the
+    enumerated discrete latent — the tempered target must marginalize
+    per-combo (pi_b ∝ sum_d exp(lp_d + b*ll_d)), not split a shared
+    prior from the likelihood."""
+    import jax.numpy as jnp
+
+    class DepMix(pp.Model):
+        def forward(self):
+            d = pp.sample(Categorical([0.3, 0.7]))
+            centers = jnp.asarray([-3.0, 3.0])
+            x = pp.sample(Normal(centers[d], 1.0))
+            pp.observe(Normal(x, 0.5), name="y")
+            return x
+
+    m = DepMix()
+    ref = m.posterior_results(
+        num_traces=400000, observe={"y": 1.0}, vectorized=True
+    )
+    post = m.posterior_results(
+        num_traces=12000,
+        observe={"y": 1.0},
+        inference_engine=PT,
+        num_chains=4,
+        burn_in=300,
+        num_temperatures=4,
+    )
+    assert abs(float(post.mean) - float(ref.mean)) < 0.1
+    assert abs(float(post.stddev) - float(ref.stddev)) < 0.1
+
+
+def test_pt_single_temperature_raises():
+    with pytest.raises(ValueError, match="num_temperatures"):
+        GUM().posterior_results(
+            num_traces=100,
+            observe={"obs0": 8.0, "obs1": 9.0},
+            inference_engine=PT,
+            num_temperatures=1,
+        )

@@ -139,3 +139,29 @@ def test_tempered_smc_untraceable_raises():
 def test_tempered_smc_requires_observe():
     with pytest.raises(RuntimeError, match="observe"):
         GUM().posterior(num_traces=100, inference_engine=TSMC)
+
+
+def test_tempered_smc_discrete_dependent_continuous():
+    """Regression: continuous-site parameters depending on the
+    enumerated discrete latent; evidence vs the analytic mixture
+    marginal log p(y) = log sum_d p(d) N(y; mu_d, 1.25) = -2.984."""
+    import jax.numpy as jnp
+
+    class DepMix(pp.Model):
+        def forward(self):
+            d = pp.sample(Categorical([0.3, 0.7]))
+            centers = jnp.asarray([-3.0, 3.0])
+            x = pp.sample(Normal(centers[d], 1.0))
+            pp.observe(Normal(x, 0.5), name="y")
+            return x
+
+    m = DepMix()
+    ref = m.posterior_results(
+        num_traces=400000, observe={"y": 1.0}, vectorized=True
+    )
+    post = m.posterior_results(
+        num_traces=12000, observe={"y": 1.0}, inference_engine=TSMC
+    )
+    assert abs(float(post.mean) - float(ref.mean)) < 0.1
+    assert abs(float(post.stddev) - float(ref.stddev)) < 0.1
+    assert abs(post.log_evidence - (-2.984)) < 0.12
