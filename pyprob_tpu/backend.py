@@ -52,6 +52,8 @@ class _NumpyBackend:
     minimum = _np.minimum
     sin = _np.sin
     cos = _np.cos
+    tan = _np.tan
+    arctan = _np.arctan
     tanh = _np.tanh
     sign = _np.sign
     isnan = _np.isnan
@@ -147,6 +149,8 @@ class _JaxBackend:
     minimum = staticmethod(_jnp.minimum)
     sin = staticmethod(_jnp.sin)
     cos = staticmethod(_jnp.cos)
+    tan = staticmethod(_jnp.tan)
+    arctan = staticmethod(_jnp.arctan)
     tanh = staticmethod(_jnp.tanh)
     sign = staticmethod(_jnp.sign)
     isnan = staticmethod(_jnp.isnan)

@@ -16,6 +16,14 @@ from .laplace import Laplace
 from .student_t import StudentT
 from .dirichlet import Dirichlet
 from .multivariate_normal import MultivariateNormal
+from .cauchy import Cauchy
+from .half_cauchy import HalfCauchy
+from .half_normal import HalfNormal
+from .gumbel import Gumbel
+from .logistic import Logistic
+from .chi2 import Chi2
+from .geometric import Geometric
+from .multinomial import Multinomial
 from .mixture import Mixture
 from .factor import Factor
 from .empirical import Empirical, EmpiricalType
@@ -35,6 +43,18 @@ __all__ = [
     "VonMises",
     "Weibull",
     "TruncatedNormal",
+    "Laplace",
+    "StudentT",
+    "Dirichlet",
+    "MultivariateNormal",
+    "Cauchy",
+    "HalfCauchy",
+    "HalfNormal",
+    "Gumbel",
+    "Logistic",
+    "Chi2",
+    "Geometric",
+    "Multinomial",
     "Mixture",
     "Factor",
     "Empirical",

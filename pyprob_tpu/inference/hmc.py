@@ -52,16 +52,73 @@ from ..distributions import (
     MultivariateNormal,
     Mixture,
     Empirical,
+    Cauchy,
+    HalfCauchy,
+    HalfNormal,
+    Gumbel,
+    Logistic,
+    Chi2,
+    Dirichlet,
 )
 from ..vectorized import VectorizedHandler, SiteRecord, run_traced, _TraceabilityCache
 
 _BOUNDED = (Uniform, TruncatedNormal, Beta)
-_POSITIVE = (Exponential, Gamma, Weibull, LogNormal)
-_UNBOUNDED = (Normal, Laplace, StudentT, VonMises, MultivariateNormal, Mixture)
+_POSITIVE = (Exponential, Gamma, Weibull, LogNormal, HalfNormal, HalfCauchy,
+             Chi2)
+_UNBOUNDED = (Normal, Laplace, StudentT, VonMises, MultivariateNormal, Mixture,
+              Cauchy, Gumbel, Logistic)
+
+
+def _stick_offsets(k):
+    """Stan's stick-breaking offsets: z_i = 0 maps to the uniform simplex."""
+    return -jnp.log(jnp.arange(k - 1, 0, -1, dtype=util.dtype()))
+
+
+def _simplex_to_x(z):
+    """Stick-breaking: z (..., K-1) unconstrained -> x (..., K) on the
+    simplex, plus the summed log|dx/dz| (Stan reference manual §10.7).
+    Computed in log space so tiny sticks stay finite."""
+    k = z.shape[-1] + 1
+    zs = z + _stick_offsets(k)
+    log_u = jax.nn.log_sigmoid(zs)
+    log_1mu = jax.nn.log_sigmoid(-zs)
+    # log remainder before each stick: [0, cumsum(log(1-u))]
+    log_rem = jnp.concatenate(
+        [jnp.zeros(z.shape[:-1] + (1,), util.dtype()),
+         jnp.cumsum(log_1mu, -1)],
+        -1,
+    )
+    x = jnp.concatenate(
+        [jnp.exp(log_u + log_rem[..., :-1]), jnp.exp(log_rem[..., -1:])], -1
+    )
+    logdet = jnp.sum(log_u + log_1mu + log_rem[..., :-1])
+    return x, logdet
+
+
+def _simplex_to_z(x):
+    """Inverse stick-breaking: x (..., K) -> z (..., K-1)."""
+    k = x.shape[-1]
+    head = x[..., :-1]
+    rem = 1.0 - jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (1,), util.dtype()),
+         jnp.cumsum(head[..., :-1], -1)],
+        -1,
+    )
+    u = jnp.clip(head / jnp.clip(rem, 1e-30, None), 1e-6, 1.0 - 1e-6)
+    return jnp.log(u) - jnp.log1p(-u) - _stick_offsets(k)
+
+
+def _unconstrained_shape(dist, x_shape):
+    """Shape of a site's unconstrained image (simplex sites drop a dim)."""
+    if isinstance(dist, Dirichlet):
+        return tuple(x_shape[:-1]) + (x_shape[-1] - 1,)
+    return tuple(x_shape)
 
 
 def _to_x(dist, z):
     """Unconstrained z -> support x, plus summed log|dx/dz|."""
+    if isinstance(dist, Dirichlet):
+        return _simplex_to_x(z)
     if isinstance(dist, _BOUNDED):
         low = jnp.asarray(dist.low, util.dtype())
         high = jnp.asarray(dist.high, util.dtype())
@@ -78,13 +135,15 @@ def _to_x(dist, z):
         return z, jnp.zeros((), util.dtype())
     raise NotImplementedError(
         f"HAMILTONIAN_MONTE_CARLO requires continuous sample sites; "
-        f"{dist.name} is not supported — use LMH/RMH for discrete or "
-        f"simplex-valued latents."
+        f"{dist.name} is not supported — use LMH/RMH for discrete "
+        f"latents."
     )
 
 
 def _to_z(dist, x):
     """Support x -> unconstrained z (chain initialization)."""
+    if isinstance(dist, Dirichlet):
+        return _simplex_to_z(x)
     if isinstance(dist, _BOUNDED):
         low = jnp.asarray(dist.low, util.dtype())
         high = jnp.asarray(dist.high, util.dtype())
@@ -552,8 +611,12 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
         grid = None
     discrete_set = frozenset(disc_addrs)
 
+    dist_by_addr = {s.address: s.distribution for s in sites}
     z_proto = {
-        a: jnp.zeros(probe["values"][a].shape, util.dtype())
+        a: jnp.zeros(
+            _unconstrained_shape(dist_by_addr[a], probe["values"][a].shape),
+            util.dtype(),
+        )
         for a in cont_addrs
     }
     _, unravel = ravel_pytree(z_proto)

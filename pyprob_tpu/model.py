@@ -262,6 +262,8 @@ class Model:
         max_tree_depth=None,
         num_temperatures=None,
         rejuvenation_steps=None,
+        svgd_steps=None,
+        svgd_particles=None,
         *args,
         **kwargs,
     ):
@@ -287,7 +289,10 @@ class Model:
             InferenceEngine.PARALLEL_TEMPERING,
             InferenceEngine.TEMPERED_SMC,
         )
-        is_vi = inference_engine == InferenceEngine.VARIATIONAL_INFERENCE
+        is_vi = inference_engine in (
+            InferenceEngine.VARIATIONAL_INFERENCE,
+            InferenceEngine.STEIN_VARIATIONAL_GRADIENT_DESCENT,
+        )
         # SMC/HMC/NUTS/VI exist only on the compiled tier (SMC has an
         # interpreter fallback): attempt it regardless of the vectorized
         # default, and fail loudly when the model can't compile
@@ -321,6 +326,8 @@ class Model:
                 max_tree_depth=max_tree_depth,
                 num_temperatures=num_temperatures,
                 rejuvenation_steps=rejuvenation_steps,
+                svgd_steps=svgd_steps,
+                svgd_particles=svgd_particles,
                 *args,
                 **kwargs,
             )
@@ -328,8 +335,8 @@ class Model:
                 return result
         if is_vi:
             raise RuntimeError(
-                "VARIATIONAL_INFERENCE requires a jax-traceable model "
-                "(ELBO gradients need XLA); this model fell back to the "
+                f"{inference_engine.name} requires a jax-traceable model "
+                "(gradients need XLA); this model fell back to the "
                 "interpreter tier. Use LMH/RMH or SMC instead."
             )
         if is_hmc:

@@ -72,6 +72,12 @@ class InferenceEngine(enum.Enum):
     # ladder with systematic resampling + HMC rejuvenation; unbiased
     # log-evidence; pyprob_tpu.inference.tempered_smc
     TEMPERED_SMC = 10
+    # Beyond parity: SVGD (arXiv:1608.04471) — a deterministic particle
+    # ensemble transported along the Stein variational direction (RBF
+    # kernel attraction + repulsion, all [N,N]@[N,D] matmuls on the MXU);
+    # captures correlated/non-Gaussian posteriors without a guide
+    # density; pyprob_tpu.inference.svgd
+    STEIN_VARIATIONAL_GRADIENT_DESCENT = 11
 
 
 class InferenceNetwork(enum.Enum):

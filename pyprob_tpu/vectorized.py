@@ -907,13 +907,33 @@ def vectorized_posterior(
     max_tree_depth=None,
     num_temperatures=None,
     rejuvenation_steps=None,
+    svgd_steps=None,
+    svgd_particles=None,
     *args,
     **kwargs,
 ):
     """Vectorized posterior.  IS and IC run as full particle batches; MCMC
     engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc);
     SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc);
-    VI fits a Gaussian guide by ADVI (pyprob_tpu.inference.vi)."""
+    VI fits a Gaussian guide by ADVI (pyprob_tpu.inference.vi); SVGD
+    transports a kernelized particle ensemble (pyprob_tpu.inference.svgd)."""
+    if inference_engine == InferenceEngine.STEIN_VARIATIONAL_GRADIENT_DESCENT:
+        from .inference.svgd import vectorized_svgd_posterior
+
+        return vectorized_svgd_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            svgd_steps=svgd_steps,
+            svgd_particles=svgd_particles,
+            learning_rate=learning_rate,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
     if inference_engine == InferenceEngine.VARIATIONAL_INFERENCE:
         from .inference.vi import vectorized_vi_posterior
 

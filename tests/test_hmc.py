@@ -263,3 +263,55 @@ def test_hmc_rerun_with_different_chain_geometry():
     )
     assert abs(float(p1.mean) - 7.25) < 0.3
     assert abs(float(p2.mean) - 7.25) < 0.3
+
+
+class DirichletCategorical(pp.Model):
+    """Simplex latent: theta lives on the 2-simplex via the stick-breaking
+    transform (pyprob_tpu/inference/hmc.py:_simplex_to_x), so the gradient
+    engines sample a (K-1)-dim unconstrained vector."""
+
+    def forward(self):
+        from pyprob_tpu.distributions import Dirichlet, Categorical
+
+        theta = pp.sample(Dirichlet([2.0, 3.0, 4.0]))
+        for i in range(3):
+            pp.observe(Categorical(theta), name=f"y{i}")
+        return theta
+
+
+DC_OBS = {"y0": 0, "y1": 0, "y2": 2}
+DC_TRUE_MEAN = [4.0 / 12.0, 3.0 / 12.0, 5.0 / 12.0]  # Dirichlet([4,3,5])
+
+
+def test_hmc_simplex_latent_conjugate():
+    post = DirichletCategorical().posterior_results(
+        num_traces=2000, observe=DC_OBS, inference_engine=HMC,
+        num_chains=16,
+    )
+    xs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in post.get_values()]
+    )
+    assert np.allclose(xs.sum(-1), 1.0, atol=1e-5)
+    assert xs.min() > 0.0
+    assert np.allclose(xs.mean(0), DC_TRUE_MEAN, atol=0.035)
+    # true posterior variance of theta_0: a0(a-a0)/(a^2(a+1)), a=12
+    assert abs(xs[:, 0].std() - math.sqrt(4 * 8 / (144 * 13))) < 0.02
+
+
+def test_vi_and_svgd_simplex_latent():
+    m = DirichletCategorical()
+    post_vi = m.posterior_results(
+        num_traces=2000, observe=DC_OBS,
+        inference_engine=pp.InferenceEngine.VARIATIONAL_INFERENCE,
+    )
+    post_svgd = m.posterior_results(
+        num_traces=512, observe=DC_OBS,
+        inference_engine=pp.InferenceEngine.STEIN_VARIATIONAL_GRADIENT_DESCENT,
+        svgd_particles=512, svgd_steps=500,
+    )
+    for post, tol in ((post_vi, 0.03), (post_svgd, 0.05)):
+        xs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in post.get_values()]
+        )
+        assert np.allclose(xs.sum(-1), 1.0, atol=1e-5)
+        assert np.allclose(xs.mean(0), DC_TRUE_MEAN, atol=tol)
