@@ -752,3 +752,210 @@ def jensen_shannon(trace_dist_p, trace_dist_q, names=None, n_most_frequent=50, b
             kl_qm = np.nansum(np.where(q > 0, q * np.log2(q / m), 0))
         result[label] = 0.5 * (kl_pm + kl_qm)
     return result
+
+
+# ---------------------------------------------------------------------------
+# predictive model comparison: WAIC, PSIS-LOO, compare (beyond parity —
+# the reference has no model-comparison machinery at all)
+# ---------------------------------------------------------------------------
+
+
+def log_likelihood_matrix(trace_dist, names=None):
+    """Per-draw, per-observation log-likelihood matrix from a trace-valued
+    Empirical posterior.
+
+    Returns ``(ll [S, N], labels [N], log_weights [S])`` where ``ll[s, i]``
+    is the log-density of observed site i under draw s (element dims
+    summed), ``labels`` are the observed sites' names (addresses when
+    unnamed), and ``log_weights`` are the posterior draw log-weights
+    normalized so logsumexp = 0 (all equal for MCMC/SVGD draws; IS/VI
+    weights are folded into the estimators).  Every trace must observe the
+    same site sequence."""
+    traces = trace_dist.get_values()
+    if len(traces) == 0:
+        raise RuntimeError("log_likelihood_matrix needs a non-empty posterior")
+    if not hasattr(traces[0], "variables_observed"):
+        raise RuntimeError(
+            "log_likelihood_matrix needs full traces — run posterior() "
+            "(map_func=None), not posterior_results()"
+        )
+
+    def obs_labels(t):
+        out = []
+        for v in t.variables_observed:
+            out.append(v.name if v.name is not None else v.address)
+        return out
+
+    labels = obs_labels(traces[0])
+    if names is not None:
+        keep = [i for i, l in enumerate(labels) if l in names]
+        labels_kept = [labels[i] for i in keep]
+    else:
+        keep = list(range(len(labels)))
+        labels_kept = labels
+    if not keep:
+        raise RuntimeError("no observed sites selected")
+    ll = np.empty((len(traces), len(keep)), dtype=np.float64)
+    for s, t in enumerate(traces):
+        tl = obs_labels(t)
+        if tl != labels:
+            raise RuntimeError(
+                f"observation sequence differs across draws ({tl} vs "
+                f"{labels}); pointwise criteria need a fixed observe set"
+            )
+        vs = t.variables_observed
+        for j, i in enumerate(keep):
+            ll[s, j] = float(np.sum(np.asarray(vs[i].log_prob, np.float64)))
+    lw = np.asarray(trace_dist.log_weights, dtype=np.float64)
+    lw = lw - _logsumexp(lw)
+    return ll, labels_kept, lw
+
+
+def _logsumexp(a, axis=None):
+    m = np.max(a, axis=axis, keepdims=True)
+    out = m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))
+    return float(out.reshape(())) if axis is None else np.squeeze(out, axis=axis)
+
+
+def waic(trace_dist, names=None, pointwise=False):
+    """Widely applicable information criterion (Watanabe 2010; Gelman,
+    Hwang & Vehtari 2014): elpd_waic = lppd - p_waic with
+    p_waic = sum_i Var_s[log p(y_i | theta_s)].  Draw weights are folded
+    into both terms, so weighted (IS/VI-reweighted) posteriors work."""
+    ll, labels, lw = log_likelihood_matrix(trace_dist, names)
+    w = np.exp(lw)[:, None]
+    lppd_i = _logsumexp(lw[:, None] + ll, axis=0)
+    mean_ll = np.sum(w * ll, axis=0)
+    p_i = np.sum(w * (ll - mean_ll) ** 2, axis=0)
+    elpd_i = lppd_i - p_i
+    n = ll.shape[1]
+    out = {
+        "elpd_waic": float(np.sum(elpd_i)),
+        "p_waic": float(np.sum(p_i)),
+        "se": float(np.sqrt(n * np.var(elpd_i))),
+        "n_samples": int(ll.shape[0]),
+        "n_datapoints": n,
+    }
+    if pointwise:
+        out["elpd_i"] = elpd_i
+        out["labels"] = labels
+    return out
+
+
+def _gpd_fit(x):
+    """Generalized-Pareto (k, sigma) fit to ascending exceedances x > 0 by
+    the Zhang & Stephens (2009) quadrature posterior mean — the estimator
+    PSIS prescribes (Vehtari et al. 2024, arXiv:1507.02646 §App.C)."""
+    n = x.size
+    prior_bs, prior_k = 3.0, 10.0
+    m_est = 30 + int(np.sqrt(n))
+    jj = np.arange(1.0, m_est + 1.0)
+    b = 1.0 - np.sqrt(m_est / (jj - 0.5))
+    b /= prior_bs * x[int(n / 4 + 0.5) - 1]
+    b += 1.0 / x[-1]
+    k_j = np.mean(np.log1p(-b[:, None] * x), axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        profile = n * (np.log(-(b / k_j)) - k_j - 1.0)
+    profile[~np.isfinite(profile)] = -np.inf
+    wts = 1.0 / np.sum(np.exp(profile - profile[:, None]), axis=1)
+    wts[~np.isfinite(wts)] = 0.0
+    if wts.sum() <= 0:
+        return np.inf, np.nan
+    wts /= wts.sum()
+    b_post = float(np.sum(b * wts))
+    k_post = float(np.mean(np.log1p(-b_post * x)))
+    sigma = -k_post / b_post
+    # weakly informative shape prior regularizing small-tail estimates
+    k_post = (n * k_post + prior_k * 0.5) / (n + prior_k)
+    return k_post, sigma
+
+
+def _psis_smooth(lw_raw):
+    """Pareto-smooth one vector of raw log importance ratios.  Returns the
+    smoothed (still unnormalized) log weights and the tail-shape k-hat
+    (np.inf when the tail is too short to fit)."""
+    s = lw_raw.size
+    lw = lw_raw - lw_raw.max()
+    n_tail = int(np.ceil(min(s / 5.0, 3.0 * np.sqrt(s))))
+    if n_tail < 5:
+        return lw, np.inf
+    order = np.argsort(lw)
+    tail_ids = order[s - n_tail:]
+    cutoff = lw[order[s - n_tail - 1]]
+    tail = lw[tail_ids]
+    if np.ptp(tail) < 1e-12:
+        return lw, np.inf
+    exceed = np.exp(tail) - np.exp(cutoff)
+    k, sigma = _gpd_fit(np.sort(exceed))
+    if np.isfinite(k) and sigma > 0:
+        # replace the tail by GPD quantiles at expected order statistics,
+        # capped at the raw maximum (= 0 after the shift)
+        p = (np.arange(1.0, n_tail + 1.0) - 0.5) / n_tail
+        if abs(k) < 1e-8:
+            q = sigma * -np.log1p(-p)
+        else:
+            q = sigma / k * (np.power(1.0 - p, -k) - 1.0)
+        lw[tail_ids] = np.minimum(np.log(np.exp(cutoff) + q), 0.0)
+    return lw, k
+
+
+def loo(trace_dist, names=None, pointwise=False):
+    """Pareto-smoothed importance-sampling leave-one-out cross-validation
+    (PSIS-LOO, Vehtari, Gelman & Gabry 2017): elpd_loo = sum_i
+    log E_{-i}[p(y_i | theta)], with the 1/p(y_i|theta_s) ratios
+    Pareto-smoothed per observation.  ``pareto_k`` > 0.7 flags
+    observations whose LOO estimate is unreliable."""
+    ll, labels, lw = log_likelihood_matrix(trace_dist, names)
+    s, n = ll.shape
+    elpd_i = np.empty(n)
+    khat = np.empty(n)
+    for i in range(n):
+        lr, k = _psis_smooth(lw - ll[:, i])
+        lr = lr - _logsumexp(lr)
+        elpd_i[i] = _logsumexp(lr + ll[:, i])
+        khat[i] = k
+    lppd_i = _logsumexp(lw[:, None] + ll, axis=0)
+    out = {
+        "elpd_loo": float(np.sum(elpd_i)),
+        "p_loo": float(np.sum(lppd_i - elpd_i)),
+        "se": float(np.sqrt(n * np.var(elpd_i))),
+        "pareto_k": khat,
+        "n_samples": int(s),
+        "n_datapoints": int(n),
+    }
+    if pointwise:
+        out["elpd_i"] = elpd_i
+        out["labels"] = labels
+    return out
+
+
+def compare(posteriors, ic="loo", names=None):
+    """Rank models by expected predictive accuracy.
+
+    ``posteriors`` maps model name -> trace-valued Empirical posterior
+    (all conditioned on the SAME data).  Returns rows sorted best-first
+    with ``elpd``, ``se``, ``elpd_diff`` (vs the best) and ``dse`` — the
+    paired SE of the difference, computed from the pointwise elpds as
+    Vehtari et al. 2017 §5.2 prescribe."""
+    crit = {"loo": loo, "waic": waic}[ic]
+    results = {
+        name: crit(post, names=names, pointwise=True)
+        for name, post in posteriors.items()
+    }
+    key = "elpd_loo" if ic == "loo" else "elpd_waic"
+    ranked = sorted(results.items(), key=lambda kv: -kv[1][key])
+    best_i = ranked[0][1]["elpd_i"]
+    rows = []
+    for rank, (name, r) in enumerate(ranked):
+        diff_i = best_i - r["elpd_i"]
+        rows.append({
+            "name": name,
+            "rank": rank,
+            "elpd": r[key],
+            "se": r["se"],
+            "elpd_diff": float(np.sum(diff_i)),
+            "dse": float(np.sqrt(len(diff_i) * np.var(diff_i))),
+            **({"pareto_k_max": float(np.max(r["pareto_k"]))}
+               if "pareto_k" in r else {}),
+        })
+    return rows
