@@ -24,6 +24,7 @@ from .logistic import Logistic
 from .chi2 import Chi2
 from .geometric import Geometric
 from .multinomial import Multinomial
+from .lkj import LKJCholesky
 from .mixture import Mixture
 from .factor import Factor
 from .empirical import Empirical, EmpiricalType
@@ -55,6 +56,7 @@ __all__ = [
     "Chi2",
     "Geometric",
     "Multinomial",
+    "LKJCholesky",
     "Mixture",
     "Factor",
     "Empirical",

@@ -59,6 +59,7 @@ from ..distributions import (
     Logistic,
     Chi2,
     Dirichlet,
+    LKJCholesky,
 )
 from ..vectorized import VectorizedHandler, SiteRecord, run_traced, _TraceabilityCache
 
@@ -108,10 +109,64 @@ def _simplex_to_z(x):
     return jnp.log(u) - jnp.log1p(-u) - _stick_offsets(k)
 
 
+def _chol_corr_to_x(z, d):
+    """z (d(d-1)/2,) -> lower-Cholesky factor L of a correlation matrix
+    via tanh canonical partial correlations (Stan manual §10.12), plus
+    the summed log|dL/dz|.  The index loops unroll at trace time (d is
+    static), so the compiled program is straight-line VPU code."""
+    rows = [
+        jnp.concatenate(
+            [jnp.ones((1,), util.dtype()), jnp.zeros((d - 1,), util.dtype())]
+        )
+    ]
+    logdet = jnp.zeros((), util.dtype())
+    idx = 0
+    for i in range(1, d):
+        entries = []
+        s = jnp.zeros((), util.dtype())
+        for j in range(i):
+            w = jnp.tanh(z[idx])
+            rem = jnp.clip(1.0 - s, 1e-30, None)
+            l = w * jnp.sqrt(rem)
+            # dL_ij/dz_idx = sqrt(rem) * sech^2 = sqrt(rem) * (1 - w^2)
+            logdet = logdet + 0.5 * jnp.log(rem) + jnp.log1p(-(w * w))
+            s = s + l * l
+            entries.append(l)
+            idx += 1
+        diag = jnp.sqrt(jnp.clip(1.0 - s, 1e-30, None))
+        pad = jnp.zeros((d - 1 - i,), util.dtype())
+        rows.append(jnp.concatenate([jnp.stack(entries), diag[None], pad]))
+    return jnp.stack(rows), logdet
+
+
+def _chol_corr_to_z(L, d):
+    """Inverse: L -> the d(d-1)/2 unconstrained partial correlations."""
+    out = []
+    for i in range(1, d):
+        s = jnp.zeros((), util.dtype())
+        for j in range(i):
+            rem = jnp.clip(1.0 - s, 1e-30, None)
+            w = jnp.clip(
+                L[i, j] / jnp.sqrt(rem), -1.0 + 1e-6, 1.0 - 1e-6
+            )
+            out.append(jnp.arctanh(w))
+            s = s + L[i, j] * L[i, j]
+    return jnp.stack(out)
+
+
 def _unconstrained_shape(dist, x_shape):
-    """Shape of a site's unconstrained image (simplex sites drop a dim)."""
+    """Shape of a site's unconstrained image (simplex sites drop a dim;
+    Cholesky-correlation sites ravel to d(d-1)/2)."""
     if isinstance(dist, Dirichlet):
         return tuple(x_shape[:-1]) + (x_shape[-1] - 1,)
+    if isinstance(dist, LKJCholesky):
+        if len(x_shape) != 2:
+            raise NotImplementedError(
+                "batched LKJCholesky sample sites are not supported in the "
+                "gradient engines — sample one factor per site"
+            )
+        d = x_shape[-1]
+        return (d * (d - 1) // 2,)
     return tuple(x_shape)
 
 
@@ -119,6 +174,8 @@ def _to_x(dist, z):
     """Unconstrained z -> support x, plus summed log|dx/dz|."""
     if isinstance(dist, Dirichlet):
         return _simplex_to_x(z)
+    if isinstance(dist, LKJCholesky):
+        return _chol_corr_to_x(z, dist.dim)
     if isinstance(dist, _BOUNDED):
         low = jnp.asarray(dist.low, util.dtype())
         high = jnp.asarray(dist.high, util.dtype())
@@ -144,6 +201,8 @@ def _to_z(dist, x):
     """Support x -> unconstrained z (chain initialization)."""
     if isinstance(dist, Dirichlet):
         return _simplex_to_z(x)
+    if isinstance(dist, LKJCholesky):
+        return _chol_corr_to_z(x, dist.dim)
     if isinstance(dist, _BOUNDED):
         low = jnp.asarray(dist.low, util.dtype())
         high = jnp.asarray(dist.high, util.dtype())
