@@ -25,6 +25,8 @@ from .chi2 import Chi2
 from .geometric import Geometric
 from .multinomial import Multinomial
 from .lkj import LKJCholesky
+from .censored import Censored
+from .zero_inflated import ZeroInflated
 from .mixture import Mixture
 from .factor import Factor
 from .empirical import Empirical, EmpiricalType
@@ -57,6 +59,8 @@ __all__ = [
     "Geometric",
     "Multinomial",
     "LKJCholesky",
+    "Censored",
+    "ZeroInflated",
     "Mixture",
     "Factor",
     "Empirical",
