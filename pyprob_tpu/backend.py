@@ -78,6 +78,13 @@ class _NumpyBackend:
     gammaln = staticmethod(_sps.gammaln)
     betaln = staticmethod(_sps.betaln)
     digamma = staticmethod(_sps.psi)
+
+    @staticmethod
+    def trigamma(a):
+        return _sps.polygamma(1, _np.asarray(a, dtype=_np.float64)).astype(
+            _np.result_type(a, _np.float32)
+        )
+
     i0 = staticmethod(_sps.i0)
     i1 = staticmethod(_sps.i1)
     i0e = staticmethod(_sps.i0e)
@@ -175,6 +182,11 @@ class _JaxBackend:
     gammaln = staticmethod(_jsps.gammaln)
     betaln = staticmethod(_jsps.betaln)
     digamma = staticmethod(_jsps.digamma)
+
+    @staticmethod
+    def trigamma(a):
+        return _jsps.polygamma(1, a)
+
     i0 = staticmethod(_jsps.i0)
     i1 = staticmethod(_jsps.i1)
     i0e = staticmethod(_jsps.i0e)

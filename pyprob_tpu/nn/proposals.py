@@ -17,9 +17,21 @@ parameters (packed as [B] arrays) to a proposal distribution:
 The head kind is chosen from the site's prior distribution type at
 polymorph time, exactly as the reference does
 (reference: inference_network_lstm.py:50-68).
+
+Beyond parity (the reference raises "Distribution currently unsupported"
+for everything else, inference_network_lstm.py:52): learned proposals for
+positive-support priors (Gamma/Exponential/LogNormal/Weibull/Chi2/
+HalfNormal/HalfCauchy -> LogNormal mixture residual-scaled by the prior's
+exact log-space moments), heavy-tailed real-line priors (StudentT/Laplace/
+Cauchy/Logistic/Gumbel -> StudentT mixture with learned per-component df,
+so proposal tails are never lighter than the prior's and importance
+weights stay bounded), Beta and VonMises (TruncatedNormal mixture over
+their bounded support).
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,12 +46,39 @@ from ..distributions import (
     Poisson,
     TruncatedNormal,
     Mixture,
+    Gamma,
+    Exponential,
+    LogNormal,
+    Weibull,
+    Chi2,
+    HalfNormal,
+    HalfCauchy,
+    StudentT,
+    Laplace,
+    Cauchy,
+    Logistic,
+    Gumbel,
+    VonMises,
 )
+from .. import backend
 from .layers import Static, mlp_init, mlp_apply
 
 _EPSILON = 1e-6
 _POISSON_LOW = 0.0
 _POISSON_HIGH = 40.0
+_EULER_GAMMA = 0.5772156649015329
+_PI_OVER_SQRT6 = math.pi / math.sqrt(6.0)
+
+_POSITIVE_LOGNORMAL_PRIORS = (
+    Gamma,
+    Exponential,
+    LogNormal,
+    Weibull,
+    Chi2,
+    HalfNormal,
+    HalfCauchy,
+)
+_STUDENTT_PRIORS = (StudentT, Laplace, Cauchy, Logistic, Gumbel)
 
 
 def head_kind_for(distribution):
@@ -47,7 +86,7 @@ def head_kind_for(distribution):
     distribution type has no learned proposal (falls back to the prior)."""
     if isinstance(distribution, Normal):
         return "normal_mixture"
-    if isinstance(distribution, Uniform):
+    if isinstance(distribution, (Uniform, Beta, VonMises)):
         return "uniform_truncated_normal_mixture"
     if isinstance(distribution, Poisson):
         return "poisson_truncated_normal_mixture"
@@ -55,7 +94,70 @@ def head_kind_for(distribution):
         return "categorical"
     if isinstance(distribution, Bernoulli):
         return "bernoulli"
+    if isinstance(distribution, _POSITIVE_LOGNORMAL_PRIORS):
+        return "positive_lognormal_mixture"
+    if isinstance(distribution, _STUDENTT_PRIORS):
+        return "studentt_mixture"
     return None
+
+
+def _log_space_moments(distribution):
+    """Exact (mean, stddev) of log X under a positive-support prior —
+    the reference point the LogNormal-mixture head residual-scales by."""
+    B = backend.of(*distribution._leaves())
+    if isinstance(distribution, LogNormal):
+        return distribution._loc, distribution._scale
+    if isinstance(distribution, Exponential):
+        # log X = -log rate + log E, E ~ Exp(1); E[log E] = -gamma,
+        # Std[log E] = pi/sqrt(6)
+        rate = distribution._rate
+        return -B.log(rate) - _EULER_GAMMA, B.full_like(rate, _PI_OVER_SQRT6)
+    if isinstance(distribution, Gamma):
+        a, r = distribution._concentration, distribution._rate
+        return B.digamma(a) - B.log(r), B.sqrt(B.trigamma(a))
+    if isinstance(distribution, Chi2):
+        # Chi2(df) = Gamma(df/2, 1/2)
+        half_df = distribution._df / 2.0
+        return (
+            B.digamma(half_df) + math.log(2.0),
+            B.sqrt(B.trigamma(half_df)),
+        )
+    if isinstance(distribution, Weibull):
+        # X = scale * E^(1/k), E ~ Exp(1)
+        lam, k = distribution._scale, distribution._concentration
+        return B.log(lam) - _EULER_GAMMA / k, _PI_OVER_SQRT6 / k
+    if isinstance(distribution, HalfNormal):
+        # E[log X] = log scale + (digamma(1/2) + log 2)/2,
+        # Std[log X] = sqrt(trigamma(1/2))/2
+        s = distribution._scale
+        return B.log(s) - 0.6351814227307392, B.full_like(s, 1.1107207345395915)
+    if isinstance(distribution, HalfCauchy):
+        # no log-moments exist (heavy tails); anchor at the median
+        # (= scale) with a wide log-space spread
+        s = distribution._scale
+        return B.log(s), B.full_like(s, 2.0)
+    raise ValueError(f"No log-space moments for {distribution.name}")
+
+
+def _location_scale_ref(distribution):
+    """Reference (loc, scale) for heavy-tailed real-line priors."""
+    B = backend.of(*distribution._leaves())
+    if isinstance(distribution, StudentT):
+        return distribution._loc, distribution._scale
+    if isinstance(distribution, Laplace):
+        return distribution._loc, distribution._scale * math.sqrt(2.0)
+    if isinstance(distribution, Cauchy):
+        return distribution._loc, distribution._scale
+    if isinstance(distribution, Logistic):
+        return distribution._loc, distribution._scale * (
+            math.pi / math.sqrt(3.0)
+        )
+    if isinstance(distribution, Gumbel):
+        return (
+            distribution._loc + _EULER_GAMMA * distribution._scale,
+            distribution._scale * _PI_OVER_SQRT6,
+        )
+    raise ValueError(f"No location/scale reference for {distribution.name}")
 
 
 def prior_param_arrays(distribution):
@@ -65,6 +167,19 @@ def prior_param_arrays(distribution):
         return {"mean": distribution.mean, "stddev": distribution.stddev}
     if isinstance(distribution, Uniform):
         return {"low": distribution.low, "high": distribution.high}
+    if isinstance(distribution, Beta):
+        return {"low": distribution._low, "high": distribution._high}
+    if isinstance(distribution, VonMises):
+        # one full period centred on the prior location covers the support
+        B = backend.of(*distribution._leaves())
+        loc = B.asarray(distribution._loc, util.dtype())
+        return {"low": loc - math.pi, "high": loc + math.pi}
+    if isinstance(distribution, _POSITIVE_LOGNORMAL_PRIORS):
+        log_loc, log_scale = _log_space_moments(distribution)
+        return {"log_loc": log_loc, "log_scale": log_scale}
+    if isinstance(distribution, _STUDENTT_PRIORS):
+        loc, scale = _location_scale_ref(distribution)
+        return {"loc": loc, "scale": scale}
     return {}
 
 
@@ -74,8 +189,12 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
         "uniform_truncated_normal_mixture",
         "poisson_truncated_normal_mixture",
         "uniform_beta_mixture",
+        "positive_lognormal_mixture",
     ):
         out_dim = 3 * mixture_components
+    elif kind == "studentt_mixture":
+        # means, log-scales, mixing logits, per-component df (1+softplus)
+        out_dim = 4 * mixture_components
     elif kind in ("normal_normal", "uniform_beta"):
         # alternative single-component heads kept for parity with the
         # reference's unused-by-default ProposalNormalNormal /
@@ -146,6 +265,35 @@ def head_apply(params, x, prior_params):
         comps = [
             TruncatedNormal(means[:, i], stddevs[:, i], low=low, high=high)
             for i in range(K)
+        ]
+        return Mixture(comps, probs=coeffs)
+
+    if kind == "positive_lognormal_mixture":
+        # residual-scaled in log space by the prior's exact log-moments,
+        # mirroring the normal_mixture head's residual parameterization
+        raw_means = out[:, :K]
+        raw_stds = jnp.exp(out[:, K : 2 * K])
+        coeffs = jax.nn.softmax(out[:, 2 * K :], axis=1)
+        log_loc = jnp.reshape(prior_params["log_loc"], (B, 1))
+        log_scale = jnp.reshape(prior_params["log_scale"], (B, 1))
+        means = log_loc + raw_means * log_scale
+        stddevs = raw_stds * log_scale
+        comps = [LogNormal(means[:, i], stddevs[:, i]) for i in range(K)]
+        return Mixture(comps, probs=coeffs)
+
+    if kind == "studentt_mixture":
+        raw_means = out[:, :K]
+        raw_scales = jnp.exp(out[:, K : 2 * K])
+        coeffs = jax.nn.softmax(out[:, 2 * K : 3 * K], axis=1)
+        # df can approach 1 so proposal tails are never forced lighter
+        # than a Cauchy prior's (which would unbound importance weights)
+        dfs = 1.0 + jax.nn.softplus(out[:, 3 * K :])
+        loc = jnp.reshape(prior_params["loc"], (B, 1))
+        scale = jnp.reshape(prior_params["scale"], (B, 1))
+        means = loc + raw_means * scale
+        scales = raw_scales * scale
+        comps = [
+            StudentT(dfs[:, i], means[:, i], scales[:, i]) for i in range(K)
         ]
         return Mixture(comps, probs=coeffs)
 
