@@ -26,7 +26,7 @@ from .util import (
     set_platform,
     set_device,
 )
-from .state import sample, observe, factor, tag
+from .state import sample, observe, factor, tag, rejection_sample
 from .address import AddressDictionary
 from .model import Model, RemoteModel, RemoteModelPool, ConditionalModel, ParallelModel
 from .inference import ChainState
@@ -62,6 +62,7 @@ __all__ = [
     "observe",
     "factor",
     "tag",
+    "rejection_sample",
     "AddressDictionary",
     "Model",
     "RemoteModel",

@@ -69,6 +69,12 @@ def extract_address(root_function_name):
     var_name = _extract_target_of_assignment(filename, lineno)
     names.append(var_name if var_name is not None else "?")
     while frame is not None:
+        # framework-internal frames interleaved with user code (the
+        # rejection_sample combinator, its compiled while-loop body) must
+        # not enter the chain: addresses stay identical across tiers
+        if _is_internal_frame(frame.f_code.co_filename):
+            frame = frame.f_back
+            continue
         n = frame.f_code.co_name
         if n.startswith("<") and n != "<listcomp>":
             break

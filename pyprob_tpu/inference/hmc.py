@@ -611,6 +611,12 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
             f"{engine_name} found no latent (controlled) sites"
         )
     cont_addrs, disc_addrs, disc_supports = [], [], {}
+    if any(getattr(s, "rejection", False) for s in sites):
+        raise NotImplementedError(
+            f"{engine_name} does not support rejection_sample blocks "
+            "(the acceptance indicator makes the potential discontinuous); "
+            "use IS/IC/SMC or interpreter-tier LMH/RMH instead."
+        )
     for s in sites:
         if s.address not in latent_addrs:
             continue

@@ -146,6 +146,14 @@ class ReplayHandler(VectorizedHandler):
         self.reused_log_prob_diff = jnp.zeros((), util.dtype())
         self.transition_term = jnp.zeros((), util.dtype())
 
+    def rejection_sample(self, attempt_fn, max_attempts=None):
+        # unreachable through the public path (the driver falls back to the
+        # interpreter tier when discovery sees rejection sites) — guard so
+        # the inherited implementation can't silently redraw whole blocks
+        raise NotImplementedError(
+            "compiled single-site MCMC does not support rejection_sample"
+        )
+
     def sample(self, distribution, name=None, address=None, control=True):
         control = True  # MCMC engines control every site (reference: state.py:165-166)
         if name is not None and name in self.observed:
@@ -362,6 +370,22 @@ def vectorized_mcmc_posterior(
             ) from e
         return None
     sites = sites_box[0]
+    if any(getattr(s, "rejection", False) for s in sites):
+        # single-site replay inside a compiled rejection loop would redraw
+        # the whole block every step, breaking LMH/RMH proposal semantics;
+        # the interpreter tier handles rejection blocks exactly (retry with
+        # value reuse), so fall back
+        util.log_print(
+            f"[pyprob_tpu] model {model.name!r} contains rejection_sample "
+            "blocks; running MCMC on the interpreter tier."
+        )
+        if resume_state is not None:
+            raise ValueError(
+                "ChainState resume requires the compiled MCMC tier, which "
+                "does not support rejection_sample blocks; resume the "
+                "interpreter chain with a Trace instead."
+            )
+        return None
     # MCMC controls every sample site (the handler forces control=True for
     # MCMC engines); valueless observe sites (observed=False, control=False)
     # are predictive outputs and must NOT enter the perturbation set.

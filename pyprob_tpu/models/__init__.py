@@ -6,6 +6,7 @@ reference tests/test_inference.py, examples/*.ipynb)."""
 from .models import (
     GaussianUnknownMean,
     GaussianUnknownMeanMarsaglia,
+    GaussianUnknownMeanMarsagliaRejection,
     HiddenMarkovModel,
     Branching,
     MiniCaptcha,
@@ -14,6 +15,7 @@ from .models import (
 __all__ = [
     "GaussianUnknownMean",
     "GaussianUnknownMeanMarsaglia",
+    "GaussianUnknownMeanMarsagliaRejection",
     "HiddenMarkovModel",
     "Branching",
     "MiniCaptcha",

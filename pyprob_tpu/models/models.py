@@ -81,6 +81,54 @@ class GaussianUnknownMeanMarsaglia(Model):
         return mu
 
 
+class GaussianUnknownMeanMarsagliaRejection(Model):
+    """GUM-Marsaglia written with the ``rejection_sample`` combinator, so
+    the rejection loop compiles to a ``lax.while_loop`` and the model runs
+    on the compiled tier (full particle batches) — the plain while-loop
+    variant above is interpreter-only.  Same posterior as
+    GaussianUnknownMean (reference: tests/test_inference.py:249-310)."""
+
+    def __init__(
+        self, prior_mean=1.0, prior_stddev=math.sqrt(5.0), likelihood_stddev=math.sqrt(2.0)
+    ):
+        super().__init__(
+            name="Gaussian with unknown mean (Marsaglia, rejection combinator)"
+        )
+        self.prior_mean = prior_mean
+        self.prior_stddev = prior_stddev
+        self.likelihood_stddev = likelihood_stddev
+
+    def marsaglia(self, mean, stddev):
+        uniform = Uniform(-1.0, 1.0)
+
+        def attempt():
+            x = sample(uniform)
+            y = sample(uniform)
+            s = x * x + y * y
+            return (x, s), s < 1.0
+
+        (x, s) = _state.rejection_sample(attempt)
+        B = jnp if hasattr(x, "aval") or isinstance(x, jnp.ndarray) else np
+        return mean + stddev * (x * B.sqrt(-2.0 * B.log(s) / s))
+
+    def forward(self):
+        mu = self.marsaglia(self.prior_mean, self.prior_stddev)
+        likelihood = Normal(mu, self.likelihood_stddev)
+        observe(likelihood, name="obs0")
+        observe(likelihood, name="obs1")
+        return mu
+
+    def true_posterior(self, observed_values):
+        n = len(observed_values)
+        s2_prior = self.prior_stddev**2
+        s2_lik = self.likelihood_stddev**2
+        var = 1.0 / (1.0 / s2_prior + n / s2_lik)
+        mean = var * (
+            self.prior_mean / s2_prior + sum(observed_values) / s2_lik
+        )
+        return Normal(mean, math.sqrt(var))
+
+
 class HiddenMarkovModel(Model):
     def __init__(
         self,

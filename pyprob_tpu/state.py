@@ -51,6 +51,10 @@ class _Context:
         self.metropolis_hastings_site_transition_log_prob = 0
         self.address_dictionary = None
         self.rng = None  # per-context host RNG (None -> the global one)
+        # True while re-running a rejection_sample attempt after the first:
+        # retries draw from the raw prior (no IC proposal, no inflation) so
+        # the first attempt's importance correction stays exact
+        self.rejection_retry = False
         # {full_address: value} — controlled sites take the given value
         # instead of sampling (interpreter-tier SMC prefix replay,
         # pyprob_tpu.inference.smc)
@@ -317,7 +321,7 @@ def sample(distribution, name=None, address=None, control=True):
                     distribution, rng
                 )
         elif engine == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK:
-            if control:
+            if control and not ctx.rejection_retry:
                 stub = Variable(
                     distribution=distribution,
                     value=None,
@@ -420,8 +424,91 @@ def sample(distribution, name=None, address=None, control=True):
     return variable.value
 
 
+def rejection_sample(attempt_fn, max_attempts=None):
+    """Trace-aware rejection sampling with replacement semantics.
+
+    ``attempt_fn()`` runs arbitrary model code containing ``sample`` calls
+    and returns ``(output, accept)``; attempts repeat until ``accept`` is
+    true.  A retried attempt *replaces* the previous one in the trace, so
+    site addresses are stable across attempts (the pyprob_cpp family's
+    ``replace=true`` mode; the reference's Python tier instead grows a new
+    address instance per attempt, producing variable-length traces —
+    reference: tests/test_inference.py:249-310 GUM-Marsaglia).
+
+    Stable addresses are what make rejection loops executable on the
+    compiled tier: under ``jax.vmap`` tracing the block becomes a
+    ``lax.while_loop`` with a static site set (see
+    ``VectorizedHandler.rejection_sample``), so Marsaglia-style models run
+    as full particle batches instead of falling back to the interpreter.
+
+    Inference-network proposals apply to the first attempt only; retries
+    draw from the raw prior.  The importance correction from the first
+    attempt is kept whether or not that attempt is accepted — exact by the
+    extended-space argument (the proposal process differs from the prior
+    process only in its first attempt).
+
+    ``observe``/``factor``/``tag`` inside ``attempt_fn`` are not supported.
+    ``max_attempts`` bounds the compiled-tier loop (default 64 there); the
+    interpreter tier loops to acceptance (capped at 1e6).
+    """
+    handler = _get_handler()
+    if handler is not None:
+        return handler.rejection_sample(attempt_fn, max_attempts=max_attempts)
+    ctx = _ctx_local.value
+    trace = ctx.current_trace
+    if trace is None:
+        while True:
+            out, accept = attempt_fn()
+            if bool(np.all(np.asarray(accept))):
+                return out
+    cap = int(max_attempts) if max_attempts else 1_000_000
+    if ctx.rejection_retry:
+        raise RuntimeError(
+            "nested rejection_sample is not supported inside a retried "
+            "attempt"
+        )
+    first_attempt_iw = 0.0
+    prev_variable = ctx.previous_variable
+    try:
+        for i in range(cap):
+            marker = len(trace.variables)
+            out, accept = attempt_fn()
+            new_vars = trace.variables[marker:]
+            if any(v.observed or v.tagged for v in new_vars):
+                trace.rollback(marker)
+                raise RuntimeError(
+                    "observe/factor/tag inside rejection_sample is not "
+                    "supported"
+                )
+            if i == 0:
+                # retain the first attempt's proposal/inflation correction
+                # (see docstring); zero when sampling from the raw prior
+                first_attempt_iw = sum(
+                    float(v.log_importance_weight)
+                    for v in new_vars
+                    if v.log_importance_weight is not None
+                )
+            if bool(np.all(np.asarray(accept))):
+                if i > 0 and first_attempt_iw != 0.0:
+                    # the accepted retry's variables carry no correction of
+                    # their own (raw prior draws); attach the retained one
+                    for v in new_vars:
+                        if v.control:
+                            v.log_importance_weight = first_attempt_iw
+                            break
+                return out
+            trace.rollback(marker)
+            ctx.previous_variable = prev_variable
+            ctx.rejection_retry = True
+    finally:
+        ctx.rejection_retry = False
+    raise RuntimeError(
+        f"rejection_sample exceeded {cap:,} attempts without acceptance"
+    )
+
+
 def _sample_from_prior(distribution, rng):
-    inflated = _inflate(distribution)
+    inflated = None if _ctx.rejection_retry else _inflate(distribution)
     if inflated is None:
         value = distribution.sample(rng)
         log_prob = distribution.log_prob(value, sum=True)

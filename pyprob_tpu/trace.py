@@ -155,6 +155,23 @@ class Trace:
                     self.log_importance_weight + variable.log_importance_weight
                 )
 
+    def rollback(self, marker):
+        """Discard variables added after ``marker`` (= an earlier
+        ``len(trace.variables)``).  Replacement semantics for rejection
+        loops: a retried attempt overwrites the previous attempt's records
+        so addresses stay stable across attempts (the pyprob_cpp family's
+        ``replace=true`` mode; cf. the reference's
+        test_gum_marsaglia_replacement simulator)."""
+        if marker >= len(self.variables):
+            return
+        del self.variables[marker:]
+        self.variables_dict_address = {
+            v.address: v for v in self.variables
+        }
+        self.variables_dict_address_base = {
+            v.address_base: v for v in self.variables
+        }
+
     def last_instance(self, address_base):
         if address_base in self.variables_dict_address_base:
             return self.variables_dict_address_base[address_base].instance

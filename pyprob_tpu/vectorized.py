@@ -46,6 +46,7 @@ class SiteRecord:
         "distribution_name",
         "distribution",
         "dist_treedef",
+        "rejection",  # True for sites inside a rejection_sample block
     )
 
     def __init__(self, **kw):
@@ -369,6 +370,234 @@ class VectorizedHandler:
             ),
             jnp.asarray(value),
             None,
+        )
+
+    def rejection_sample(self, attempt_fn, max_attempts=None):
+        """Compiled rejection loop: the attempt body becomes a
+        ``lax.while_loop`` with replacement semantics, so Marsaglia-style
+        models execute as full particle batches (vmap batches the loop —
+        lanes that accepted early are masked while stragglers retry).
+
+        Inference-network proposals drive the FIRST attempt only; retries
+        draw from the raw prior, and the first attempt's prior-proposal
+        correction enters the importance weight unconditionally (exact by
+        the extended-space argument: the proposal process differs from the
+        prior process only in its first attempt).  Particles unaccepted
+        after ``max_attempts`` get weight -inf and are discarded.
+        """
+        max_attempts = int(max_attempts) if max_attempts else _REJECTION_MAX_ATTEMPTS
+        base_counts = dict(self.instance_counts)
+
+        def run_attempt(key, use_proposal):
+            sub = _RejectionAttemptHandler(self, key, base_counts, use_proposal)
+            prev = state._set_handler(sub)
+            try:
+                out, accept = attempt_fn()
+            finally:
+                state._set_handler(prev)
+            return out, jnp.asarray(accept).astype(bool).reshape(()), sub
+
+        # first attempt runs inline: discovers the (static) site set and is
+        # the only attempt that may use a learned proposal
+        out0, accept0, sub0 = run_attempt(self._next_key(), use_proposal=True)
+        if not sub0.sites:
+            raise RuntimeError(
+                "rejection_sample block contains no sample sites"
+            )
+        for iw in sub0.log_iws:
+            if iw is not None:
+                self.log_importance_weight = self.log_importance_weight + iw
+        self.instance_counts = dict(sub0.instance_counts)
+
+        replay_all = self.replay_values is not None and all(
+            s.address in self.replay_values for s in sub0.sites
+        )
+        out_leaves0, out_treedef = jax.tree_util.tree_flatten(out0)
+
+        if replay_all or max_attempts <= 1:
+            # replayed values were accepted when first produced; no loop
+            accept = accept0
+            final_out_leaves = tuple(out_leaves0)
+            final_values = tuple(sub0.values)
+            final_lps = tuple(sub0.log_probs)
+            final_dist_leaves = tuple(sub0.dist_leaves)
+        else:
+            def cond(carry):
+                return jnp.logical_and(~carry[2], carry[1] < max_attempts)
+
+            def body(carry):
+                key = carry[0]
+                key, sub_key = jax.random.split(key)
+                out, acc, sub = run_attempt(sub_key, use_proposal=False)
+                return (
+                    key,
+                    carry[1] + 1,
+                    acc,
+                    tuple(jax.tree_util.tree_leaves(out)),
+                    tuple(sub.values),
+                    tuple(sub.log_probs),
+                    tuple(sub.dist_leaves),
+                )
+
+            carry0 = (
+                self.key,
+                jnp.asarray(1, jnp.int32),
+                accept0,
+                tuple(out_leaves0),
+                tuple(sub0.values),
+                tuple(sub0.log_probs),
+                tuple(sub0.dist_leaves),
+            )
+            final = jax.lax.while_loop(cond, body, carry0)
+            self.key = final[0]
+            accept = final[2]
+            final_out_leaves = final[3]
+            final_values = final[4]
+            final_lps = final[5]
+            final_dist_leaves = final[6]
+            if self.trace_mode == TraceMode.POSTERIOR:
+                self.log_importance_weight = (
+                    self.log_importance_weight
+                    + jnp.where(accept, 0.0, -jnp.inf)
+                )
+
+        for i, site in enumerate(sub0.sites):
+            dist = jax.tree_util.tree_unflatten(
+                sub0.treedefs[i], list(final_dist_leaves[i])
+            )
+            site.distribution = dist
+            lp = final_lps[i]
+            if site.control:
+                self.log_prob_total = self.log_prob_total + lp
+            self._record(
+                site,
+                final_values[i],
+                lp,
+                log_iw=(
+                    sub0.log_iws[i] if self.record_site_log_iws else None
+                ),
+            )
+        return jax.tree_util.tree_unflatten(
+            out_treedef, list(final_out_leaves)
+        )
+
+
+_REJECTION_MAX_ATTEMPTS = 64
+
+
+class _RejectionAttemptHandler:
+    """Handler installed while one rejection attempt is traced.  Records
+    the attempt's sites/values/log-probs without touching the outer
+    handler's accumulators; the outer ``rejection_sample`` commits the
+    accepted attempt's records."""
+
+    _make_address = VectorizedHandler._make_address
+
+    def __init__(self, outer, key, base_counts, use_proposal):
+        self.outer = outer
+        self.key = key
+        self.root_function_name = outer.root_function_name
+        self.address_dictionary = outer.address_dictionary
+        self.instance_counts = dict(base_counts)
+        self.use_proposal = use_proposal
+        self.sites = []
+        self.values = []
+        self.log_probs = []
+        self.dist_leaves = []
+        self.treedefs = []
+        self.log_iws = []
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def sample(self, distribution, name=None, address=None, control=True):
+        outer = self.outer
+        if name is not None and name in outer.observed:
+            raise RuntimeError(
+                "observed sample sites inside rejection_sample are not "
+                "supported"
+            )
+        base, full, instance = self._make_address(
+            address, distribution.address_suffix
+        )
+        site = SiteRecord(
+            address_base=base,
+            address=full,
+            instance=instance,
+            name=name,
+            control=control,
+            observed=False,
+            tagged=False,
+            distribution_name=distribution.name,
+            distribution=distribution,
+            rejection=True,
+        )
+        log_iw = None
+        if outer.replay_values is not None and full in outer.replay_values:
+            value = outer.replay_values[full]
+            if self.use_proposal and outer.proposal_step is not None:
+                # keep the proposal network's recurrent chain intact through
+                # replayed block sites (guided SMC prefix replay)
+                outer.proposal_step(
+                    site,
+                    distribution,
+                    self._next_key(),
+                    outer.observed,
+                    forced_value=value,
+                )
+        elif (
+            self.use_proposal
+            and control
+            and outer.trace_mode == TraceMode.POSTERIOR
+            and outer.inference_engine
+            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            and outer.proposal_step is not None
+        ):
+            value, proposal_log_prob = outer.proposal_step(
+                site, distribution, self._next_key(), outer.observed
+            )
+            log_iw = (
+                distribution.log_prob(value, sum=True) - proposal_log_prob
+            )
+        else:
+            inflated = (
+                outer._inflate(distribution)
+                if (self.use_proposal and control)
+                else None
+            )
+            proposal = inflated if inflated is not None else distribution
+            value = proposal._sample_jax(self._next_key(), ())
+            if inflated is not None:
+                log_iw = distribution.log_prob(
+                    value, sum=True
+                ) - inflated.log_prob(value, sum=True)
+        lp = distribution.log_prob(value, sum=True)
+        leaves, treedef = jax.tree_util.tree_flatten(distribution)
+        self.sites.append(site)
+        self.values.append(value)
+        self.log_probs.append(lp)
+        self.dist_leaves.append(tuple(leaves))
+        self.treedefs.append(treedef)
+        self.log_iws.append(log_iw)
+        return value
+
+    def observe(self, distribution, value=None, name=None, address=None):
+        raise RuntimeError(
+            "observe/factor inside rejection_sample is not supported"
+        )
+
+    def factor(self, log_prob=None, log_prob_func=None, name=None, address=None):
+        raise RuntimeError(
+            "observe/factor inside rejection_sample is not supported"
+        )
+
+    def tag(self, value, name=None, address=None):
+        raise RuntimeError("tag inside rejection_sample is not supported")
+
+    def rejection_sample(self, attempt_fn, max_attempts=None):
+        raise RuntimeError(
+            "nested rejection_sample is not supported on the compiled tier"
         )
 
 

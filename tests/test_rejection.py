@@ -1,0 +1,173 @@
+"""rejection_sample combinator: compiled-tier rejection loops.
+
+SURVEY.md hard part #1 — the reference's GUM-Marsaglia rejection loop is
+the canonical universal-PPL stress model and runs one-trace-at-a-time in
+Python there (reference: tests/test_inference.py:249-310).  Here the
+combinator gives the loop replacement semantics (stable addresses, like
+pyprob_cpp's replace=true / test_gum_marsaglia_replacement), which lets
+the compiled tier lower it to a lax.while_loop inside the vmapped particle
+program.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import pyprob_tpu as pp
+from pyprob_tpu.distributions import Normal, Uniform
+from pyprob_tpu.models import GaussianUnknownMeanMarsagliaRejection
+from pyprob_tpu.vectorized import _TraceabilityCache
+
+OBS = {"obs0": 8.0, "obs1": 9.0}
+TRUE_MEAN = 7.25
+TRUE_STD = math.sqrt(1 / 1.2)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return GaussianUnknownMeanMarsagliaRejection()
+
+
+def test_compiled_prior_moments(model):
+    pr = model.prior_results(num_traces=20000)
+    # Marsaglia polar method produces exactly Normal(1, sqrt 5)
+    assert abs(float(pr.mean) - 1.0) < 0.1
+    assert abs(float(pr.stddev) - math.sqrt(5.0)) < 0.1
+
+
+def test_compiled_is_posterior(model):
+    post = model.posterior_results(
+        num_traces=50000, observe=OBS, vectorized=True
+    )
+    # must have stayed on the compiled tier
+    assert _TraceabilityCache._cache.get(type(model)) is True
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.15
+    assert abs(float(post.stddev) - TRUE_STD) < 0.15
+    # reference IS ESS floor for Marsaglia: >0.2% (tests/test_inference.py:287)
+    assert post.effective_sample_size > 0.002 * 50000
+
+
+def test_interpreter_is_posterior(model):
+    post = model.posterior_results(
+        num_traces=3000, observe=OBS, vectorized=False
+    )
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.4
+    assert post.effective_sample_size > 0.002 * 3000
+
+
+def test_replacement_semantics_trace_structure(model):
+    # the accepted attempt replaces rejected ones: every trace records
+    # exactly 2 controlled sites, all with instance 1
+    traces = model.prior(num_traces=50, vectorized=False)
+    for i in range(traces.length):
+        t = traces._get_value(i)
+        assert t.length_controlled == 2
+        assert all(v.instance == 1 for v in t.variables_controlled)
+        assert all(v.address.endswith("__1") for v in t.variables_controlled)
+
+
+def test_mcmc_engines_fall_back_and_converge(model):
+    for engine in (
+        pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    ):
+        post = model.posterior_results(
+            num_traces=3000, observe=OBS, inference_engine=engine
+        )[1000:]
+        assert abs(float(post.mean) - TRUE_MEAN) < 0.5, engine
+
+
+def test_gradient_engine_raises(model):
+    with pytest.raises((NotImplementedError, RuntimeError)):
+        model.posterior_results(
+            num_traces=100,
+            observe=OBS,
+            inference_engine=pp.InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+        )
+
+
+def test_smc_posterior(model):
+    post = model.posterior_results(
+        num_traces=20000,
+        observe=OBS,
+        inference_engine=pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.2
+    assert abs(float(post.stddev) - TRUE_STD) < 0.2
+
+
+def test_ic_training_and_guided_is(model):
+    m = GaussianUnknownMeanMarsagliaRejection()
+    # LSTM: the second block site's proposal conditions on the first
+    # through the recurrent state (the pair is strongly coupled here)
+    m.learn_inference_network(
+        num_traces=16000,
+        observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
+        inference_network=pp.InferenceNetwork.LSTM,
+        lstm_dim=64,
+        batch_size=512,
+        learning_rate_init=0.005,
+    )
+    post = m.posterior_results(
+        num_traces=5000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+    )
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.2
+    is_post = m.posterior_results(
+        num_traces=5000, observe=OBS, vectorized=True
+    )
+    # learned first-attempt proposals must beat prior IS on ESS; reference
+    # demands IC-LSTM > 1.6% on Marsaglia (tests/test_inference.py:344)
+    assert post.effective_sample_size > is_post.effective_sample_size
+    assert post.effective_sample_size > 0.016 * 5000
+
+
+class _ObserveInside(pp.Model):
+    def forward(self):
+        def attempt():
+            x = pp.sample(Uniform(-1.0, 1.0))
+            pp.observe(Normal(x, 1.0), name="bad")
+            return x, x > 0
+        return pp.rejection_sample(attempt)
+
+
+def test_observe_inside_block_raises_interpreter():
+    m = _ObserveInside()
+    m._never_vectorize = True
+    with pytest.raises(RuntimeError, match="not supported"):
+        m.posterior_results(num_traces=5, observe={"bad": 0.5}, vectorized=False)
+
+
+def test_max_attempts_overflow_discards():
+    class Tight(pp.Model):
+        def forward(self):
+            def attempt():
+                x = pp.sample(Uniform(0.0, 1.0))
+                return x, x > 0.95  # ~5% acceptance
+
+            x = pp.rejection_sample(attempt, max_attempts=2)
+            pp.observe(Normal(x, 0.5), name="obs0")
+            return x
+
+        _ = None
+
+    m = Tight()
+    post = m.posterior_results(num_traces=4000, observe={"obs0": 1.0}, vectorized=True)
+    # rejected-after-cap particles carry -inf weight and are discarded;
+    # survivors are exact draws from the truncated prior, so the posterior
+    # over [0.95, 1] is unbiased
+    assert post.effective_sample_size > 0
+    assert 0.95 < float(post.mean) < 1.0
+
+
+def test_rejection_sample_outside_trace():
+    # plain call with no active trace: behaves like a host rejection loop
+    def attempt():
+        x = pp.sample(Uniform(0.0, 1.0))
+        return x, x > 0.5
+
+    for _ in range(5):
+        assert float(pp.rejection_sample(attempt)) > 0.5
