@@ -147,11 +147,145 @@ class ReplayHandler(VectorizedHandler):
         self.transition_term = jnp.zeros((), util.dtype())
 
     def rejection_sample(self, attempt_fn, max_attempts=None):
-        # unreachable through the public path (the driver falls back to the
-        # interpreter tier when discovery sees rejection sites) — guard so
-        # the inherited implementation can't silently redraw whole blocks
-        raise NotImplementedError(
-            "compiled single-site MCMC does not support rejection_sample"
+        """Block-atomic MH kernel for rejection blocks.
+
+        Block sites keep single-site granularity: when the perturbed index
+        falls on block site i, the loop redraws ONLY site i fresh (others
+        keep their stored values) until the acceptance predicate holds — a
+        draw from site i's prior truncated to the acceptance region given
+        the other values, whose normalizer is identical for the current
+        and candidate states and cancels in the MH ratio.  This mirrors
+        the interpreter tier's retry-with-reuse kernel and mixes far
+        better than rerunning the whole block (an independence sampler).
+        When the perturbed index is outside the block, the stored values
+        replay and the acceptance indicator is recomputed under the
+        candidate's outer latents: a violated indicator sends the ratio
+        to -inf.
+
+        Like pyprob_cpp's replace=true mode, replacement semantics target
+        the unnormalized-indicator density: exact when the acceptance
+        region depends only on values sampled inside the block (e.g.
+        Marsaglia), biased by the truncation normalizer otherwise (IS and
+        SMC stay exact either way — they sample the generative process).
+        """
+        from ..vectorized import (
+            _RejectionAttemptHandler,
+            _REJECTION_MAX_ATTEMPTS,
+        )
+
+        max_attempts = (
+            int(max_attempts) if max_attempts else _REJECTION_MAX_ATTEMPTS
+        )
+        base_counts = dict(self.instance_counts)
+        i0 = self.controlled_counter
+        idx = jnp.asarray(self.perturb_index)
+        j_rel = idx - i0  # within-block index of the perturbed site
+
+        def run_attempt(key, selective):
+            sub = _RejectionAttemptHandler(
+                self, key, base_counts, use_proposal=False
+            )
+            if selective:
+                sub.selective_fresh_idx = j_rel
+            prev_rv = self.replay_values
+            self.replay_values = self.current_values
+            prev = state._set_handler(sub)
+            try:
+                out, accept = attempt_fn()
+            finally:
+                state._set_handler(prev)
+                self.replay_values = prev_rv
+            return out, jnp.asarray(accept).astype(bool).reshape(()), sub
+
+        # candidate A: redraw the perturbed site only, retrying until the
+        # acceptance predicate holds with the other stored values
+        outA, accA, subA = run_attempt(self._next_key(), selective=True)
+        K = len(subA.sites)
+        out_leavesA, out_treedef = jax.tree_util.tree_flatten(outA)
+
+        def cond(c):
+            return jnp.logical_and(~c[2], c[1] < max_attempts)
+
+        def body(c):
+            key = c[0]
+            key, sk = jax.random.split(key)
+            out, acc, sub = run_attempt(sk, selective=True)
+            return (
+                key,
+                c[1] + 1,
+                acc,
+                tuple(jax.tree_util.tree_leaves(out)),
+                tuple(sub.values),
+                tuple(sub.log_probs),
+                tuple(sub.dist_leaves),
+            )
+
+        carry0 = (
+            self.key,
+            jnp.asarray(1, jnp.int32),
+            accA,
+            tuple(out_leavesA),
+            tuple(subA.values),
+            tuple(subA.log_probs),
+            tuple(subA.dist_leaves),
+        )
+        fin = jax.lax.while_loop(cond, body, carry0)
+        self.key = fin[0]
+        fresh_ok = fin[2]
+        fresh_out_leaves, fresh_vals, fresh_lps, fresh_leaves = (
+            fin[3],
+            fin[4],
+            fin[5],
+            fin[6],
+        )
+
+        # candidate B: replay stored values, recompute the indicator
+        outB, accB, subB = run_attempt(self._next_key(), selective=False)
+
+        self.controlled_counter += K
+        in_block = jnp.logical_and(idx >= i0, idx < i0 + K)
+
+        def sel(a, b):
+            return jnp.where(in_block, a, b)
+
+        final_vals = [sel(fresh_vals[i], subB.values[i]) for i in range(K)]
+        final_lps = [sel(fresh_lps[i], subB.log_probs[i]) for i in range(K)]
+        final_leaves = [
+            tuple(
+                sel(x, y)
+                for x, y in zip(fresh_leaves[i], subB.dist_leaves[i])
+            )
+            for i in range(K)
+        ]
+        final_out_leaves = [
+            sel(a, b)
+            for a, b in zip(
+                fresh_out_leaves, jax.tree_util.tree_leaves(outB)
+            )
+        ]
+
+        cur_lp_sum = sum(
+            self.current_log_probs[s.address] for s in subA.sites
+        )
+        replay_lp_sum = sum(subB.log_probs)
+        indicator = jnp.where(accB, 0.0, -jnp.inf)
+        self.reused_log_prob_diff = self.reused_log_prob_diff + jnp.where(
+            in_block,
+            # fresh rerun: prior and truncated-proposal factors cancel;
+            # an overflowed loop (never accepted) invalidates the candidate
+            jnp.where(fresh_ok, 0.0, -jnp.inf),
+            replay_lp_sum - cur_lp_sum + indicator,
+        )
+
+        self.instance_counts = dict(subA.instance_counts)
+        for i, site in enumerate(subA.sites):
+            site.distribution = jax.tree_util.tree_unflatten(
+                subA.treedefs[i], list(final_leaves[i])
+            )
+            self.log_prob_total = self.log_prob_total + final_lps[i]
+            self._record(site, final_vals[i], final_lps[i])
+        return jax.tree_util.tree_unflatten(
+            out_treedef, list(final_out_leaves)
         )
 
     def sample(self, distribution, name=None, address=None, control=True):
@@ -370,22 +504,6 @@ def vectorized_mcmc_posterior(
             ) from e
         return None
     sites = sites_box[0]
-    if any(getattr(s, "rejection", False) for s in sites):
-        # single-site replay inside a compiled rejection loop would redraw
-        # the whole block every step, breaking LMH/RMH proposal semantics;
-        # the interpreter tier handles rejection blocks exactly (retry with
-        # value reuse), so fall back
-        util.log_print(
-            f"[pyprob_tpu] model {model.name!r} contains rejection_sample "
-            "blocks; running MCMC on the interpreter tier."
-        )
-        if resume_state is not None:
-            raise ValueError(
-                "ChainState resume requires the compiled MCMC tier, which "
-                "does not support rejection_sample blocks; resume the "
-                "interpreter chain with a Trace instead."
-            )
-        return None
     # MCMC controls every sample site (the handler forces control=True for
     # MCMC engines); valueless observe sites (observed=False, control=False)
     # are predictive outputs and must NOT enter the perturbation set.

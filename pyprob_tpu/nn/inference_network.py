@@ -137,6 +137,19 @@ class InferenceNetwork:
             output_dim = int(spec.get("dim", 256))
             embedding = spec.get("embedding", ObserveEmbedding.FEEDFORWARD)
             depth = int(spec.get("depth", 2))
+            # Input squash (beyond parity): heavy-tailed observations (e.g.
+            # likelihoods whose scale is itself a latent) reach magnitudes
+            # that blow up MLP training — the reference feeds raw values and
+            # diverges on such models.  arcsinh is identity near 0 and
+            # logarithmic in the tails.  Opt-in ({"input_transform":
+            # "arcsinh"}): squashing bounded observations slightly blunts
+            # the embedding, so the raw reference behavior stays default.
+            transform = spec.get("input_transform", "none")
+            if transform not in ("arcsinh", "none"):
+                raise ValueError(
+                    f"Unknown observe input_transform: {transform!r} "
+                    "(expected 'arcsinh' or 'none')"
+                )
             key = util.next_key()
             if embedding == ObserveEmbedding.FEEDFORWARD:
                 layer = {
@@ -155,12 +168,14 @@ class InferenceNetwork:
                 }
             else:
                 raise ValueError(f"Unknown embedding: {embedding}")
+            layer["tf"] = Static(transform)
             self._params["observe"][name] = layer
             self._observe_meta[name] = {
                 "embedding": embedding,
                 "input_shape": input_shape,
                 "output_dim": output_dim,
                 "depth": depth,
+                "input_transform": transform,
             }
             total_dim += output_dim
         self._observe_embedding_dim = total_dim
@@ -176,6 +191,10 @@ class InferenceNetwork:
         for name in sorted(params["observe"].keys()):
             layer = params["observe"][name]
             x = obs[name]
+            # missing "tf" = checkpoint from before input squashing existed
+            tf = layer.get("tf")
+            if tf is not None and tf.value == "arcsinh":
+                x = jnp.arcsinh(x)
             kind = layer["kind"].value
             if kind == "feedforward":
                 pieces.append(mlp_apply(layer["p"], x))
@@ -919,7 +938,12 @@ class InferenceNetwork:
                     now - time_start
                 )
                 if math.isnan(loss) or math.isinf(loss):
-                    util.log_error(f"Bad loss in fused training step: {loss}")
+                    util.log_error(
+                        f"Bad loss in fused training step: {loss} (if the "
+                        "model's observations are heavy-tailed, consider "
+                        "observe_embeddings={'name': {'input_transform': "
+                        "'arcsinh'}})"
+                    )
                     if stop_with_bad_loss:
                         return True
                 if self._loss_init is None:

@@ -500,6 +500,11 @@ class _RejectionAttemptHandler:
         self.address_dictionary = outer.address_dictionary
         self.instance_counts = dict(base_counts)
         self.use_proposal = use_proposal
+        # traced within-block site index to redraw fresh even when the
+        # outer replay dict pins the address (single-site MCMC moves inside
+        # a block, pyprob_tpu.inference.mcmc.ReplayHandler.rejection_sample)
+        self.selective_fresh_idx = None
+        self._site_counter = 0
         self.sites = []
         self.values = []
         self.log_probs = []
@@ -513,6 +518,11 @@ class _RejectionAttemptHandler:
 
     def sample(self, distribution, name=None, address=None, control=True):
         outer = self.outer
+        if outer.inference_engine in (
+            InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+            InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+        ):
+            control = True  # MCMC controls every site (reference: state.py:165-166)
         if name is not None and name in outer.observed:
             raise RuntimeError(
                 "observed sample sites inside rejection_sample are not "
@@ -536,7 +546,17 @@ class _RejectionAttemptHandler:
         log_iw = None
         if outer.replay_values is not None and full in outer.replay_values:
             value = outer.replay_values[full]
-            if self.use_proposal and outer.proposal_step is not None:
+            if self.selective_fresh_idx is not None:
+                # single-site MCMC move inside the block: the chosen site
+                # redraws fresh while the others keep their stored values
+                fresh = distribution._sample_jax(self._next_key(), ())
+                value = jnp.where(
+                    jnp.asarray(self._site_counter)
+                    == self.selective_fresh_idx,
+                    fresh,
+                    value,
+                )
+            elif self.use_proposal and outer.proposal_step is not None:
                 # keep the proposal network's recurrent chain intact through
                 # replayed block sites (guided SMC prefix replay)
                 outer.proposal_step(
@@ -580,6 +600,7 @@ class _RejectionAttemptHandler:
         self.dist_leaves.append(tuple(leaves))
         self.treedefs.append(treedef)
         self.log_iws.append(log_iw)
+        self._site_counter += 1
         return value
 
     def observe(self, distribution, value=None, name=None, address=None):

@@ -149,6 +149,45 @@ def test_ic_training_gamma_prior():
     assert post.effective_sample_size > 0.15 * 2000
 
 
+class GammaExponentialModel(pp.Model):
+    """rate ~ Gamma(2,1); x_i ~ Exponential(rate) — conjugate posterior
+    Gamma(2 + n, 1 + sum x).  The observations are heavy-tailed (their
+    scale is 1/rate, unbounded as rate -> 0): raw values blow up the
+    observe-embedding MLP (the reference diverges on such models), so this
+    exercises the opt-in arcsinh input squash."""
+
+    def forward(self):
+        rate = pp.sample(Gamma(2.0, 1.0))
+        lik = Exponential(rate)
+        pp.observe(lik, name="obs0")
+        pp.observe(lik, name="obs1")
+        return rate
+
+
+def test_ic_training_heavy_tailed_observations():
+    m = GammaExponentialModel()
+    m.learn_inference_network(
+        num_traces=12000,
+        observe_embeddings={
+            "obs0": {"dim": 16, "input_transform": "arcsinh"},
+            "obs1": {"dim": 16, "input_transform": "arcsinh"},
+        },
+        inference_network=pp.InferenceNetwork.FEEDFORWARD,
+        batch_size=512,
+        learning_rate_init=0.005,
+    )
+    obs = {"obs0": 0.3, "obs1": 0.5}
+    post = m.posterior_results(
+        num_traces=2000,
+        observe=obs,
+        inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+    )
+    # Gamma(4, 1.8): mean 2.2222, stddev 1.1111
+    assert abs(float(post.mean) - 4.0 / 1.8) < 0.35
+    assert abs(float(post.stddev) - 2.0 / 1.8) < 0.35
+    assert post.effective_sample_size > 0.15 * 2000
+
+
 class LaplaceLocationModel(pp.Model):
     """x ~ Laplace(0, 1); obs ~ Normal(x, 0.5) — heavy-tailed prior where a
     learned StudentT-mixture proposal concentrates near the observation."""

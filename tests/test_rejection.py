@@ -67,15 +67,62 @@ def test_replacement_semantics_trace_structure(model):
         assert all(v.address.endswith("__1") for v in t.variables_controlled)
 
 
-def test_mcmc_engines_fall_back_and_converge(model):
+def test_mcmc_engines_compiled_chains(model):
+    # block-atomic ReplayHandler kernel: vmapped chains stay on the
+    # compiled tier, single-site moves inside the block
     for engine in (
         pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
         pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
     ):
         post = model.posterior_results(
-            num_traces=3000, observe=OBS, inference_engine=engine
-        )[1000:]
-        assert abs(float(post.mean) - TRUE_MEAN) < 0.5, engine
+            num_traces=20000, observe=OBS, inference_engine=engine,
+            vectorized=True,
+        )
+        assert "compiled" in post.name, engine
+        assert abs(float(post.mean) - TRUE_MEAN) < 0.3, engine
+        assert abs(float(post.stddev) - TRUE_STD) < 0.25, engine
+
+
+def test_mcmc_interpreter_tier_converges(model):
+    post = model.posterior_results(
+        num_traces=3000,
+        observe=OBS,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        vectorized=False,
+    )[1000:]
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.5
+
+
+class _OuterLatentBlock(pp.Model):
+    """An outer latent plus a rejection block: MCMC moves on the outer
+    latent replay the stored block values (indicator recheck branch),
+    moves on block sites redraw them conditionally."""
+
+    def forward(self):
+        mu = pp.sample(Normal(0.0, 2.0))
+
+        def attempt():
+            e = pp.sample(Normal(0.0, 1.0))
+            return e, e * e < 4.0  # truncation at |e|<2, Z constant
+
+        e = pp.rejection_sample(attempt)
+        pp.observe(Normal(mu + e, 0.5), name="obs0")
+        return mu
+
+
+def test_mcmc_outer_latent_with_block():
+    m = _OuterLatentBlock()
+    obs = {"obs0": 3.0}
+    ref = m.posterior_results(num_traces=200000, observe=obs, vectorized=True)
+    lmh = m.posterior_results(
+        num_traces=30000,
+        observe=obs,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        vectorized=True,
+    )
+    assert "compiled" in lmh.name
+    assert abs(float(lmh.mean) - float(ref.mean)) < 0.2
+    assert abs(float(lmh.stddev) - float(ref.stddev)) < 0.2
 
 
 def test_gradient_engine_raises(model):
