@@ -9,6 +9,7 @@ from .models import (
     GaussianUnknownMeanMarsagliaRejection,
     HiddenMarkovModel,
     Branching,
+    BranchingCompiled,
     MiniCaptcha,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "GaussianUnknownMeanMarsagliaRejection",
     "HiddenMarkovModel",
     "Branching",
+    "BranchingCompiled",
     "MiniCaptcha",
 ]

@@ -198,6 +198,40 @@ class Branching(Model):
         return Empirical(values=vals, log_weights=log_weights)
 
 
+class BranchingCompiled(Model):
+    """Branching with tensorized control flow: the data-dependent branch
+    becomes ``where`` + a precomputed fib table, so the model compiles to
+    the vectorized tier (the reference's Branching, like ours above, is
+    interpreter-only Python).  The second count is sampled unconditionally
+    (the original draws it only on one branch); it is ignored by the
+    likelihood when r > 4, which marginalizes out exactly, so the
+    posterior over r is identical — compare against
+    ``Branching.true_posterior``."""
+
+    def __init__(self, rate=4.0, max_r=40):
+        super().__init__(name="Branching (compiled)")
+        self.rate = rate
+        self.max_r = max_r
+        self._fib3 = np.asarray(
+            [_fib(3 * r) for r in range(max_r + 1)], np.float32
+        )
+
+    def forward(self):
+        count_prior = Poisson(self.rate)
+        r = sample(count_prior)
+        s = sample(count_prior)
+        B = jnp if hasattr(r, "aval") else np
+        idx = B.clip(r, 0, self.max_r).astype(B.int32)
+        l = B.where(
+            r > 4.0, B.asarray(6.0, B.float32), 1.0 + B.asarray(self._fib3)[idx] + s
+        )
+        observe(Poisson(l), name="obs")
+        return r
+
+    def true_posterior(self, observe_value=6, support=40):
+        return Branching(self.rate).true_posterior(observe_value, support)
+
+
 def _default_font():
     import matplotlib
 

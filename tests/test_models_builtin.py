@@ -54,6 +54,25 @@ def test_branching_builtin_true_posterior():
     assert np.isfinite(float(tp.mean))
 
 
+def test_branching_compiled_builtin():
+    from pyprob_tpu.models import BranchingCompiled
+    from pyprob_tpu.vectorized import _TraceabilityCache
+
+    m = BranchingCompiled()
+    post = m.posterior_results(
+        num_traces=100000, observe={"obs": 6.0}, vectorized=True
+    )
+    assert _TraceabilityCache._cache.get(type(m)) is True
+    tp = m.true_posterior(6)
+    assert abs(float(post.mean) - float(tp.mean)) < 0.15
+    assert abs(float(post.stddev) - float(tp.stddev)) < 0.15
+    # interpreter tier produces the same posterior
+    ip = m.posterior_results(
+        num_traces=4000, observe={"obs": 6.0}, vectorized=False
+    )
+    assert abs(float(ip.mean) - float(tp.mean)) < 0.3
+
+
 def test_mini_captcha_builtin():
     m = MiniCaptcha(alphabet=("A", "B"))
     img = m.render("A")
