@@ -43,6 +43,9 @@ def __getattr__(name):
 from . import distributions
 from . import util
 from . import diagnostics
+from . import remote
+from . import ppx
+from . import address_dictionary
 
 __all__ = [
     "__version__",

@@ -19,6 +19,7 @@ from .dataset import (
     OnlineDataset,
     OfflineDataset,
     OfflineDatasetFile,
+    TraceSampler,
     TraceBatchSampler,
     DistributedTraceBatchSampler,
     prune_trace,
@@ -49,6 +50,7 @@ __all__ = [
     "OnlineDataset",
     "OfflineDataset",
     "OfflineDatasetFile",
+    "TraceSampler",
     "TraceBatchSampler",
     "DistributedTraceBatchSampler",
     "prune_trace",

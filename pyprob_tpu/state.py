@@ -179,16 +179,25 @@ def tag(value, name=None, address=None):
     trace.add(variable)
 
 
-def factor(log_prob=None, log_prob_func=None, name=None, address=None):
+def factor(log_prob=None, log_prob_func=None, name=None, address=None, mask=None):
     dist = Factor(log_prob=log_prob, log_prob_func=log_prob_func)
-    return observe(dist, name=name, address=address)
+    return observe(dist, name=name, address=address, mask=mask)
 
 
-def observe(distribution, value=None, name=None, address=None):
+def observe(distribution, value=None, name=None, address=None, mask=None):
+    """``mask`` (beyond parity): when given and false, the observation
+    contributes nothing to the trace density or importance weight — the
+    masking primitive that lets variable-length observation sequences be
+    written as fixed-bound loops, which is what makes them compilable on
+    the vectorized tier (one program per bound instead of one trace-shape
+    per data size).  On this interpreter tier the mask is a concrete
+    boolean."""
     ctx = _ctx_local.value  # bind once: hot path
     handler = _get_handler()
     if handler is not None:
-        return handler.observe(distribution, value=value, name=name, address=address)
+        return handler.observe(
+            distribution, value=value, name=name, address=address, mask=mask
+        )
     trace = ctx.current_trace
     if trace is None:
         return
@@ -217,7 +226,12 @@ def observe(distribution, value=None, name=None, address=None):
         observed = True
         if value is not None:
             value = util.to_array(value)
-        log_prob = ctx.likelihood_importance * distribution.log_prob(value, sum=True)
+        if mask is not None and not bool(np.all(mask)):
+            log_prob = 0.0
+        else:
+            log_prob = ctx.likelihood_importance * distribution.log_prob(
+                value, sum=True
+            )
         if ctx.inference_engine in (
             InferenceEngine.IMPORTANCE_SAMPLING,
             InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,

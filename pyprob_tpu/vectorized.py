@@ -286,7 +286,11 @@ class VectorizedHandler:
         )
         return value
 
-    def observe(self, distribution, value=None, name=None, address=None):
+    def observe(self, distribution, value=None, name=None, address=None, mask=None):
+        # mask may be a traced per-particle boolean: a masked-off
+        # observation contributes zero log-density/weight, so
+        # variable-length observation sequences compile as fixed-bound
+        # loops (one program per bound, not per data size)
         base, full, instance = self._make_address(
             address, distribution.address_suffix
         )
@@ -321,6 +325,10 @@ class VectorizedHandler:
         log_prob = self.likelihood_importance * distribution.log_prob(
             value, sum=True
         )
+        if mask is not None:
+            log_prob = jnp.where(
+                jnp.asarray(mask), log_prob, jnp.zeros((), util.dtype())
+            )
         if self.inference_engine in (
             InferenceEngine.IMPORTANCE_SAMPLING,
             InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
@@ -345,9 +353,9 @@ class VectorizedHandler:
         )
         return value
 
-    def factor(self, log_prob=None, log_prob_func=None, name=None, address=None):
+    def factor(self, log_prob=None, log_prob_func=None, name=None, address=None, mask=None):
         dist = Factor(log_prob=log_prob, log_prob_func=log_prob_func)
-        return self.observe(dist, name=name, address=address)
+        return self.observe(dist, name=name, address=address, mask=mask)
 
     def tag(self, value, name=None, address=None):
         if address is None:
@@ -603,12 +611,12 @@ class _RejectionAttemptHandler:
         self._site_counter += 1
         return value
 
-    def observe(self, distribution, value=None, name=None, address=None):
+    def observe(self, distribution, value=None, name=None, address=None, mask=None):
         raise RuntimeError(
             "observe/factor inside rejection_sample is not supported"
         )
 
-    def factor(self, log_prob=None, log_prob_func=None, name=None, address=None):
+    def factor(self, log_prob=None, log_prob_func=None, name=None, address=None, mask=None):
         raise RuntimeError(
             "observe/factor inside rejection_sample is not supported"
         )

@@ -74,12 +74,17 @@ def test_branching_compiled_builtin():
 
 
 def test_mini_captcha_builtin():
+    from pyprob_tpu.vectorized import _TraceabilityCache
+
     m = MiniCaptcha(alphabet=("A", "B"))
     img = m.render("A")
     post = m.posterior_results(
         num_traces=500, observe={"query_image": img}, vectorized=True
     )
     assert int(np.asarray(post.mode)) == 0
+    # template rendering happens at init, so the forward is pure jnp ops
+    # and the model runs on the compiled tier
+    assert _TraceabilityCache._cache.get(type(m)) is True
 
 
 def test_reobserve():
