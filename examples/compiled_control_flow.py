@@ -14,7 +14,11 @@ Run: python examples/compiled_control_flow.py            (CPU)
 """
 
 import math
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

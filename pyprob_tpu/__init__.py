@@ -33,19 +33,23 @@ from .inference import ChainState
 
 
 def __getattr__(name):
-    # lazy: remote_lockstep pulls in pyzmq at module level; purely local
-    # use must not require it (RemoteModel likewise defers via model.py)
+    # lazy: remote / ppx pull in pyzmq at module level; purely local use
+    # must not require it (RemoteModel likewise defers via model.py).
+    # Lazy submodule access keeps reference-layout attribute parity
+    # (pyprob.remote / pyprob.ppx / pyprob.address_dictionary) without the
+    # import-time dependency.
     if name == "LockstepRemoteModel":
         from .remote_lockstep import LockstepRemoteModel
 
         return LockstepRemoteModel
+    if name in ("remote", "ppx", "address_dictionary"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 from . import distributions
 from . import util
 from . import diagnostics
-from . import remote
-from . import ppx
-from . import address_dictionary
 
 __all__ = [
     "__version__",

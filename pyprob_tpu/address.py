@@ -28,7 +28,10 @@ _RETURN_RE = re.compile(r"^\s*return\b")
 # Frames whose code lives in these path fragments are framework-internal and
 # skipped when walking out to user code.  The built-in model families
 # (pyprob_tpu/models/) are user-level code and must NOT be skipped.
-_INTERNAL_MARKERS = ("pyprob_tpu",)
+# jax frames appear mid-chain when user code is re-traced inside
+# lax.while_loop/scan bodies (rejection_sample retries) and must not
+# perturb addresses: stored-value replay is keyed on them.
+_INTERNAL_MARKERS = ("pyprob_tpu", "/jax/", "/jax_", "/equinox/")
 _USER_MARKERS = ("pyprob_tpu/models",)
 
 

@@ -264,17 +264,26 @@ class ReplayHandler(VectorizedHandler):
             )
         ]
 
-        cur_lp_sum = sum(
-            self.current_log_probs[s.address] for s in subA.sites
-        )
+        cur_lps = [self.current_log_probs[s.address] for s in subA.sites]
         replay_lp_sum = sum(subB.log_probs)
         indicator = jnp.where(accB, 0.0, -jnp.inf)
+        # in-block move on site j: the perturbed site's prior factor
+        # cancels against the truncated-conditional proposal (forward and
+        # reverse normalizers are equal — companions unchanged), but the
+        # COMPANION sites keep their stored values under possibly-changed
+        # parameters (e.g. p(b | a_new) when b's prior depends on a), so
+        # their rescore deltas enter the ratio like any reused site
+        in_block_diff = sum(
+            jnp.where(
+                jnp.asarray(i) == j_rel, 0.0, fresh_lps[i] - cur_lps[i]
+            )
+            for i in range(K)
+        )
         self.reused_log_prob_diff = self.reused_log_prob_diff + jnp.where(
             in_block,
-            # fresh rerun: prior and truncated-proposal factors cancel;
             # an overflowed loop (never accepted) invalidates the candidate
-            jnp.where(fresh_ok, 0.0, -jnp.inf),
-            replay_lp_sum - cur_lp_sum + indicator,
+            in_block_diff + jnp.where(fresh_ok, 0.0, -jnp.inf),
+            replay_lp_sum - sum(cur_lps) + indicator,
         )
 
         self.instance_counts = dict(subA.instance_counts)

@@ -119,14 +119,9 @@ class GaussianUnknownMeanMarsagliaRejection(Model):
         return mu
 
     def true_posterior(self, observed_values):
-        n = len(observed_values)
-        s2_prior = self.prior_stddev**2
-        s2_lik = self.likelihood_stddev**2
-        var = 1.0 / (1.0 / s2_prior + n / s2_lik)
-        mean = var * (
-            self.prior_mean / s2_prior + sum(observed_values) / s2_lik
-        )
-        return Normal(mean, math.sqrt(var))
+        return GaussianUnknownMean(
+            self.prior_mean, self.prior_stddev, self.likelihood_stddev
+        ).true_posterior(observed_values)
 
 
 class HiddenMarkovModel(Model):

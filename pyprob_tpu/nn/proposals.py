@@ -23,10 +23,10 @@ for everything else, inference_network_lstm.py:52): learned proposals for
 positive-support priors (Gamma/Exponential/LogNormal/Weibull/Chi2/
 HalfNormal/HalfCauchy -> LogNormal mixture residual-scaled by the prior's
 exact log-space moments), heavy-tailed real-line priors (StudentT/Laplace/
-Cauchy/Logistic/Gumbel -> StudentT mixture with learned per-component df,
-so proposal tails are never lighter than the prior's and importance
-weights stay bounded), Beta and VonMises (TruncatedNormal mixture over
-their bounded support).
+Cauchy/Logistic/Gumbel -> StudentT mixture with learned per-component
+df >= 0.5, so the head can match or exceed any such prior's tail
+heaviness), Beta and VonMises (TruncatedNormal mixture over their
+bounded support).
 """
 
 from __future__ import annotations
@@ -193,7 +193,7 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
     ):
         out_dim = 3 * mixture_components
     elif kind == "studentt_mixture":
-        # means, log-scales, mixing logits, per-component df (1+softplus)
+        # means, log-scales, mixing logits, per-component df (0.5+softplus)
         out_dim = 4 * mixture_components
     elif kind in ("normal_normal", "uniform_beta"):
         # alternative single-component heads kept for parity with the
@@ -285,9 +285,11 @@ def head_apply(params, x, prior_params):
         raw_means = out[:, :K]
         raw_scales = jnp.exp(out[:, K : 2 * K])
         coeffs = jax.nn.softmax(out[:, 2 * K : 3 * K], axis=1)
-        # df can approach 1 so proposal tails are never forced lighter
-        # than a Cauchy prior's (which would unbound importance weights)
-        dfs = 1.0 + jax.nn.softplus(out[:, 3 * K :])
+        # df floor 0.5: the head can learn tails HEAVIER than any Cauchy
+        # prior's (df=1), keeping prior/proposal ratios from exploding in
+        # the tails once trained (no a-priori boundedness guarantee — the
+        # learned df sets the proposal tail, as with every learned head)
+        dfs = 0.5 + jax.nn.softplus(out[:, 3 * K :])
         loc = jnp.reshape(prior_params["loc"], (B, 1))
         scale = jnp.reshape(prior_params["scale"], (B, 1))
         means = loc + raw_means * scale

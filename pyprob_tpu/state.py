@@ -462,20 +462,25 @@ def rejection_sample(attempt_fn, max_attempts=None):
     process only in its first attempt).
 
     ``observe``/``factor``/``tag`` inside ``attempt_fn`` are not supported.
-    ``max_attempts`` bounds the compiled-tier loop (default 64 there); the
-    interpreter tier loops to acceptance (capped at 1e6).
+    ``max_attempts`` bounds the loop (default 64 on the compiled tier,
+    1e6 here); exhausting it marks the trace invalid — importance engines
+    give it weight -inf (discarded), MCMC engines reject the candidate —
+    matching the compiled tier's semantics.
     """
     handler = _get_handler()
     if handler is not None:
         return handler.rejection_sample(attempt_fn, max_attempts=max_attempts)
     ctx = _ctx_local.value
     trace = ctx.current_trace
+    cap = int(max_attempts) if max_attempts else 1_000_000
     if trace is None:
-        while True:
+        for _ in range(cap):
             out, accept = attempt_fn()
             if bool(np.all(np.asarray(accept))):
                 return out
-    cap = int(max_attempts) if max_attempts else 1_000_000
+        raise RuntimeError(
+            f"rejection_sample exceeded {cap:,} attempts without acceptance"
+        )
     if ctx.rejection_retry:
         raise RuntimeError(
             "nested rejection_sample is not supported inside a retried "
@@ -483,6 +488,7 @@ def rejection_sample(attempt_fn, max_attempts=None):
         )
     first_attempt_iw = 0.0
     prev_variable = ctx.previous_variable
+    out, new_vars = None, []
     try:
         for i in range(cap):
             marker = len(trace.variables)
@@ -511,14 +517,43 @@ def rejection_sample(attempt_fn, max_attempts=None):
                             v.log_importance_weight = first_attempt_iw
                             break
                 return out
+            if all(getattr(v, "reused", False) for v in new_vars):
+                # every block value came from MH-trace / replay reuse: the
+                # retry is deterministic and can never accept — the stored
+                # values violate the predicate under the candidate's outer
+                # latents (acceptance indicator 0)
+                break
+            if i == cap - 1:
+                # keep the final attempt recorded so the invalid-trace
+                # marking below has variables to attach to
+                break
             trace.rollback(marker)
             ctx.previous_variable = prev_variable
             ctx.rejection_retry = True
     finally:
         ctx.rejection_retry = False
-    raise RuntimeError(
-        f"rejection_sample exceeded {cap:,} attempts without acceptance"
+    # no acceptance: mark the trace invalid (indicator 0), mirroring the
+    # compiled tier — importance weight -inf discards the trace; the MH
+    # transition term -inf rejects the candidate
+    warnings.warn(
+        "rejection_sample: the acceptance predicate cannot be satisfied "
+        f"(cap {cap:,} attempts, or deterministic replayed values violate "
+        "it); trace marked invalid."
     )
+    if ctx.trace_mode == TraceMode.POSTERIOR and ctx.inference_engine in (
+        InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    ):
+        t = ctx.metropolis_hastings_site_transition_log_prob
+        ctx.metropolis_hastings_site_transition_log_prob = (
+            0.0 if t is None else t
+        ) + float("-inf")
+    else:
+        for v in new_vars:
+            if v.control:
+                v.log_importance_weight = float("-inf")
+                break
+    return out
 
 
 def _sample_from_prior(distribution, rng):

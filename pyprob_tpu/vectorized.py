@@ -326,8 +326,12 @@ class VectorizedHandler:
             value, sum=True
         )
         if mask is not None:
+            # reduce like the interpreter tier (np.all): the mask gates the
+            # whole observation, and log_prob is already summed to a scalar
             log_prob = jnp.where(
-                jnp.asarray(mask), log_prob, jnp.zeros((), util.dtype())
+                jnp.all(jnp.asarray(mask)),
+                log_prob,
+                jnp.zeros((), util.dtype()),
             )
         if self.inference_engine in (
             InferenceEngine.IMPORTANCE_SAMPLING,
@@ -429,6 +433,12 @@ class VectorizedHandler:
             final_values = tuple(sub0.values)
             final_lps = tuple(sub0.log_probs)
             final_dist_leaves = tuple(sub0.dist_leaves)
+            if not replay_all and self.trace_mode == TraceMode.POSTERIOR:
+                # max_attempts=1: unaccepted lanes must still be discarded
+                self.log_importance_weight = (
+                    self.log_importance_weight
+                    + jnp.where(accept, 0.0, -jnp.inf)
+                )
         else:
             def cond(carry):
                 return jnp.logical_and(~carry[2], carry[1] < max_attempts)

@@ -210,6 +210,115 @@ def test_max_attempts_overflow_discards():
     assert 0.95 < float(post.mean) < 1.0
 
 
+class _DependentBlock(pp.Model):
+    """Within-block dependence: p(b | a) changes when a move redraws a, so
+    the MH ratio must rescore the companion site (code-review regression)."""
+
+    def forward(self):
+        def attempt():
+            a = pp.sample(Normal(0.0, 1.0))
+            b = pp.sample(Normal(a, 0.5))
+            return (a, b), a * a < 100.0
+
+        a, b = pp.rejection_sample(attempt)
+        pp.observe(Normal(b, 0.5), name="obs0")
+        return a
+
+
+def test_compiled_lmh_rescores_dependent_block_sites():
+    m = _DependentBlock()
+    obs = {"obs0": 2.0}
+    ref = m.posterior_results(num_traces=300000, observe=obs, vectorized=True)
+    lmh = m.posterior_results(
+        num_traces=30000,
+        observe=obs,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+    )
+    assert abs(float(lmh.mean) - float(ref.mean)) < 0.15
+    assert abs(float(lmh.stddev) - float(ref.stddev)) < 0.15
+
+
+def test_interpreter_max_attempts_discards():
+    # exhausting max_attempts marks the trace invalid (weight -inf) on the
+    # interpreter tier too, instead of crashing (code-review regression)
+    class Tight(pp.Model):
+        _never_vectorize = True
+
+        def forward(self):
+            def attempt():
+                x = pp.sample(Uniform(0.0, 1.0))
+                return x, x > 0.95
+
+            x = pp.rejection_sample(attempt, max_attempts=1)
+            pp.observe(Normal(x, 0.5), name="obs0")
+            return x
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        post = Tight().posterior_results(
+            num_traces=800, observe={"obs0": 1.0}, vectorized=False
+        )
+    assert 0.9 < float(post.mean) <= 1.0
+
+
+class _OuterPredicate(pp.Model):
+    """Acceptance depends on an outer latent: replayed block values can
+    violate it — both tiers apply indicator semantics instead of spinning
+    (code-review regression: the interpreter used to retry 1e6 times)."""
+
+    def forward(self):
+        mu = pp.sample(Normal(0.0, 1.0))
+
+        def attempt():
+            e = pp.sample(Normal(0.0, 1.0))
+            return e, e < mu
+
+        e = pp.rejection_sample(attempt, max_attempts=64)
+        pp.observe(Normal(mu + e, 0.5), name="obs0")
+        return mu
+
+
+def test_outer_predicate_tiers_agree_and_terminate():
+    import time as _t
+    import warnings as _w
+
+    m = _OuterPredicate()
+    obs = {"obs0": 1.0}
+    t0 = _t.time()
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        ip = m.posterior_results(
+            num_traces=1500,
+            observe=obs,
+            vectorized=False,
+            inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        )[500:]
+    assert _t.time() - t0 < 120
+    cp = m.posterior_results(
+        num_traces=20000,
+        observe=obs,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+    )
+    assert abs(float(ip.mean) - float(cp.mean)) < 0.35
+
+
+def test_no_eager_zmq_import():
+    import subprocess, sys as _s
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys, pyprob_tpu;"
+        "bad=[m for m in sys.modules if 'zmq' in m];"
+        "assert not bad, bad"
+    )
+    r = subprocess.run([_s.executable, "-c", code], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+
+
 def test_rejection_sample_outside_trace():
     # plain call with no active trace: behaves like a host rejection loop
     def attempt():
