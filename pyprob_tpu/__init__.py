@@ -42,10 +42,14 @@ def __getattr__(name):
         from .remote_lockstep import LockstepRemoteModel
 
         return LockstepRemoteModel
-    if name in ("remote", "ppx", "address_dictionary"):
+    if name in ("remote", "ppx", "address_dictionary", "serving"):
         import importlib
 
         return importlib.import_module(f".{name}", __name__)
+    if name in ("PosteriorService", "PosteriorServer", "PosteriorClient"):
+        from . import serving as _serving
+
+        return getattr(_serving, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 from . import distributions
 from . import util
