@@ -170,6 +170,14 @@ def test_ic_training_and_guided_is(model):
     # demands IC-LSTM > 1.6% on Marsaglia (tests/test_inference.py:344)
     assert post.effective_sample_size > is_post.effective_sample_size
     assert post.effective_sample_size > 0.016 * 5000
+    # guided SMC through the block: prefix replay forces block values and
+    # advances the proposal LSTM, first-attempt proposals elsewhere
+    smc = m.posterior_results(
+        num_traces=5000,
+        observe=OBS,
+        inference_engine=pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK,
+    )
+    assert abs(float(smc.mean) - TRUE_MEAN) < 0.25
 
 
 class _ObserveInside(pp.Model):
