@@ -18,8 +18,13 @@ import time
 import zlib
 
 
+_zlib_level = -1  # util.set_compression (reference: util.py:128)
+
+
 def encode(obj):
-    return zlib.compress(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL))
+    return zlib.compress(
+        pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL), _zlib_level
+    )
 
 
 def decode(blob):

@@ -390,3 +390,258 @@ def empirical_to_categorical(empirical, max_items=None):
         probs = probs[order]
         probs = probs / probs.sum()
     return Categorical(probs=probs), values
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface helpers (reference: pyprob/util.py:80-455) — small
+# conveniences kept name-compatible for code written against the reference.
+# "tensor" here means a device jnp array; host math uses to_numpy.
+# ---------------------------------------------------------------------------
+
+
+def temp_file_name():
+    import os
+    import tempfile
+    import uuid
+
+    return os.path.join(tempfile.mkdtemp(), str(uuid.uuid4()))
+
+
+def time_seed():
+    return int((time.time() * 1e6) % 1e8)
+
+
+def to_tensor(value, dtype=None):
+    """Device array coercion — the JAX counterpart of the reference's
+    torch-tensor coercion (reference: util.py:133)."""
+    if value is None:
+        return None
+    return jnp.asarray(value, dtype or _dtype)
+
+
+def to_numpy(value):
+    return np.asarray(value)
+
+
+def to_size(value):
+    if isinstance(value, tuple):
+        return value
+    if isinstance(value, int):
+        return (value,)
+    if isinstance(value, list):
+        return tuple(value)
+    raise TypeError("Expecting a tuple, int, or list of ints.")
+
+
+def fast_np_random_choice(values, probs_cumsum):
+    u = get_rng().random()
+    return values[min(int(np.searchsorted(probs_cumsum, u)), len(values) - 1)]
+
+
+def eval_print(*expressions):
+    """Print each expression and its value evaluated in the caller's frame."""
+    frame = sys._getframe(1)
+    width = max((len(e) for e in expressions), default=0)
+    for expression in expressions:
+        value = eval(expression, frame.f_globals, frame.f_locals)  # noqa: S307
+        print(f"{expression.ljust(width)} = {value}")
+
+
+def replace_inf(value, replace_message=None):
+    value = np.asarray(value)
+    if np.any(value == np.inf):
+        value = value.copy()
+        value[value == np.inf] = 0.0
+        if replace_message is not None:
+            print(replace_message)
+    return value
+
+
+def rgb_to_hex(rgb):
+    return "#{:02x}{:02x}{:02x}".format(
+        *(int(max(0.0, min(c, 1.0)) * 255) for c in rgb[:3])
+    )
+
+
+def is_sorted(lst):
+    return all(lst[i] <= lst[i + 1] for i in range(len(lst) - 1))
+
+
+def prod(iterable):
+    out = 1
+    for x in iterable:
+        out *= x
+    return out
+
+
+def get_time_str():
+    return datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+
+
+def one_hot(dim, i):
+    out = np.zeros(dim, dtype=dtype())
+    out[i] = 1.0
+    return jnp.asarray(out)
+
+
+def is_hashable(v):
+    try:
+        hash(v)
+    except TypeError:
+        return False
+    return True
+
+
+def check_gnu_dbm():
+    """Report whether dbm.gnu is importable.  Informational only here:
+    persistence uses stdlib sqlite3 (pyprob_tpu.concurrency), not shelve."""
+    try:
+        import dbm.gnu  # noqa: F401
+    except (ModuleNotFoundError, ImportError):
+        return False
+    return True
+
+
+def set_compression(level=-1):
+    """zlib level for shelf blobs (reference: util.py:128)."""
+    from . import concurrency
+
+    concurrency._zlib_level = int(level)
+
+
+def sqlite_encode(obj):
+    from . import concurrency
+
+    return concurrency.encode(obj)
+
+
+def sqlite_decode(blob):
+    from . import concurrency
+
+    return concurrency.decode(blob)
+
+
+def open_shelf(file_name):
+    from .concurrency import Shelf
+
+    return Shelf(file_name)
+
+
+def tile_rows_cols(num_items):
+    cols = math.ceil(math.sqrt(num_items))
+    rows = 0
+    while num_items > 0:
+        rows += 1
+        num_items -= cols
+    return rows, cols
+
+
+def create_path(path, directory=False):
+    import os
+
+    d = path if directory else os.path.dirname(path)
+    if d and not os.path.exists(d):
+        os.makedirs(d, exist_ok=True)
+
+
+def address_id_to_int(address_id):
+    """Numeric part of a dictionary address id ('__A42' / 'A42__...' -> 42)."""
+    head = address_id.lstrip("_")
+    if "__" in head:
+        head = head[: head.find("__")]
+    digits = "".join(ch for ch in head if ch.isdigit())
+    return int(digits) if digits else 0
+
+
+def chunks(l, n):
+    """Yield successive n-sized chunks from l."""
+    for i in range(0, len(l), n):
+        yield l[i : i + n]
+
+
+def drop_items(l, num_items_to_drop):
+    if num_items_to_drop > len(l):
+        raise ValueError("Cannot drop more items than the list length")
+    out = list(l)
+    rng = get_rng()
+    for _ in range(num_items_to_drop):
+        del out[int(rng.integers(len(out)))]
+    return out
+
+
+def get_source(obj):
+    import inspect
+
+    try:
+        return inspect.getsource(obj)
+    except Exception:
+        return getattr(obj, "__name__", repr(obj))
+
+
+def distribution_short_name(dist_name):
+    short = {
+        "Bernoulli": "Ber",
+        "Beta": "Beta",
+        "Binomial": "Bin",
+        "Categorical": "Cat",
+        "Empirical": "Emp",
+        "Exponential": "Exp",
+        "Gamma": "Gam",
+        "LogNormal": "LogN",
+        "Mixture": "Mix",
+        "Normal": "N",
+        "Poisson": "Poi",
+        "TruncatedNormal": "TruN",
+        "Uniform": "U",
+        "VonMises": "VonM",
+        "Weibull": "Wei",
+    }
+    return short.get(dist_name, dist_name)
+
+
+def float_to_string(number):
+    out = "{:,.3g}".format(number)
+    if out == "1" and abs(number - 1) > 1e-9:
+        out = "{:,.6g}".format(number)
+    return out
+
+
+# simple text progress bar trio (reference: util.py:189-240); the richer
+# live lines elsewhere use progress_update/progress_end directly
+_progress_bar_state = {}
+
+
+def progress_bar(i, length):
+    bar_len = 20
+    filled = int(round(bar_len * i / max(1, length)))
+    return "#" * filled + "-" * (bar_len - filled)
+
+
+def progress_bar_init(message, num_iters, iter_name="Items"):
+    if verbosity() == 0:
+        return
+    if num_iters < 0:
+        raise ValueError("num_iters must be a non-negative integer")
+    _progress_bar_state.update(
+        num_iters=num_iters, iter_name=iter_name, start=time.time()
+    )
+    log_print(message)
+
+
+def progress_bar_update(iter):
+    if verbosity() == 0 or not _progress_bar_state:
+        return
+    n = _progress_bar_state["num_iters"]
+    progress_update(
+        f"{progress_bar(iter, n)} | {iter}/{n} "
+        f"{_progress_bar_state['iter_name']}"
+    )
+
+
+def progress_bar_end(message=None):
+    if verbosity() == 0 or not _progress_bar_state:
+        return
+    progress_bar_update(_progress_bar_state["num_iters"])
+    progress_end()
+    if message is not None:
+        log_print(message)
