@@ -40,6 +40,38 @@ def _marsaglia_forward(server):
     return mu
 
 
+_live_addresses = []
+
+
+def _reset_simulator(address):
+    """Send a PPX Reset so the in-thread server's serve() loop exits."""
+    import zmq
+    from pyprob_tpu.ppx import wire
+
+    ctx = zmq.Context.instance()
+    s = ctx.socket(zmq.REQ)
+    s.setsockopt(zmq.LINGER, 100)
+    s.setsockopt(zmq.RCVTIMEO, 2000)
+    s.setsockopt(zmq.SNDTIMEO, 2000)
+    try:
+        s.connect(address)
+        s.send(wire.build_reset())
+        s.recv()
+    except Exception:
+        pass
+    finally:
+        s.close(0)
+
+
+@pytest.fixture(autouse=True)
+def _shutdown_simulators():
+    # daemon server threads stuck in recv() outlive their test otherwise,
+    # leaving sockets open for the rest of the pytest process
+    yield
+    while _live_addresses:
+        _reset_simulator(_live_addresses.pop())
+
+
 def _start_simulators(forward_func, n, model_name):
     """n simulator threads on fresh ipc addresses; returns addresses."""
     addresses = []
@@ -61,6 +93,7 @@ def _start_simulators(forward_func, n, model_name):
         t.start()
         ready.wait(timeout=10)
         addresses.append(address)
+        _live_addresses.append(address)
     return addresses
 
 
