@@ -51,7 +51,11 @@ def main():
             )
             client.shutdown()
     finally:
-        proc.wait(timeout=60)
+        try:
+            proc.wait(timeout=60)
+        except Exception:
+            proc.kill()
+            proc.wait()
     print("server exited", proc.returncode)
 
 

@@ -31,7 +31,12 @@ _RETURN_RE = re.compile(r"^\s*return\b")
 # jax frames appear mid-chain when user code is re-traced inside
 # lax.while_loop/scan bodies (rejection_sample retries) and must not
 # perturb addresses: stored-value replay is keyed on them.
-_INTERNAL_MARKERS = ("pyprob_tpu", "/jax/", "/jax_", "/equinox/")
+_INTERNAL_MARKERS = (
+    "pyprob_tpu",
+    "/site-packages/jax/",
+    "/jax/_src/",
+    "/site-packages/equinox/",
+)
 _USER_MARKERS = ("pyprob_tpu/models",)
 
 

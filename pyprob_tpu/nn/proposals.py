@@ -215,6 +215,9 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
                 "kind": kind,
                 "mixture_components": mixture_components,
                 "num_categories": num_categories,
+                # recorded so checkpoints decode df with the floor they
+                # were trained under (older nets used 1.0)
+                "df_floor": 0.5,
             }
         ),
     }
@@ -288,8 +291,10 @@ def head_apply(params, x, prior_params):
         # df floor 0.5: the head can learn tails HEAVIER than any Cauchy
         # prior's (df=1), keeping prior/proposal ratios from exploding in
         # the tails once trained (no a-priori boundedness guarantee — the
-        # learned df sets the proposal tail, as with every learned head)
-        dfs = 0.5 + jax.nn.softplus(out[:, 3 * K :])
+        # learned df sets the proposal tail, as with every learned head).
+        # The floor is read from meta so checkpoints trained under the old
+        # 1.0 floor decode their parameters unchanged.
+        dfs = meta.get("df_floor", 1.0) + jax.nn.softplus(out[:, 3 * K :])
         loc = jnp.reshape(prior_params["loc"], (B, 1))
         scale = jnp.reshape(prior_params["scale"], (B, 1))
         means = loc + raw_means * scale

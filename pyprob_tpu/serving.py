@@ -73,9 +73,13 @@ class PosteriorService:
         Returns a dict with posterior summary statistics (and ``samples``
         when ``num_samples`` > 0).
         """
+        if num_traces is not None and int(num_traces) <= 0:
+            raise ValueError(f"num_traces must be positive, got {num_traces}")
         t0 = time.time()
         posterior = self._model.posterior_results(
-            num_traces=int(num_traces or self._num_traces),
+            num_traces=(
+                self._num_traces if num_traces is None else int(num_traces)
+            ),
             observe=observe,
             inference_engine=self._engine,
             vectorized=self._vectorized,
@@ -183,15 +187,18 @@ class PosteriorServer:
 
         if address is None:
             address = f"ipc://@pyprob_tpu_serve_{uuid.uuid4()}"
+        # spec/address travel via argv, never interpolated into code (a
+        # quote in either would otherwise break or inject into the child)
         code = (
-            "import importlib;"
-            f"mod, fn = '{spec}'.split(':');"
+            "import sys, importlib;"
+            "mod, fn = sys.argv[1].split(':');"
             "service = getattr(importlib.import_module(mod), fn)();"
             "from pyprob_tpu.serving import PosteriorServer;"
-            f"PosteriorServer(service, '{address}').serve()"
+            "PosteriorServer(service, sys.argv[2]).serve()"
         )
         proc = subprocess.Popen(
-            [python or sys.executable, "-c", code], **popen_kwargs
+            [python or sys.executable, "-c", code, spec, address],
+            **popen_kwargs,
         )
         return proc, address
 
@@ -243,7 +250,6 @@ class PosteriorClient:
 
 
 def _jsonable(observe):
-    return {
-        k: (np.asarray(v).tolist() if not np.isscalar(v) else v)
-        for k, v in (observe or {}).items()
-    }
+    # tolist() on a 0-d array returns a plain Python scalar, so this also
+    # coerces numpy scalar types json.dumps cannot serialize
+    return {k: np.asarray(v).tolist() for k, v in (observe or {}).items()}

@@ -501,6 +501,10 @@ def rejection_sample(attempt_fn, max_attempts=None):
                     "supported"
                 )
             if i == 0:
+                if not new_vars:
+                    raise RuntimeError(
+                        "rejection_sample block contains no sample sites"
+                    )
                 # retain the first attempt's proposal/inflation correction
                 # (see docstring); zero when sampling from the raw prior
                 first_attempt_iw = sum(
@@ -549,10 +553,12 @@ def rejection_sample(attempt_fn, max_attempts=None):
             0.0 if t is None else t
         ) + float("-inf")
     else:
-        for v in new_vars:
-            if v.control:
-                v.log_importance_weight = float("-inf")
-                break
+        marked = next((v for v in new_vars if v.control), None)
+        if marked is None and new_vars:
+            # uncontrolled blocks still need the trace discarded
+            marked = new_vars[0]
+        if marked is not None:
+            marked.log_importance_weight = float("-inf")
     return out
 
 

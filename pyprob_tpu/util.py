@@ -414,9 +414,7 @@ def time_seed():
 def to_tensor(value, dtype=None):
     """Device array coercion — the JAX counterpart of the reference's
     torch-tensor coercion (reference: util.py:133)."""
-    if value is None:
-        return None
-    return jnp.asarray(value, dtype or _dtype)
+    return None if value is None else to_device_array(value, dtype)
 
 
 def to_numpy(value):
@@ -468,10 +466,7 @@ def is_sorted(lst):
 
 
 def prod(iterable):
-    out = 1
-    for x in iterable:
-        out *= x
-    return out
+    return math.prod(iterable)
 
 
 def get_time_str():

@@ -433,8 +433,10 @@ class VectorizedHandler:
             final_values = tuple(sub0.values)
             final_lps = tuple(sub0.log_probs)
             final_dist_leaves = tuple(sub0.dist_leaves)
-            if not replay_all and self.trace_mode == TraceMode.POSTERIOR:
+            if not replay_all:
                 # max_attempts=1: unaccepted lanes must still be discarded
+                # (every mode — prior/training traces included, matching
+                # the interpreter tier)
                 self.log_importance_weight = (
                     self.log_importance_weight
                     + jnp.where(accept, 0.0, -jnp.inf)
@@ -473,11 +475,9 @@ class VectorizedHandler:
             final_values = final[4]
             final_lps = final[5]
             final_dist_leaves = final[6]
-            if self.trace_mode == TraceMode.POSTERIOR:
-                self.log_importance_weight = (
-                    self.log_importance_weight
-                    + jnp.where(accept, 0.0, -jnp.inf)
-                )
+            self.log_importance_weight = (
+                self.log_importance_weight + jnp.where(accept, 0.0, -jnp.inf)
+            )
 
         for i, site in enumerate(sub0.sites):
             dist = jax.tree_util.tree_unflatten(
@@ -1063,6 +1063,17 @@ def vectorized_traces(
 
     if trace_mode == TraceMode.PRIOR:
         log_weights = np.ones(num_traces)
+        # rejection_sample overflow marks lanes -inf even in prior mode;
+        # those traces hold predicate-violating values and must not enter
+        # the prior Empirical (tier lockstep with state.rejection_sample)
+        iw = np.asarray(host["log_importance_weight"], dtype=np.float64)
+        bad = ~np.isfinite(iw)
+        if bad.any():
+            warnings.warn(
+                f"Discarding {bad.sum()} prior traces with nan/inf "
+                "log_importance_weight (rejection overflow)."
+            )
+            log_weights[bad] = -np.inf
     else:
         log_weights = np.asarray(
             host["log_importance_weight"], dtype=np.float64
@@ -1077,11 +1088,7 @@ def vectorized_traces(
     results_host = host["result"]
     if results_only and file_name is None and isinstance(results_host, np.ndarray):
         # bulk path: no per-add overhead, no trace materialization
-        keep = (
-            np.isfinite(log_weights)
-            if trace_mode != TraceMode.PRIOR
-            else np.ones(num_traces, bool)
-        )
+        keep = np.isfinite(log_weights)
         values_arr = np.asarray(results_host)[keep]
         emp = Empirical.from_arrays(values_arr, log_weights[keep])
     else:
@@ -1105,7 +1112,7 @@ def vectorized_traces(
                 )
             ]
         for v, lw in zip(values, log_weights):
-            if np.isfinite(lw) or trace_mode == TraceMode.PRIOR:
+            if np.isfinite(lw):
                 emp.add(v, log_weight=float(lw))
         emp.finalize()
     duration = time.time() - t0
