@@ -8,8 +8,10 @@ setup(
     version="0.1.0",
     description=(
         "TPU-native trace-based universal probabilistic programming: "
-        "importance sampling, inference compilation, and single-site MCMC "
-        "compiled under jax.vmap/jit, with the PPX cross-language protocol."
+        "importance sampling, inference compilation, single-site MCMC, "
+        "SMC, HMC/NUTS, VI, parallel tempering, tempered SMC and SVGD "
+        "compiled under jax.vmap/jit, with the PPX cross-language protocol "
+        "and a posterior serving layer."
     ),
     long_description=long_description,
     long_description_content_type="text/markdown",

@@ -4,4 +4,7 @@
 # suites (reference counterpart: tests/run_basic.sh).
 set -e
 cd "$(dirname "$0")/.."
-python -m pytest tests/ -q -x -k "not remote and not inference"
+# -n 2: two process-isolated workers (reference CI used -n auto,
+# reference: tests/run_basic.sh:4) — isolation also contains a rare
+# XLA-CPU LLVM crash seen in very long single-process runs (STATUS.md)
+python -m pytest tests/ -q -n 2 -k "not remote and not inference"
