@@ -11,6 +11,7 @@ from .models import (
     Branching,
     BranchingCompiled,
     MiniCaptcha,
+    VariableLengthGaussian,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "Branching",
     "BranchingCompiled",
     "MiniCaptcha",
+    "VariableLengthGaussian",
 ]

@@ -227,6 +227,66 @@ class BranchingCompiled(Model):
         return Branching(self.rate).true_posterior(observe_value, support)
 
 
+class VariableLengthGaussian(Model):
+    """A random number of the MAX_N observation slots apply: n ~
+    Uniform{1..max_n}; mu ~ Normal(prior); obs_t active iff t < n — written
+    as a fixed-bound masked loop so the model compiles (the masking
+    primitive's canonical pattern; analytic posterior = a mixture over n
+    of conjugate posteriors weighted by per-length marginal likelihoods)."""
+
+    def __init__(
+        self,
+        max_n=3,
+        prior_mean=1.0,
+        prior_stddev=math.sqrt(5.0),
+        likelihood_stddev=math.sqrt(2.0),
+    ):
+        super().__init__(name="Variable-length Gaussian (masked)")
+        self.max_n = int(max_n)
+        self.prior_mean = prior_mean
+        self.prior_stddev = prior_stddev
+        self.likelihood_stddev = likelihood_stddev
+
+    def forward(self):
+        n = sample(Categorical(probs=jnp.ones(self.max_n) / self.max_n)) + 1
+        mu = sample(Normal(self.prior_mean, self.prior_stddev))
+        likelihood = Normal(mu, self.likelihood_stddev)
+        for t in range(self.max_n):
+            observe(likelihood, name=f"obs{t}", mask=t < n)
+        return mu
+
+    def true_posterior(self, observed_values):
+        """Mixture over n of conjugate posteriors, weights p(n) p(y_1..n|n).
+        Returns (means, stddevs, weights) per n."""
+        comps, log_ws = [], []
+        for n in range(1, self.max_n + 1):
+            m, v = self.prior_mean, self.prior_stddev**2
+            s2 = self.likelihood_stddev**2
+            log_ml = 0.0
+            for y in observed_values[:n]:
+                log_ml += -0.5 * math.log(2 * math.pi * (v + s2)) - 0.5 * (
+                    y - m
+                ) ** 2 / (v + s2)
+                pv = 1.0 / (1.0 / v + 1.0 / s2)
+                m = pv * (m / v + y / s2)
+                v = pv
+            comps.append((m, math.sqrt(v)))
+            log_ws.append(math.log(1.0 / self.max_n) + log_ml)
+        ws = np.exp(np.asarray(log_ws) - max(log_ws))
+        ws = ws / ws.sum()
+        return (
+            np.asarray([c[0] for c in comps]),
+            np.asarray([c[1] for c in comps]),
+            ws,
+        )
+
+    def true_posterior_moments(self, observed_values):
+        means, stds, ws = self.true_posterior(observed_values)
+        mean = float((ws * means).sum())
+        second = float((ws * (stds**2 + means**2)).sum())
+        return mean, math.sqrt(second - mean**2)
+
+
 def _default_font():
     import matplotlib
 

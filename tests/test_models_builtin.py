@@ -87,6 +87,19 @@ def test_mini_captcha_builtin():
     assert _TraceabilityCache._cache.get(type(m)) is True
 
 
+def test_variable_length_gaussian_builtin():
+    from pyprob_tpu.models import VariableLengthGaussian
+    from pyprob_tpu.vectorized import _TraceabilityCache
+
+    m = VariableLengthGaussian()
+    obs = {"obs0": 8.0, "obs1": 9.0, "obs2": 7.0}
+    post = m.posterior_results(num_traces=150000, observe=obs, vectorized=True)
+    assert _TraceabilityCache._cache.get(type(m)) is True
+    tm, ts = m.true_posterior_moments([8.0, 9.0, 7.0])
+    assert abs(float(post.mean) - tm) < 0.1
+    assert abs(float(post.stddev) - ts) < 0.1
+
+
 def test_reobserve():
     m = GaussianUnknownMean()
     post = m.posterior(num_traces=2000, observe=OBS)
