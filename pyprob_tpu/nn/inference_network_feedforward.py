@@ -194,8 +194,12 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 state["emb"] = embed(params, obs)
             return state["emb"]
 
-        def proposal_step(site, distribution, key, observed, forced_value=None):
-            # forced_value: score instead of sampling (guided SMC replay)
+        def proposal_step(site, distribution, key, observed, forced_value=None,
+                          defensive=None):
+            # forced_value: score instead of sampling (guided SMC replay).
+            # defensive=π: mixture π·q + (1−π)·prior for rejection retries
+            # (caps a rejected attempt's weight factor at 1/(1−π); see the
+            # LSTM counterpart)
             addr = site.address
             if addr not in head_meta:
                 if forced_value is not None:
@@ -211,10 +215,27 @@ class InferenceNetworkFeedForward(InferenceNetwork):
             d = head_apply(params["proposal"][addr], _emb(observed), prior)
             if forced_value is not None:
                 value = jnp.reshape(forced_value, ())
+                plp = jnp.sum(d.log_prob(value))
+            elif defensive is not None:
+                kq, kp, ku = jax.random.split(key, 3)
+                xq = jnp.reshape(d._sample_jax(kq, ()), ())
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                value = jnp.where(jax.random.bernoulli(ku, defensive), xq, xp)
+                plp = jnp.logaddexp(
+                    jnp.log(defensive) + jnp.sum(d.log_prob(value)),
+                    jnp.log1p(-defensive)
+                    + distribution.log_prob(value, sum=True),
+                )
             else:
                 value = jnp.reshape(d._sample_jax(key, ()), ())
-            plp = jnp.sum(d.log_prob(value))
+                plp = jnp.sum(d.log_prob(value))
             return value, plp
 
         proposal_step.reset = reset
+        # stateless per site (the observe embedding is a per-trace
+        # constant): trivial snapshot hooks let rejection_sample retries
+        # propose from the network with nothing to thread through the carry
+        proposal_step.get_state = lambda: ((), ())
+        proposal_step.set_state = lambda s: None
+        proposal_step.supports_defensive = True
         return proposal_step

@@ -390,9 +390,15 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 state["emb"] = embed(params, obs)
             return state["emb"]
 
-        def proposal_step(site, distribution, key, observed, forced_value=None):
+        def proposal_step(site, distribution, key, observed, forced_value=None,
+                          defensive=None):
             # forced_value: score/advance-state instead of sampling — used
-            # by guided SMC to step the LSTM through replayed prefix sites
+            # by guided SMC to step the LSTM through replayed prefix sites.
+            # defensive=π: sample from the mixture π·q + (1−π)·prior and
+            # score against it — used for rejection_sample retries, where a
+            # REJECTED attempt's p/q correction enters the weight with no
+            # compensating likelihood term; the mixture caps that factor at
+            # 1/(1−π) (defensive importance sampling, Hesterberg 1995)
             addr = site.address
             if addr not in head_meta:
                 if forced_value is not None:
@@ -438,11 +444,42 @@ class InferenceNetworkLSTM(InferenceNetwork):
             d = head_apply(params["proposal"][addr], out, prior)
             if forced_value is not None:
                 value = jnp.reshape(forced_value, ())
+                plp = jnp.sum(d.log_prob(value))
+            elif defensive is not None:
+                kq, kp, ku = jax.random.split(key, 3)
+                xq = jnp.reshape(d._sample_jax(kq, ()), ())
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                value = jnp.where(
+                    jax.random.bernoulli(ku, defensive), xq, xp
+                )
+                plp = jnp.logaddexp(
+                    jnp.log(defensive) + jnp.sum(d.log_prob(value)),
+                    jnp.log1p(-defensive)
+                    + distribution.log_prob(value, sum=True),
+                )
             else:
                 value = jnp.reshape(d._sample_jax(key, ()), ())
-            plp = jnp.sum(d.log_prob(value))
+                plp = jnp.sum(d.log_prob(value))
             state["prev"] = (addr, value, distribution.name)
             return value, plp
 
+        def get_state():
+            # snapshot for rejection_sample retry threading: dynamic
+            # (traced) leaves separate from static structure so the
+            # compiled tier can carry them through a lax.while_loop
+            prev = state["prev"]
+            if prev is None:
+                return (state["lstm"], None), (None, None)
+            addr, value, dist_name = prev
+            return (state["lstm"], value), (addr, dist_name)
+
+        def set_state(s):
+            (lstm_state, value), (addr, dist_name) = s
+            state["lstm"] = lstm_state
+            state["prev"] = None if addr is None else (addr, value, dist_name)
+
         proposal_step.reset = reset
+        proposal_step.get_state = get_state
+        proposal_step.set_state = set_state
+        proposal_step.supports_defensive = True
         return proposal_step

@@ -335,7 +335,11 @@ def sample(distribution, name=None, address=None, control=True):
                     distribution, rng
                 )
         elif engine == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK:
-            if control and not ctx.rejection_retry:
+            # proposals drive retried rejection attempts too:
+            # rejection_sample restores the network's recurrent state per
+            # retry and accumulates every executed attempt's correction
+            # (exact by the extended-space argument)
+            if control:
                 stub = Variable(
                     distribution=distribution,
                     value=None,
@@ -349,10 +353,32 @@ def sample(distribution, name=None, address=None, control=True):
                 proposal = ctx.inference_network._infer_step(
                     stub, prev_variable=ctx.previous_variable
                 )
-                value = proposal.sample(rng)
-                value = np.asarray(value).reshape(distribution.batch_shape or ())
-                log_prob = distribution.log_prob(value, sum=True)
-                proposal_log_prob = proposal.log_prob(value, sum=True)
+                if ctx.rejection_retry and proposal is not distribution:
+                    # rejection retry: defensive mixture π·q + (1−π)·prior —
+                    # a REJECTED attempt's p/q correction enters the weight
+                    # with no compensating likelihood term, and the mixture
+                    # caps that factor at 1/(1−π) (Hesterberg 1995); exact
+                    # because the weight scores against the mixture density
+                    pi = 0.5
+                    if float(rng.random()) < pi:
+                        value = proposal.sample(rng)
+                    else:
+                        value = distribution.sample(rng)
+                    value = np.asarray(value).reshape(
+                        distribution.batch_shape or ()
+                    )
+                    log_prob = distribution.log_prob(value, sum=True)
+                    proposal_log_prob = np.logaddexp(
+                        math.log(pi) + float(proposal.log_prob(value, sum=True)),
+                        math.log1p(-pi) + float(log_prob),
+                    )
+                else:
+                    value = proposal.sample(rng)
+                    value = np.asarray(value).reshape(
+                        distribution.batch_shape or ()
+                    )
+                    log_prob = distribution.log_prob(value, sum=True)
+                    proposal_log_prob = proposal.log_prob(value, sum=True)
                 if util.has_nan_or_inf(log_prob):
                     warnings.warn(
                         f"Prior log_prob has NaN/inf. dist: {distribution} value: {value}"
@@ -455,11 +481,17 @@ def rejection_sample(attempt_fn, max_attempts=None):
     ``VectorizedHandler.rejection_sample``), so Marsaglia-style models run
     as full particle batches instead of falling back to the interpreter.
 
-    Inference-network proposals apply to the first attempt only; retries
-    draw from the raw prior.  The importance correction from the first
-    attempt is kept whether or not that attempt is accepted — exact by the
-    extended-space argument (the proposal process differs from the prior
-    process only in its first attempt).
+    Inference-network proposals drive every attempt under guided IS: the
+    network's recurrent state is restored to the pre-block snapshot per
+    retry (training traces record only accepted attempts, so retries must
+    not condition on rejected ones) and the accepted attempt's end state
+    continues the trace.  Retries propose from the defensive mixture
+    ``π·q + (1−π)·prior`` (π=0.5) so a rejected attempt's correction is
+    bounded by ``1/(1−π)``.  The importance weight accumulates the
+    prior−proposal correction of every attempt *executed*, accepted or not
+    — exact by the extended-space argument: target (attempts from p) and
+    proposal (attempts from q) processes both define densities over the
+    executed-attempt sequence, with ratio ``Π_i p(x_i)/q(x_i)``.
 
     ``observe``/``factor``/``tag`` inside ``attempt_fn`` are not supported.
     ``max_attempts`` bounds the loop (default 64 on the compiled tier,
@@ -486,8 +518,23 @@ def rejection_sample(attempt_fn, max_attempts=None):
             "nested rejection_sample is not supported inside a retried "
             "attempt"
         )
-    first_attempt_iw = 0.0
+    prev_attempts_iw = 0.0
     prev_variable = ctx.previous_variable
+    # guided IS proposes on every attempt: snapshot the network's
+    # recurrent state so each retry restarts the block from the pre-block
+    # state (see docstring)
+    network = (
+        ctx.inference_network
+        if ctx.trace_mode == TraceMode.POSTERIOR
+        and ctx.inference_engine
+        == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        else None
+    )
+    network_state = (
+        getattr(network, "_infer_lstm_state", None)
+        if network is not None
+        else None
+    )
     out, new_vars = None, []
     try:
         for i in range(cap):
@@ -500,25 +547,21 @@ def rejection_sample(attempt_fn, max_attempts=None):
                     "observe/factor/tag inside rejection_sample is not "
                     "supported"
                 )
-            if i == 0:
-                if not new_vars:
-                    raise RuntimeError(
-                        "rejection_sample block contains no sample sites"
-                    )
-                # retain the first attempt's proposal/inflation correction
-                # (see docstring); zero when sampling from the raw prior
-                first_attempt_iw = sum(
-                    float(v.log_importance_weight)
-                    for v in new_vars
-                    if v.log_importance_weight is not None
+            if i == 0 and not new_vars:
+                raise RuntimeError(
+                    "rejection_sample block contains no sample sites"
                 )
             if bool(np.all(np.asarray(accept))):
-                if i > 0 and first_attempt_iw != 0.0:
-                    # the accepted retry's variables carry no correction of
-                    # their own (raw prior draws); attach the retained one
+                if i > 0 and prev_attempts_iw != 0.0:
+                    # rejected attempts' corrections (proposal/inflation
+                    # deltas of every executed attempt) enter the weight
+                    # alongside the accepted attempt's own — extended-space
+                    # exactness (see docstring)
                     for v in new_vars:
                         if v.control:
-                            v.log_importance_weight = first_attempt_iw
+                            v.log_importance_weight = (
+                                v.log_importance_weight or 0.0
+                            ) + prev_attempts_iw
                             break
                 return out
             if all(getattr(v, "reused", False) for v in new_vars):
@@ -531,8 +574,15 @@ def rejection_sample(attempt_fn, max_attempts=None):
                 # keep the final attempt recorded so the invalid-trace
                 # marking below has variables to attach to
                 break
+            prev_attempts_iw += sum(
+                float(v.log_importance_weight)
+                for v in new_vars
+                if v.log_importance_weight is not None
+            )
             trace.rollback(marker)
             ctx.previous_variable = prev_variable
+            if network is not None and hasattr(network, "_infer_lstm_state"):
+                network._infer_lstm_state = network_state
             ctx.rejection_retry = True
     finally:
         ctx.rejection_retry = False

@@ -390,18 +390,49 @@ class VectorizedHandler:
         models execute as full particle batches (vmap batches the loop —
         lanes that accepted early are masked while stragglers retry).
 
-        Inference-network proposals drive the FIRST attempt only; retries
-        draw from the raw prior, and the first attempt's prior-proposal
-        correction enters the importance weight unconditionally (exact by
-        the extended-space argument: the proposal process differs from the
-        prior process only in its first attempt).  Particles unaccepted
-        after ``max_attempts`` get weight -inf and are discarded.
+        Inference-network proposals drive EVERY attempt when the engine is
+        guided IS: the proposal network's recurrent state (LSTM hidden,
+        previous-site embedding inputs) threads through the while_loop
+        carry — each retry restarts from the pre-block snapshot, and the
+        accepted attempt's end state continues the outer trace, matching
+        what training saw (training traces record only accepted attempts).
+        Retries propose from the defensive mixture ``π·q + (1−π)·prior``
+        (π=0.5, Hesterberg 1995) so a rejected attempt's weight factor is
+        bounded by ``1/(1−π)``.
+        The importance weight accumulates the prior−proposal correction of
+        every attempt *executed* — exact by the extended-space argument:
+        both the target process (attempts from p until accept) and the
+        proposal process (attempts from q until accept) define densities
+        over the sequence of executed attempts, whose ratio is
+        ``Π_i p(x_i)/q(x_i)``.  Under guided SMC (replay / per-site weight
+        attribution) retries fall back to the prior with the first
+        attempt's correction counted unconditionally — also exact, by the
+        same argument with q = p on retries.  Particles unaccepted after
+        ``max_attempts`` get weight -inf and are discarded.
         """
         max_attempts = int(max_attempts) if max_attempts else _REJECTION_MAX_ATTEMPTS
         base_counts = dict(self.instance_counts)
+        # guided-IS retries re-run the proposal network inside the loop
+        # body; needs snapshot/restore of its recurrent state (stateless
+        # steps expose trivial get/set) and exclusive weight accounting
+        # (guided SMC attributes per-site deltas to stages, so it keeps
+        # the first-attempt-only scheme)
+        ic_retry = (
+            self.proposal_step is not None
+            and self.trace_mode == TraceMode.POSTERIOR
+            and self.inference_engine
+            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            and self.replay_values is None
+            and not self.record_site_log_iws
+            and hasattr(self.proposal_step, "get_state")
+            and hasattr(self.proposal_step, "set_state")
+        )
+        s0 = self.proposal_step.get_state() if ic_retry else None
 
-        def run_attempt(key, use_proposal):
-            sub = _RejectionAttemptHandler(self, key, base_counts, use_proposal)
+        def run_attempt(key, use_proposal, defensive=None):
+            sub = _RejectionAttemptHandler(
+                self, key, base_counts, use_proposal, defensive=defensive
+            )
             prev = state._set_handler(sub)
             try:
                 out, accept = attempt_fn()
@@ -420,6 +451,9 @@ class VectorizedHandler:
             if iw is not None:
                 self.log_importance_weight = self.log_importance_weight + iw
         self.instance_counts = dict(sub0.instance_counts)
+        if ic_retry:
+            s1_dyn, s1_static = self.proposal_step.get_state()
+            s1_leaves, s1_treedef = jax.tree_util.tree_flatten(s1_dyn)
 
         replay_all = self.replay_values is not None and all(
             s.address in self.replay_values for s in sub0.sites
@@ -448,7 +482,41 @@ class VectorizedHandler:
             def body(carry):
                 key = carry[0]
                 key, sub_key = jax.random.split(key)
-                out, acc, sub = run_attempt(sub_key, use_proposal=False)
+                if ic_retry:
+                    # each attempt restarts the proposal network from the
+                    # pre-block snapshot (training saw only accepted
+                    # attempts, so retries must not see rejected ones)
+                    self.proposal_step.set_state(s0)
+                out, acc, sub = run_attempt(
+                    sub_key,
+                    use_proposal=ic_retry,
+                    # retries propose from the defensive mixture
+                    # π·q + (1−π)·prior: a REJECTED attempt's p/q enters
+                    # the weight with no compensating likelihood, and the
+                    # mixture caps that factor at 1/(1−π)
+                    defensive=(
+                        _REJECTION_DEFENSIVE_PI
+                        if ic_retry
+                        and getattr(
+                            self.proposal_step, "supports_defensive", False
+                        )
+                        else None
+                    ),
+                )
+                delta = jnp.zeros((), util.dtype())
+                for iw in sub.log_iws:
+                    if iw is not None:
+                        delta = delta + iw
+                if ic_retry:
+                    dyn, static = self.proposal_step.get_state()
+                    if static != s1_static:
+                        raise RuntimeError(
+                            "proposal state structure changed across "
+                            "rejection attempts"
+                        )
+                    pstate = tuple(jax.tree_util.tree_leaves(dyn))
+                else:
+                    pstate = ()
                 return (
                     key,
                     carry[1] + 1,
@@ -457,6 +525,8 @@ class VectorizedHandler:
                     tuple(sub.values),
                     tuple(sub.log_probs),
                     tuple(sub.dist_leaves),
+                    carry[7] + delta,
+                    pstate,
                 )
 
             carry0 = (
@@ -467,6 +537,8 @@ class VectorizedHandler:
                 tuple(sub0.values),
                 tuple(sub0.log_probs),
                 tuple(sub0.dist_leaves),
+                jnp.zeros((), util.dtype()),
+                tuple(s1_leaves) if ic_retry else (),
             )
             final = jax.lax.while_loop(cond, body, carry0)
             self.key = final[0]
@@ -475,9 +547,24 @@ class VectorizedHandler:
             final_values = final[4]
             final_lps = final[5]
             final_dist_leaves = final[6]
+            # retries' prior−proposal corrections (0 for lanes that
+            # accepted on the first attempt, and whenever ic_retry is off)
             self.log_importance_weight = (
-                self.log_importance_weight + jnp.where(accept, 0.0, -jnp.inf)
+                self.log_importance_weight
+                + final[7]
+                + jnp.where(accept, 0.0, -jnp.inf)
             )
+            if ic_retry:
+                # continue the outer trace from the accepted attempt's
+                # proposal-network state (per-lane select done by the loop)
+                self.proposal_step.set_state(
+                    (
+                        jax.tree_util.tree_unflatten(
+                            s1_treedef, list(final[8])
+                        ),
+                        s1_static,
+                    )
+                )
 
         for i, site in enumerate(sub0.sites):
             dist = jax.tree_util.tree_unflatten(
@@ -501,6 +588,9 @@ class VectorizedHandler:
 
 
 _REJECTION_MAX_ATTEMPTS = 64
+# mixture weight on the learned proposal for rejection-retry attempts
+# (defensive importance sampling, Hesterberg 1995)
+_REJECTION_DEFENSIVE_PI = 0.5
 
 
 class _RejectionAttemptHandler:
@@ -511,13 +601,14 @@ class _RejectionAttemptHandler:
 
     _make_address = VectorizedHandler._make_address
 
-    def __init__(self, outer, key, base_counts, use_proposal):
+    def __init__(self, outer, key, base_counts, use_proposal, defensive=None):
         self.outer = outer
         self.key = key
         self.root_function_name = outer.root_function_name
         self.address_dictionary = outer.address_dictionary
         self.instance_counts = dict(base_counts)
         self.use_proposal = use_proposal
+        self.defensive = defensive  # mixture weight on q for retry proposals
         # traced within-block site index to redraw fresh even when the
         # outer replay dict pins the address (single-site MCMC moves inside
         # a block, pyprob_tpu.inference.mcmc.ReplayHandler.rejection_sample)
@@ -592,9 +683,18 @@ class _RejectionAttemptHandler:
             == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
             and outer.proposal_step is not None
         ):
-            value, proposal_log_prob = outer.proposal_step(
-                site, distribution, self._next_key(), outer.observed
-            )
+            if self.defensive is not None:
+                value, proposal_log_prob = outer.proposal_step(
+                    site,
+                    distribution,
+                    self._next_key(),
+                    outer.observed,
+                    defensive=self.defensive,
+                )
+            else:
+                value, proposal_log_prob = outer.proposal_step(
+                    site, distribution, self._next_key(), outer.observed
+                )
             log_iw = (
                 distribution.log_prob(value, sum=True) - proposal_log_prob
             )

@@ -180,6 +180,131 @@ def test_ic_training_and_guided_is(model):
     assert abs(float(smc.mean) - TRUE_MEAN) < 0.25
 
 
+def _biased_block_proposal():
+    """A deliberately biased full-support proposal for the Marsaglia block's
+    Uniform(-1,1) sites: only the extended-space weighting (every executed
+    attempt's prior−proposal delta counted) keeps the posterior exact."""
+    from pyprob_tpu.distributions import TruncatedNormal
+
+    return TruncatedNormal(0.5, 0.6, low=-1.0, high=1.0)
+
+
+# analytic GUM evidence for observes {8, 9}: log N(8; 1, sqrt 7) +
+# log N(9; 6, sqrt(24/7)) — the mean importance weight must estimate this
+TRUE_LOG_EVIDENCE = -8.2395
+
+
+def _log_evidence(emp):
+    lw = np.asarray(emp._log_weights, np.float64)
+    m = lw.max()
+    return m + math.log(np.exp(lw - m).mean())
+
+
+def test_compiled_ic_proposals_drive_retries():
+    # retries inside the compiled while_loop must (a) call the proposal
+    # step — one traced call per site in the first attempt plus one in the
+    # loop body — and (b) stay exact under a biased proposal, which fails
+    # if rejected attempts' corrections are dropped from the weight
+    from pyprob_tpu import vectorized
+    from pyprob_tpu.util import TraceMode, InferenceEngine
+
+    import jax
+    import jax.numpy as jnp
+
+    m = GaussianUnknownMeanMarsagliaRejection()
+    calls = {}
+    seen_defensive = []
+
+    def fake_step(site, distribution, key, observed, forced_value=None,
+                  defensive=None):
+        calls[site.address] = calls.get(site.address, 0) + 1
+        seen_defensive.append(defensive)
+        q = _biased_block_proposal()
+        if defensive is None:
+            v = q._sample_jax(key, ())
+            return v, q.log_prob(v, sum=True)
+        # defensive mixture (retries): sample π·q + (1−π)·prior, score
+        # against the mixture — weights must remain exact under it
+        kq, kp, ku = jax.random.split(key, 3)
+        xq = q._sample_jax(kq, ())
+        xp = distribution._sample_jax(kp, ())
+        v = jnp.where(jax.random.bernoulli(ku, defensive), xq, xp)
+        plp = jnp.logaddexp(
+            jnp.log(defensive) + q.log_prob(v, sum=True),
+            jnp.log1p(-defensive) + distribution.log_prob(v, sum=True),
+        )
+        return v, plp
+
+    fake_step.reset = lambda: None
+    fake_step.get_state = lambda: ((), ())
+    fake_step.set_state = lambda s: None
+    fake_step.supports_defensive = True
+
+    def trace_result(t):
+        return t.result
+
+    post = vectorized.vectorized_traces(
+        m,
+        100000,
+        TraceMode.POSTERIOR,
+        inference_engine=InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+        observe=dict(OBS),
+        proposal_step=fake_step,
+        map_func=trace_result,
+    )
+    # two block sites, each traced twice: first attempt + while_loop body
+    assert sorted(calls.values()) == [2, 2], calls
+    # first attempt proposes pure q; retries use the defensive mixture
+    assert sorted(seen_defensive, key=str) == [0.5, 0.5, None, None]
+    # the weight is dominated by the (untrained) likelihood term — plain
+    # Marsaglia IS ESS is ~0.8%; the biased proposal adds variance on top
+    assert post.effective_sample_size > 300
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.15
+    assert abs(float(post.stddev) - TRUE_STD) < 0.15
+    # the mean weight must still be an unbiased evidence estimate: missing
+    # or double-counted attempt corrections shift it off the analytic value
+    assert abs(_log_evidence(post) - TRUE_LOG_EVIDENCE) < 0.15
+
+
+def test_interpreter_ic_proposals_drive_retries():
+    # interpreter tier: proposals on every attempt with per-retry network
+    # state restore and cumulative attempt corrections
+    class _FakeNet:
+        _total_train_traces = 0
+
+        def __init__(self):
+            self._infer_lstm_state = None
+            self.calls = 0
+
+        def _infer_init(self, observed):
+            pass
+
+        def _infer_step(self, variable, prev_variable=None,
+                        proposal_min_train_iterations=None):
+            self.calls += 1
+            return _biased_block_proposal()
+
+    class _Marsaglia(GaussianUnknownMeanMarsagliaRejection):
+        _never_vectorize = True
+
+    m = _Marsaglia()
+    net = _FakeNet()
+    m._inference_network = net
+    num_traces = 8000
+    post = m.posterior_results(
+        num_traces=num_traces,
+        observe=OBS,
+        vectorized=False,
+        inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+    )
+    # the biased proposal rejects sometimes, so retries must have proposed
+    assert net.calls > 2 * num_traces + 50
+    assert post.effective_sample_size > 0.004 * num_traces
+    assert abs(float(post.mean) - TRUE_MEAN) < 0.4
+    assert abs(float(post.stddev) - TRUE_STD) < 0.35
+    assert abs(_log_evidence(post) - TRUE_LOG_EVIDENCE) < 0.5
+
+
 class _ObserveInside(pp.Model):
     def forward(self):
         def attempt():
