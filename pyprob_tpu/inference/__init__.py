@@ -25,4 +25,8 @@ def __getattr__(name):
         from .tempered_smc import vectorized_tempered_smc_posterior
 
         return vectorized_tempered_smc_posterior
+    if name in ("vectorized_laplace_posterior", "map_estimate", "MAPResult"):
+        from . import laplace
+
+        return getattr(laplace, name)
     raise AttributeError(name)

@@ -709,16 +709,40 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
         )
         return handler.log_prob_total + handler.logdet
 
+    def replay_logjoint_nojac(z_vec, combo, obs):
+        """log p(x(z), obs) WITHOUT the transform log-Jacobian — the
+        constrained-space density evaluated at x(z).  Used by MAP
+        estimation (Stan `optimizing` convention: no Jacobian
+        adjustment, so the mode is the constrained-space posterior
+        mode)."""
+        replay = unravel(z_vec)
+        if combo is not None:
+            replay = {**replay, **combo}
+        _, handler = _run_transformed(
+            model, fixed_key, obs, replay, False,
+            likelihood_importance, args, kwargs, discrete=discrete_set,
+        )
+        return handler.log_prob_total
+
     if grid is None:
 
         def potential(z_vec, obs):
             return -replay_logjoint(z_vec, None, obs)
+
+        def potential_nojac(z_vec, obs):
+            return -replay_logjoint_nojac(z_vec, None, obs)
 
     else:
 
         def potential(z_vec, obs):
             ljs = jax.vmap(
                 lambda c: replay_logjoint(z_vec, c, obs)
+            )(grid)
+            return -jax.scipy.special.logsumexp(ljs)
+
+        def potential_nojac(z_vec, obs):
+            ljs = jax.vmap(
+                lambda c: replay_logjoint_nojac(z_vec, c, obs)
             )(grid)
             return -jax.scipy.special.logsumexp(ljs)
 
@@ -795,6 +819,7 @@ def _functionalize(model, obs_arrays, likelihood_importance, results_only,
 
     return _FunctionalModel(
         potential=potential,
+        potential_nojac=potential_nojac,
         potential_parts=potential_parts,
         encode_single=encode_single,
         decode_single=decode_single,

@@ -264,6 +264,8 @@ class Model:
         rejuvenation_steps=None,
         svgd_steps=None,
         svgd_particles=None,
+        map_steps=None,
+        num_starts=None,
         *args,
         **kwargs,
     ):
@@ -292,6 +294,7 @@ class Model:
         is_vi = inference_engine in (
             InferenceEngine.VARIATIONAL_INFERENCE,
             InferenceEngine.STEIN_VARIATIONAL_GRADIENT_DESCENT,
+            InferenceEngine.LAPLACE,
         )
         # SMC/HMC/NUTS/VI exist only on the compiled tier (SMC has an
         # interpreter fallback): attempt it regardless of the vectorized
@@ -328,6 +331,8 @@ class Model:
                 rejuvenation_steps=rejuvenation_steps,
                 svgd_steps=svgd_steps,
                 svgd_particles=svgd_particles,
+                map_steps=map_steps,
+                num_starts=num_starts,
                 *args,
                 **kwargs,
             )
@@ -602,6 +607,37 @@ class Model:
             thinning_steps=thinning_steps,
             *args,
             **kwargs,
+        )
+
+    def map_estimate(
+        self,
+        observe=None,
+        map_steps=None,
+        num_starts=None,
+        learning_rate=None,
+        likelihood_importance=1.0,
+        *args,
+        **kwargs,
+    ):
+        """Posterior mode of the continuous latents (beyond parity — no
+        reference counterpart): multi-start gradient descent on the
+        unconstrained-space potential, enumerable discrete sites
+        marginalized and drawn from their exact conditional at the mode.
+        Returns a ``pyprob_tpu.inference.laplace.MAPResult`` with
+        ``values`` (constrained-space mode per latent site), ``result``
+        (forward() at the mode) and ``log_joint``.  Requires a
+        jax-traceable model."""
+        from .inference.laplace import map_estimate as _map_estimate
+
+        return _map_estimate(
+            self,
+            observe=observe,
+            map_steps=map_steps,
+            num_starts=num_starts,
+            learning_rate=learning_rate,
+            likelihood_importance=likelihood_importance,
+            args=args,
+            kwargs=kwargs,
         )
 
     def posterior_predictive(

@@ -78,6 +78,11 @@ class InferenceEngine(enum.Enum):
     # captures correlated/non-Gaussian posteriors without a guide
     # density; pyprob_tpu.inference.svgd
     STEIN_VARIATIONAL_GRADIENT_DESCENT = 11
+    # Beyond parity: multi-start MAP optimization + Gaussian curvature
+    # approximation at the mode, returned as importance-reweighted draws
+    # (asymptotically exact); also Model.map_estimate;
+    # pyprob_tpu.inference.laplace
+    LAPLACE = 12
 
 
 class InferenceNetwork(enum.Enum):

@@ -1284,6 +1284,8 @@ def vectorized_posterior(
     rejuvenation_steps=None,
     svgd_steps=None,
     svgd_particles=None,
+    map_steps=None,
+    num_starts=None,
     *args,
     **kwargs,
 ):
@@ -1291,7 +1293,25 @@ def vectorized_posterior(
     engines run as vmapped parallel chains (pyprob_tpu.inference.mcmc);
     SMC runs as a one-dispatch particle filter (pyprob_tpu.inference.smc);
     VI fits a Gaussian guide by ADVI (pyprob_tpu.inference.vi); SVGD
-    transports a kernelized particle ensemble (pyprob_tpu.inference.svgd)."""
+    transports a kernelized particle ensemble (pyprob_tpu.inference.svgd);
+    LAPLACE fits a Gaussian at the MAP (pyprob_tpu.inference.laplace)."""
+    if inference_engine == InferenceEngine.LAPLACE:
+        from .inference.laplace import vectorized_laplace_posterior
+
+        return vectorized_laplace_posterior(
+            model,
+            num_traces=num_traces,
+            observe=observe,
+            map_func=map_func,
+            file_name=file_name,
+            map_steps=map_steps,
+            num_starts=num_starts,
+            learning_rate=learning_rate,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
     if inference_engine == InferenceEngine.STEIN_VARIATIONAL_GRADIENT_DESCENT:
         from .inference.svgd import vectorized_svgd_posterior
 
