@@ -246,10 +246,16 @@ class _TransformedReplayHandler(VectorizedHandler):
         self.logdet = jnp.zeros((), util.dtype())
         self.z_values = {}
 
-    def sample(self, distribution, name=None, address=None, control=True):
+    def sample(self, distribution, name=None, address=None, control=True,
+               mask=None):
+        # sample(mask=) is ignored here: scoring a masked-off latent
+        # against its prior is exact marginalization (padding dims keep a
+        # proper prior density, so the potential stays well-conditioned
+        # instead of going flat along them)
         if name is not None and name in self.observed:
             return super().sample(
-                distribution, name=name, address=address, control=control
+                distribution, name=name, address=address, control=control,
+                mask=mask,
             )
         base, full, instance = self._make_address(
             address, distribution.address_suffix

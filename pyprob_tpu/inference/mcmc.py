@@ -297,10 +297,16 @@ class ReplayHandler(VectorizedHandler):
             out_treedef, list(final_out_leaves)
         )
 
-    def sample(self, distribution, name=None, address=None, control=True):
+    def sample(self, distribution, name=None, address=None, control=True,
+               mask=None):
+        # sample(mask=) is ignored here: scoring a masked-off site against
+        # its prior is exact marginalization (the padded chain targets a
+        # joint whose marginal over padding dims is the true posterior), so
+        # the MH kernel needs no mask-specific terms
         control = True  # MCMC engines control every site (reference: state.py:165-166)
         if name is not None and name in self.observed:
-            return super().sample(distribution, name=name, address=address)
+            return super().sample(distribution, name=name, address=address,
+                                  mask=mask)
 
         base, full, instance = self._make_address(
             address, distribution.address_suffix

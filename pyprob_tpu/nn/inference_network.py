@@ -297,6 +297,22 @@ class InferenceNetwork:
     # ------------------------------------------------------------------
     # loss plumbing
     # ------------------------------------------------------------------
+    @staticmethod
+    def _sub_batch_step_mask(sub_batch, time_step):
+        """[B] 1/0 activity vector for one controlled step, or None when no
+        trace masked the site (sample(mask=) padding sites are excluded
+        from the training loss — their values are prior draws carrying no
+        posterior signal)."""
+        flags = [
+            getattr(tr.variables_controlled[time_step], "masked", False)
+            for tr in sub_batch
+        ]
+        if not any(flags):
+            return None
+        return jnp.asarray(
+            [0.0 if f else 1.0 for f in flags], util.dtype()
+        )
+
     def _sub_batch_prior_params(self, sub_batch, time_step):
         from .proposals import prior_param_arrays
 
@@ -456,7 +472,11 @@ class InferenceNetwork:
                 )
                 for k, v in prior_param_arrays(dist).items()
             }
-            steps.append({"values": values, "prior": prior})
+            step = {"values": values, "prior": prior}
+            mk = outputs.get("masks", {}).get(s.address)
+            if mk is not None:  # sample(mask=) 1/0 activity per trace
+                step["mask"] = jnp.asarray(mk, util.dtype())
+            steps.append(step)
         packed = {"obs": obs, "steps": steps}
         addrs = tuple(s.address for s in controlled)
         dist_names = tuple(s.distribution_name for s in controlled)

@@ -99,12 +99,14 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                     ]
                 )
             )
-            packed["steps"].append(
-                {
-                    "values": values,
-                    "prior": self._sub_batch_prior_params(sub_batch, t),
-                }
-            )
+            step = {
+                "values": values,
+                "prior": self._sub_batch_prior_params(sub_batch, t),
+            }
+            sm = self._sub_batch_step_mask(sub_batch, t)
+            if sm is not None:
+                step["mask"] = sm
+            packed["steps"].append(step)
         return packed
 
     def _make_sub_batch_loss(self, sub_batch):
@@ -133,6 +135,9 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 )
                 lp = d.log_prob(packed["steps"][t]["values"])
                 lp = jnp.clip(lp, -1e38, None)  # -inf repair (reference: lstm.py:213)
+                smask = packed["steps"][t].get("mask")
+                if smask is not None:  # sample(mask=) padding sites
+                    lp = lp * smask
                 if mask is not None:
                     lp = lp * mask
                 total = total - jnp.sum(lp)
@@ -195,7 +200,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
             return state["emb"]
 
         def proposal_step(site, distribution, key, observed, forced_value=None,
-                          defensive=None):
+                          defensive=None, mask=None):
             # forced_value: score instead of sampling (guided SMC replay).
             # defensive=π: mixture π·q + (1−π)·prior for rejection retries
             # (caps a rejected attempt's weight factor at 1/(1−π); see the
@@ -226,6 +231,14 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                     jnp.log1p(-defensive)
                     + distribution.log_prob(value, sum=True),
                 )
+            elif mask is not None:
+                # sample(mask=): masked-off lanes draw from the prior; the
+                # caller zeroes their weight correction
+                kq, kp = jax.random.split(key)
+                xq = jnp.reshape(d._sample_jax(kq, ()), ())
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                value = jnp.where(mask, xq, xp)
+                plp = jnp.sum(d.log_prob(value))
             else:
                 value = jnp.reshape(d._sample_jax(key, ()), ())
                 plp = jnp.sum(d.log_prob(value))
@@ -238,4 +251,5 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         proposal_step.get_state = lambda: ((), ())
         proposal_step.set_state = lambda s: None
         proposal_step.supports_defensive = True
+        proposal_step.supports_mask = True
         return proposal_step

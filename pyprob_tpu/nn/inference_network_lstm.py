@@ -198,12 +198,14 @@ class InferenceNetworkLSTM(InferenceNetwork):
                     ]
                 )
             )
-            packed["steps"].append(
-                {
-                    "values": values,
-                    "prior": self._sub_batch_prior_params(sub_batch, t),
-                }
-            )
+            step = {
+                "values": values,
+                "prior": self._sub_batch_prior_params(sub_batch, t),
+            }
+            sm = self._sub_batch_step_mask(sub_batch, t)
+            if sm is not None:
+                step["mask"] = sm
+            packed["steps"].append(step)
         return packed
 
     def _make_sub_batch_loss(self, sub_batch):
@@ -278,6 +280,9 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 )
                 lp = d.log_prob(packed["steps"][t]["values"])
                 lp = jnp.clip(lp, -1e38, None)  # -inf repair (reference: lstm.py:213)
+                smask = packed["steps"][t].get("mask")
+                if smask is not None:  # sample(mask=) padding sites
+                    lp = lp * smask
                 if mask is not None:
                     lp = lp * mask
                 total = total - jnp.sum(lp)
@@ -391,7 +396,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
             return state["emb"]
 
         def proposal_step(site, distribution, key, observed, forced_value=None,
-                          defensive=None):
+                          defensive=None, mask=None):
             # forced_value: score/advance-state instead of sampling — used
             # by guided SMC to step the LSTM through replayed prefix sites.
             # defensive=π: sample from the mixture π·q + (1−π)·prior and
@@ -457,6 +462,16 @@ class InferenceNetworkLSTM(InferenceNetwork):
                     jnp.log1p(-defensive)
                     + distribution.log_prob(value, sum=True),
                 )
+            elif mask is not None:
+                # sample(mask=): masked-off lanes draw from the PRIOR
+                # (matching training traces, whose masked sites are prior
+                # draws); the caller zeroes their weight correction.  The
+                # recurrent state still advances with the chosen value.
+                kq, kp = jax.random.split(key)
+                xq = jnp.reshape(d._sample_jax(kq, ()), ())
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                value = jnp.where(mask, xq, xp)
+                plp = jnp.sum(d.log_prob(value))
             else:
                 value = jnp.reshape(d._sample_jax(key, ()), ())
                 plp = jnp.sum(d.log_prob(value))
@@ -482,4 +497,5 @@ class InferenceNetworkLSTM(InferenceNetwork):
         proposal_step.get_state = get_state
         proposal_step.set_state = set_state
         proposal_step.supports_defensive = True
+        proposal_step.supports_mask = True
         return proposal_step

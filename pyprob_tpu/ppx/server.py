@@ -54,7 +54,11 @@ class PPXSimulatorServer:
             self._socket = None
 
     # ---- calls available to forward_func ---------------------------------
-    def sample(self, distribution, name=None, address=None, control=True):
+    def sample(self, distribution, name=None, address=None, control=True,
+               mask=None):
+        # mask is not part of the PPX wire format; a masked-off site is
+        # still exact (prior-scored padding) but cannot signal the IC
+        # training gate across the wire
         dist_type, params = _spec_from_distribution(distribution)
         self._socket.send(
             wire.build_sample(

@@ -52,9 +52,12 @@ class _Context:
         self.address_dictionary = None
         self.rng = None  # per-context host RNG (None -> the global one)
         # True while re-running a rejection_sample attempt after the first:
-        # retries draw from the raw prior (no IC proposal, no inflation) so
-        # the first attempt's importance correction stays exact
+        # retries draw from the defensive mixture (no inflation) and the
+        # per-attempt importance corrections accumulate exactly
         self.rejection_retry = False
+        # True while any rejection_sample attempt runs (first or retry):
+        # sample(mask=) is rejected inside blocks on both tiers
+        self.in_rejection_block = False
         # {full_address: value} — controlled sites take the given value
         # instead of sampling (interpreter-tier SMC prefix replay,
         # pyprob_tpu.inference.smc)
@@ -266,16 +269,29 @@ def _needs_host(distribution):
     return False
 
 
-def sample(distribution, name=None, address=None, control=True):
+def sample(distribution, name=None, address=None, control=True, mask=None):
+    # mask=False marks the site structurally inactive (variable-structure
+    # programs written as fixed-bound loops): the value is still drawn and
+    # prior-scored — exact marginalization for every likelihood-based
+    # engine — but IC proposes it from the PRIOR with no weight correction
+    # and the training loss excludes it.  Reduced with all() like
+    # observe(mask=); both tiers in lockstep.
     ctx = _ctx_local.value  # bind once: hot path
     handler = _get_handler()
     if handler is not None:
         return handler.sample(
-            distribution, name=name, address=address, control=control
+            distribution, name=name, address=address, control=control,
+            mask=mask,
         )
     trace = ctx.current_trace
     if trace is None:
         return distribution.sample(_get_rng())
+    if mask is not None and ctx.in_rejection_block:
+        raise RuntimeError(
+            "sample(mask=) inside rejection_sample is not supported "
+            "(the block's acceptance indicator already gates attempts)"
+        )
+    active = mask is None or bool(np.all(np.asarray(mask)))
     distribution = distribution.to_numpy() if _needs_host(distribution) else distribution
     rng = _get_rng()
 
@@ -294,6 +310,9 @@ def sample(distribution, name=None, address=None, control=True):
         # Sample site overridden by a named observation
         value = util.to_array(ctx.observed_variables[name])
         log_prob = ctx.likelihood_importance * distribution.log_prob(value, sum=True)
+        if not active:
+            # the mask gates the likelihood term, like observe(mask=)
+            log_prob = 0.0
         if ctx.inference_engine in (
             InferenceEngine.IMPORTANCE_SAMPLING,
             InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
@@ -311,6 +330,7 @@ def sample(distribution, name=None, address=None, control=True):
             log_importance_weight=log_importance_weight,
             observed=True,
             name=name,
+            masked=not active,
         )
         trace.add(variable)
         return variable.value
@@ -353,7 +373,17 @@ def sample(distribution, name=None, address=None, control=True):
                 proposal = ctx.inference_network._infer_step(
                     stub, prev_variable=ctx.previous_variable
                 )
-                if ctx.rejection_retry and proposal is not distribution:
+                if not active:
+                    # masked-off: draw from the PRIOR (matching training
+                    # traces) with no correction; the network's recurrent
+                    # state already advanced through the site
+                    value = distribution.sample(rng)
+                    value = np.asarray(value).reshape(
+                        distribution.batch_shape or ()
+                    )
+                    log_prob = distribution.log_prob(value, sum=True)
+                    proposal_log_prob = None
+                elif ctx.rejection_retry and proposal is not distribution:
                     # rejection retry: defensive mixture π·q + (1−π)·prior —
                     # a REJECTED attempt's p/q correction enters the weight
                     # with no compensating likelihood term, and the mixture
@@ -383,11 +413,17 @@ def sample(distribution, name=None, address=None, control=True):
                     warnings.warn(
                         f"Prior log_prob has NaN/inf. dist: {distribution} value: {value}"
                     )
-                if util.has_nan_or_inf(proposal_log_prob):
+                if proposal_log_prob is not None and util.has_nan_or_inf(
+                    proposal_log_prob
+                ):
                     warnings.warn(
                         f"Proposal log_prob has NaN/inf. dist: {proposal} value: {value}"
                     )
-                log_importance_weight = float(log_prob) - float(proposal_log_prob)
+                log_importance_weight = (
+                    None
+                    if proposal_log_prob is None
+                    else float(log_prob) - float(proposal_log_prob)
+                )
                 variable = Variable(
                     distribution=distribution,
                     value=value,
@@ -398,6 +434,7 @@ def sample(distribution, name=None, address=None, control=True):
                     log_importance_weight=log_importance_weight,
                     control=control,
                     name=name,
+                    masked=not active,
                 )
                 ctx.previous_variable = variable
                 trace.add(variable)
@@ -459,6 +496,7 @@ def sample(distribution, name=None, address=None, control=True):
         name=name,
         observed=observed,
         reused=reused,
+        masked=not active,
     )
     trace.add(variable)
     return variable.value
@@ -539,7 +577,11 @@ def rejection_sample(attempt_fn, max_attempts=None):
     try:
         for i in range(cap):
             marker = len(trace.variables)
-            out, accept = attempt_fn()
+            ctx.in_rejection_block = True
+            try:
+                out, accept = attempt_fn()
+            finally:
+                ctx.in_rejection_block = False
             new_vars = trace.variables[marker:]
             if any(v.observed or v.tagged for v in new_vars):
                 trace.rollback(marker)

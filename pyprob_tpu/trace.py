@@ -31,6 +31,7 @@ class Variable:
         observed=False,
         reused=False,
         tagged=False,
+        masked=False,
     ):
         self.distribution = distribution
         self.value = value
@@ -45,6 +46,12 @@ class Variable:
         self.observed = observed
         self.reused = reused
         self.tagged = tagged
+        # sample(mask=False): structurally-inactive padding site — its
+        # (prior-scored) value is exact marginalization for every engine;
+        # IC proposes it from the prior and excludes it from the training
+        # loss.  Consumers use getattr(v, "masked", False) for pickles
+        # from before this flag existed.
+        self.masked = masked
 
     def __repr__(self):
         return (

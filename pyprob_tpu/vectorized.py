@@ -97,6 +97,7 @@ class VectorizedHandler:
         self.values = []  # traced value per site
         self.log_probs = []  # traced scalar log_prob per site (None for tags)
         self.site_log_iws = []  # per-site prior-proposal delta (IC sites)
+        self.site_masks = []  # per-site 1/0 activity (sample(mask=) sites)
         self.dist_leaves = []  # flattened distribution params per site
         self.instance_counts = {}
         self.log_importance_weight = jnp.zeros((), util.dtype())
@@ -128,7 +129,7 @@ class VectorizedHandler:
                 return Normal(distribution.mean, distribution.stddev * 3)
         return None
 
-    def _record(self, site, value, log_prob, log_iw=None):
+    def _record(self, site, value, log_prob, log_iw=None, mask=None):
         # flatten the site's distribution so per-trace parameter values can
         # be rebuilt on the host (pruned training traces need prior params)
         if site.distribution is not None:
@@ -142,9 +143,19 @@ class VectorizedHandler:
         self.values.append(value)
         self.log_probs.append(log_prob)
         self.site_log_iws.append(log_iw)
+        self.site_masks.append(mask)
 
     # -- the effect API ----------------------------------------------------
-    def sample(self, distribution, name=None, address=None, control=True):
+    def sample(self, distribution, name=None, address=None, control=True,
+               mask=None):
+        # mask=False marks the site structurally inactive (fixed-bound
+        # variable-structure programs): the value is still drawn and
+        # prior-scored — exact marginalization for every likelihood-based
+        # engine — but IC proposes it from the PRIOR with zero weight
+        # correction (a q-vs-p delta at an irrelevant site is pure weight
+        # variance) and the training loss excludes it.  Reduced with all()
+        # like observe(mask=) (both tiers in lockstep).
+        m = None if mask is None else jnp.all(jnp.asarray(mask))
         # MCMC engines control every sample site (reference: state.py:165-166)
         if self.inference_engine in (
             InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
@@ -159,6 +170,10 @@ class VectorizedHandler:
             log_prob = self.likelihood_importance * distribution.log_prob(
                 value, sum=True
             )
+            if m is not None:
+                # observed-by-name: the mask gates the likelihood term,
+                # exactly like observe(mask=)
+                log_prob = jnp.where(m, log_prob, jnp.zeros((), util.dtype()))
             if self.inference_engine in (
                 InferenceEngine.IMPORTANCE_SAMPLING,
                 InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
@@ -180,6 +195,7 @@ class VectorizedHandler:
                 ),
                 value,
                 log_prob,
+                mask=m,
             )
             return value
 
@@ -212,7 +228,7 @@ class VectorizedHandler:
                 )
             log_prob = distribution.log_prob(value, sum=True)
             self.log_prob_total = self.log_prob_total + log_prob
-            self._record(site, value, log_prob)
+            self._record(site, value, log_prob, mask=m)
             return value
 
         key = self._next_key()
@@ -237,23 +253,34 @@ class VectorizedHandler:
             # observed dict passed through so the network's observe
             # embedding is computed from traced values — the compiled
             # program is reused across different observations
-            value, proposal_log_prob = self.proposal_step(
-                site, distribution, key, self.observed
-            )
-            log_prob = distribution.log_prob(value, sum=True)
-            self.log_importance_weight = (
-                self.log_importance_weight + log_prob - proposal_log_prob
-            )
+            if m is not None and getattr(
+                self.proposal_step, "supports_mask", False
+            ):
+                # masked-off lanes draw from the PRIOR (matches training
+                # traces) and carry no q-vs-p correction
+                value, proposal_log_prob = self.proposal_step(
+                    site, distribution, key, self.observed, mask=m
+                )
+                log_prob = distribution.log_prob(value, sum=True)
+                delta = jnp.where(
+                    m,
+                    log_prob - proposal_log_prob,
+                    jnp.zeros((), util.dtype()),
+                )
+            else:
+                value, proposal_log_prob = self.proposal_step(
+                    site, distribution, key, self.observed
+                )
+                log_prob = distribution.log_prob(value, sum=True)
+                delta = log_prob - proposal_log_prob
+            self.log_importance_weight = self.log_importance_weight + delta
             self.log_prob_total = self.log_prob_total + log_prob
             self._record(
                 site,
                 value,
                 log_prob,
-                log_iw=(
-                    log_prob - proposal_log_prob
-                    if self.record_site_log_iws
-                    else None
-                ),
+                log_iw=(delta if self.record_site_log_iws else None),
+                mask=m,
             )
             return value
 
@@ -283,6 +310,7 @@ class VectorizedHandler:
             ),
             value,
             log_prob,
+            mask=m,
         )
         return value
 
@@ -625,8 +653,14 @@ class _RejectionAttemptHandler:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def sample(self, distribution, name=None, address=None, control=True):
+    def sample(self, distribution, name=None, address=None, control=True,
+               mask=None):
         outer = self.outer
+        if mask is not None:
+            raise RuntimeError(
+                "sample(mask=) inside rejection_sample is not supported "
+                "(the block's acceptance indicator already gates attempts)"
+            )
         if outer.inference_engine in (
             InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
             InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
@@ -799,6 +833,13 @@ def run_traced(
             for s, liw in zip(handler.sites, handler.site_log_iws)
             if liw is not None
         },
+        # 1.0 = active, 0.0 = masked-off padding (sample(mask=) sites);
+        # the IC training loss gates on these per (trace, site)
+        "masks": {
+            s.address: jnp.asarray(mk, util.dtype())
+            for s, mk in zip(handler.sites, handler.site_masks)
+            if mk is not None
+        },
     }
     return outputs, handler
 
@@ -890,6 +931,7 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
     values = outputs_host["values"]
     log_probs = outputs_host["log_probs"]
     dist_leaves = outputs_host.get("dist_leaves", {})
+    masks = outputs_host.get("masks", {})
 
     # forward() may return any pytree; every leaf is batched over traces —
     # convert leaves once, index per trace
@@ -921,6 +963,7 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
                     )
                 except Exception:
                     dist = None
+            mk = masks.get(s.address)
             variable = Variable(
                 distribution=dist,
                 value=None if v is None else v[i],
@@ -933,6 +976,7 @@ def _materialize_traces(sites, outputs_host, num, map_func, results_host):
                 name=s.name,
                 observed=s.observed,
                 tagged=s.tagged,
+                masked=bool(mk is not None and float(mk[i]) == 0.0),
             )
             tr.add(variable)
         tr.end(result_at(i), None)
