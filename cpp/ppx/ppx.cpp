@@ -255,6 +255,9 @@ void Model::serve(const std::string& server_address, ForwardFunc forward,
       finish_message(b, BODY_HandshakeResult, body);
       reply(b);
     } else if (body_type == BODY_Run) {
+      // optional per-run input tensor (pyprob_tpu PPX extension): slot 0
+      // of the Run table; absent in reference-built messages
+      payload_ = read_tensor(m.get_table(1).get_table(0));
       Tensor result = forward(*this);
       minifb::Builder b;
       size_t res_off = build_tensor(b, result);

@@ -107,12 +107,18 @@ class Model {
   void serve(const std::string& server_address, ForwardFunc forward,
              long max_runs = -1);
 
+  // Per-run input tensor carried in the Run message (pyprob_tpu PPX
+  // extension; empty when the controller sent a reference-style Run).
+  const Tensor& payload() const { return payload_; }
+  bool has_payload() const { return !payload_.data.empty(); }
+
  private:
   std::vector<uint8_t> transact(const minifb::Builder& b);
   void reply(const minifb::Builder& b);
 
   std::string model_name_;
   std::string system_name_;
+  Tensor payload_;
   void* zmq_context_ = nullptr;
   void* zmq_socket_ = nullptr;
 };

@@ -872,7 +872,11 @@ class RemoteModel(Model):
         if self._model_server is not None:
             self._model_server.close()
 
-    def forward(self):
+    def forward(self, payload=None):
+        # payload: optional per-run input tensor shipped to the simulator
+        # inside the Run message (pyprob_tpu PPX extension) — lets callers
+        # parameterize the simulator per inference call without named
+        # observes: model.posterior(..., payload=np.array([...]))
         if self._model_server is None:
             from .remote import ModelServer
 
@@ -884,7 +888,7 @@ class RemoteModel(Model):
             )
         if self._before_forward_func is not None:
             self._before_forward_func()
-        ret = self._model_server.forward()
+        ret = self._model_server.forward(payload=payload)
         if self._after_forward_func is not None:
             self._after_forward_func()
         return ret

@@ -43,6 +43,9 @@ class PPXSimulatorServer:
         self._forward_func = forward_func
         self._system_name = system_name
         self._model_name = model_name
+        # per-run input tensor from the Run message (PPX extension); None
+        # when the controller sent a reference-style empty Run
+        self.payload = None
         self._context = zmq.Context.instance()
         self._socket = self._context.socket(zmq.REP)
         self._socket.bind(server_address)
@@ -167,6 +170,9 @@ class PPXSimulatorServer:
                     )
                 )
             elif msg.body_type == MessageBody.Run:
+                # optional per-run input tensor (pyprob_tpu PPX extension);
+                # forward_func reads it from ``server.payload``
+                self.payload = msg.fields.get("payload")
                 result = self._forward_func(self)
                 self._socket.send(
                     wire.build_run_result(np.asarray(result, np.float64))

@@ -213,7 +213,11 @@ def decode_message(buf):
         f["system_name"] = _get_string(body, 0)
         f["model_name"] = _get_string(body, 1)
     elif body_type == MessageBody.Run:
-        pass
+        # payload: OPTIONAL trailing field (pyprob_tpu extension) — absent
+        # in reference-built Run messages, ignored by reference readers
+        # (flatbuffers tables skip unknown trailing fields), so wire parity
+        # is preserved in both directions
+        f["payload"] = read_tensor(_get_table(body, 0)) if body is not None else None
     elif body_type == MessageBody.RunResult:
         f["result"] = read_tensor(_get_table(body, 0))
     elif body_type == MessageBody.Sample:
@@ -283,9 +287,19 @@ def build_handshake_result(system_name, model_name):
     return _finish_message(b, MessageBody.HandshakeResult, body)
 
 
-def build_run():
-    b = flatbuffers.Builder(32)
-    b.StartObject(0)
+def build_run(payload=None):
+    # with payload=None the bytes are identical to the reference's empty
+    # Run table (wire parity); a payload adds an optional trailing Tensor
+    # field that old readers skip
+    if payload is None:
+        b = flatbuffers.Builder(32)
+        b.StartObject(0)
+        body = b.EndObject()
+        return _finish_message(b, MessageBody.Run, body)
+    b = flatbuffers.Builder(256)
+    t = build_tensor(b, payload)
+    b.StartObject(1)
+    b.PrependUOffsetTRelativeSlot(0, t, 0)
     body = b.EndObject()
     return _finish_message(b, MessageBody.Run, body)
 

@@ -183,8 +183,10 @@ class ModelServer:
     def close(self):
         self._requester.close()
 
-    def forward(self):
-        self._requester.send_request(wire.build_run())
+    def forward(self, payload=None):
+        # payload: optional per-run input tensor for the simulator
+        # (pyprob_tpu PPX extension; see wire.build_run)
+        self._requester.send_request(wire.build_run(payload))
         while True:
             msg = wire.decode_message(self._requester.receive_reply())
             if msg.body_type == MessageBody.RunResult:

@@ -359,6 +359,7 @@ class LockstepRemoteModel(Model):
         observe=None,
         file_name=None,
         likelihood_importance=1.0,
+        payload=None,
         *args,
         **kwargs,
     ):
@@ -429,7 +430,8 @@ class LockstepRemoteModel(Model):
                 state._swap_context(prev)
             if proposer is not None:
                 proposer.begin_trace(i)
-            self._requesters[i].send_request(wire.build_run())
+            # payload: optional per-run input tensor (PPX extension)
+            self._requesters[i].send_request(wire.build_run(payload))
             issued += 1
 
         live = set()

@@ -190,3 +190,65 @@ def test_wire_roundtrip_all_distributions():
         lp1 = float(np.sum(np.asarray(d.log_prob(x))))
         lp2 = float(np.sum(np.asarray(d2.log_prob(x))))
         assert np.isclose(lp1, lp2, atol=1e-5), (type(d).__name__, lp1, lp2)
+
+
+def test_run_payload_wire_parity_and_roundtrip():
+    # a payload-free Run must stay byte-identical to the reference's empty
+    # Run table (wire parity); a payload round-trips as an optional
+    # trailing Tensor field old readers skip
+    import flatbuffers
+
+    b = flatbuffers.Builder(32)
+    b.StartObject(0)
+    body = b.EndObject()
+    b.StartObject(2)
+    b.PrependUint8Slot(0, wire.MessageBody.Run, 0)
+    b.PrependUOffsetTRelativeSlot(1, body, 0)
+    msg = b.EndObject()
+    b.Finish(msg, file_identifier=wire.FILE_IDENTIFIER)
+    assert wire.build_run() == bytes(b.Output())
+    assert wire.decode_message(wire.build_run()).fields["payload"] is None
+    p = np.array([[1.5, 2.5], [3.5, 4.5]])
+    dec = wire.decode_message(wire.build_run(p))
+    assert dec.body_type == wire.MessageBody.Run
+    np.testing.assert_allclose(dec.fields["payload"], p)
+
+
+def _payload_gum_forward(server):
+    # prior parameterized by the Run payload: [mean, stddev]
+    prior_mean, prior_stddev = 1.0, math.sqrt(5.0)
+    if server.payload is not None:
+        p = np.asarray(server.payload).reshape(-1)
+        prior_mean = float(p[0])
+        if p.size > 1:
+            prior_stddev = float(p[1])
+    mu = float(
+        np.asarray(
+            server.sample(Normal(prior_mean, prior_stddev), address="mu")
+        ).reshape(-1)[0]
+    )
+    lik = Normal(mu, math.sqrt(2.0))
+    server.observe(lik, name="obs0", address="o0")
+    server.observe(lik, name="obs1", address="o1")
+    return mu
+
+
+def test_remote_run_payload():
+    # Run-payload extension: the same simulator serves different priors per
+    # inference call, conditioned through the payload tensor
+    address = f"ipc://@pyprob_tpu_test_{uuid.uuid4()}"
+    t, box = _start_simulator(_payload_gum_forward, address, "payload GUM")
+    model = pp.RemoteModel(address)
+    try:
+        obs = {"obs0": 8, "obs1": 9}
+        # prior N(4, 1): posterior mean (4 + 8.5)/2 = 6.25
+        post = model.posterior_results(
+            num_traces=3000, observe=obs, payload=np.array([4.0, 1.0])
+        )
+        assert abs(float(post.mean) - 6.25) < 0.5
+        # reference-style empty Run: classic GUM posterior 7.25
+        post0 = model.posterior_results(num_traces=3000, observe=obs)
+        assert abs(float(post0.mean) - 7.25) < 0.5
+        assert float(post0.mean) - float(post.mean) > 0.3
+    finally:
+        model.close()
