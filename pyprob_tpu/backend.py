@@ -42,6 +42,7 @@ class _NumpyBackend:
     abs = _np.abs
     floor = _np.floor
     ceil = _np.ceil
+    round = staticmethod(_np.round)
     clip = staticmethod(_np.clip)
     where = staticmethod(_np.where)
     sum = staticmethod(_np.sum)
@@ -146,6 +147,7 @@ class _JaxBackend:
     abs = staticmethod(_jnp.abs)
     floor = staticmethod(_jnp.floor)
     ceil = staticmethod(_jnp.ceil)
+    round = staticmethod(_jnp.round)
     clip = staticmethod(_jnp.clip)
     where = staticmethod(_jnp.where)
     sum = staticmethod(_jnp.sum)

@@ -23,6 +23,9 @@ from .gumbel import Gumbel
 from .logistic import Logistic
 from .chi2 import Chi2
 from .geometric import Geometric
+from .inverse_gamma import InverseGamma
+from .pareto import Pareto
+from .negative_binomial import NegativeBinomial
 from .multinomial import Multinomial
 from .lkj import LKJCholesky
 from .censored import Censored
@@ -57,6 +60,9 @@ __all__ = [
     "Logistic",
     "Chi2",
     "Geometric",
+    "InverseGamma",
+    "Pareto",
+    "NegativeBinomial",
     "Multinomial",
     "LKJCholesky",
     "Censored",

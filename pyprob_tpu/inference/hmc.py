@@ -60,12 +60,14 @@ from ..distributions import (
     Chi2,
     Dirichlet,
     LKJCholesky,
+    InverseGamma,
+    Pareto,
 )
 from ..vectorized import VectorizedHandler, SiteRecord, run_traced, _TraceabilityCache
 
 _BOUNDED = (Uniform, TruncatedNormal, Beta)
 _POSITIVE = (Exponential, Gamma, Weibull, LogNormal, HalfNormal, HalfCauchy,
-             Chi2)
+             Chi2, InverseGamma)
 _UNBOUNDED = (Normal, Laplace, StudentT, VonMises, MultivariateNormal, Mixture,
               Cauchy, Gumbel, Logistic)
 
@@ -188,6 +190,11 @@ def _to_x(dist, z):
         return x, logdet
     if isinstance(dist, _POSITIVE):
         return jnp.exp(z), jnp.sum(z)
+    if isinstance(dist, Pareto):
+        # lower-bounded at scale m > 0: x = m * exp(z)
+        m = jnp.asarray(dist.scale, util.dtype())
+        x = m * jnp.exp(z)
+        return x, jnp.sum(z + jnp.log(m))
     if isinstance(dist, _UNBOUNDED):
         return z, jnp.zeros((), util.dtype())
     raise NotImplementedError(
@@ -210,6 +217,9 @@ def _to_z(dist, x):
         return jnp.log(u) - jnp.log1p(-u)
     if isinstance(dist, _POSITIVE):
         return jnp.log(jnp.clip(x, 1e-30, None))
+    if isinstance(dist, Pareto):
+        m = jnp.asarray(dist.scale, util.dtype())
+        return jnp.log(jnp.clip(x / m, 1.0 + 1e-6, None))
     if isinstance(dist, _UNBOUNDED):
         return x
     raise NotImplementedError(dist.name)

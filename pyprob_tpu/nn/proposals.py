@@ -59,6 +59,8 @@ from ..distributions import (
     Logistic,
     Gumbel,
     VonMises,
+    InverseGamma,
+    Pareto,
 )
 from .. import backend
 from .layers import Static, mlp_init, mlp_apply
@@ -77,6 +79,8 @@ _POSITIVE_LOGNORMAL_PRIORS = (
     Chi2,
     HalfNormal,
     HalfCauchy,
+    InverseGamma,
+    Pareto,
 )
 _STUDENTT_PRIORS = (StudentT, Laplace, Cauchy, Logistic, Gumbel)
 
@@ -136,6 +140,14 @@ def _log_space_moments(distribution):
         # (= scale) with a wide log-space spread
         s = distribution._scale
         return B.log(s), B.full_like(s, 2.0)
+    if isinstance(distribution, InverseGamma):
+        # log X = log rate - log Gamma(a, 1)
+        a, r = distribution._concentration, distribution._rate
+        return B.log(r) - B.digamma(a), B.sqrt(B.trigamma(a))
+    if isinstance(distribution, Pareto):
+        # log X = log scale + E/alpha, E ~ Exp(1)
+        m, a = distribution._scale, distribution._alpha
+        return B.log(m) + 1.0 / a, 1.0 / a
     raise ValueError(f"No log-space moments for {distribution.name}")
 
 
