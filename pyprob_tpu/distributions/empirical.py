@@ -628,6 +628,51 @@ class Empirical(Distribution):
         i = min(i, self._length - 1)
         return self._get_value(int(order[i]))
 
+    def quantile(self, q):
+        """Weighted posterior quantile(s) (beyond parity — the reference's
+        Empirical stops at mode/median/min/max).  ``q``: float or sequence
+        in [0, 1].  Multi-dimensional values reduce by their first
+        component, like ``median``."""
+        self._check_finalized()
+        vals = self.values_numpy()
+        flat = vals.reshape(self._length, -1)[:, 0] if vals.ndim > 1 else vals
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if np.any((qs < 0.0) | (qs > 1.0)):
+            raise ValueError("quantiles must be in [0, 1]")
+        order = np.argsort(flat, kind="stable")
+        cum = np.cumsum(np.asarray(self._probs)[order])
+        idx = np.minimum(np.searchsorted(cum, qs), self._length - 1)
+        out = flat[order[idx]]
+        return float(out[0]) if np.ndim(q) == 0 else out
+
+    def hpd_interval(self, mass=0.9):
+        """Highest-posterior-density interval: the SHORTEST interval
+        carrying ``mass`` of the weighted samples (Chen & Shao 1999
+        shortest-interval estimator on the weighted empirical CDF), for
+        scalar-valued posteriors.  Narrower than the equal-tailed interval
+        whenever the posterior is skewed.  Returns (low, high)."""
+        self._check_finalized()
+        if not 0.0 < mass < 1.0:
+            raise ValueError("mass must be in (0, 1)")
+        vals = self.values_numpy()
+        flat = vals.reshape(self._length, -1)[:, 0] if vals.ndim > 1 else vals
+        order = np.argsort(flat, kind="stable")
+        sorted_vals = flat[order]
+        cum = np.concatenate(
+            [[0.0], np.cumsum(np.asarray(self._probs)[order])]
+        )
+        # for each left endpoint i, the smallest j with
+        # cum[j] - cum[i] >= mass; pick the (i, j) of minimal width
+        right = np.searchsorted(cum, cum[:-1] + mass)
+        valid = right <= self._length
+        if not valid.any():
+            return float(sorted_vals[0]), float(sorted_vals[-1])
+        lefts = np.nonzero(valid)[0]
+        rights = right[lefts]
+        widths = sorted_vals[rights - 1] - sorted_vals[lefts]
+        k = int(np.argmin(widths))
+        return float(sorted_vals[lefts[k]]), float(sorted_vals[rights[k] - 1])
+
     @property
     def min(self):
         vals = self.values_numpy()
