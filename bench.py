@@ -67,10 +67,12 @@ def main():
         vectorized=True,
         inference_engine=engine,
     )
-    # timed runs: best of 3 — dispatches ride a remote tunnel whose
-    # latency fluctuates, and peak throughput is the capability metric
+    # timed runs: best of 6 — dispatches ride a remote tunnel whose
+    # latency fluctuates run-to-run by ~2x (BASELINE.md records
+    # 1.26-2.3M traces/s for identical code), and peak throughput is the
+    # capability metric; each run costs under a second warm
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.time()
         post = model.posterior_results(
             num_traces=NUM_POSTERIOR_TRACES,

@@ -959,3 +959,77 @@ def compare(posteriors, ic="loo", names=None):
                if "pareto_k" in r else {}),
         })
     return rows
+
+
+def _stacking_weights(L, tol=1e-10, max_iter=5000):
+    """Maximize sum_i log sum_k w_k exp(L[k, i]) over the simplex.
+
+    The objective is a fixed-component mixture log-likelihood, so EM
+    applies: responsibilities r_ik = w_k p_ki / sum_k', then
+    w_k = mean_i r_ik — monotone ascent, no step-size hyperparameters."""
+    K, n = L.shape
+    # per-observation normalization keeps the exponentials tame
+    Ln = L - np.max(L, axis=0, keepdims=True)
+    P = np.exp(Ln)  # [K, n]
+    w = np.full(K, 1.0 / K)
+    prev = -np.inf
+    for _ in range(max_iter):
+        mix = w @ P  # [n]
+        obj = float(np.sum(np.log(np.clip(mix, 1e-300, None))))
+        if obj - prev < tol:
+            break
+        prev = obj
+        r = (w[:, None] * P) / np.clip(mix, 1e-300, None)  # [K, n]
+        w = r.mean(axis=1)
+        w = w / w.sum()
+    return w
+
+
+def model_weights(posteriors, method="stacking", ic="loo", names=None,
+                  bb_samples=1000, seed=0):
+    """Model-averaging weights from pointwise predictive accuracy
+    (Yao, Vehtari, Gelman & Gabry 2018, "Using stacking to average
+    Bayesian predictive distributions").
+
+    ``posteriors``: {model name: trace-valued Empirical posterior}, all
+    conditioned on the SAME data.  Methods:
+
+    - ``stacking``: maximize the leave-one-out log score of the weighted
+      predictive mixture over the simplex — complementary models both get
+      weight, unlike exp-elpd schemes that collapse to the single best.
+    - ``pseudo-bma+``: exp(elpd) weights regularized by the Bayesian
+      bootstrap over observations (accounts for elpd uncertainty).
+    - ``pseudo-bma``: plain exp(elpd) normalization.
+
+    Returns {model name: weight}."""
+    crit = {"loo": loo, "waic": waic}[ic]
+    results = {
+        name: crit(post, names=names, pointwise=True)
+        for name, post in posteriors.items()
+    }
+    model_names = list(results.keys())
+    L = np.stack([results[m]["elpd_i"] for m in model_names])  # [K, n]
+    K, n = L.shape
+    if method == "stacking":
+        w = _stacking_weights(L)
+    elif method == "pseudo-bma+":
+        rng = np.random.default_rng(seed)
+        acc = np.zeros(K)
+        for _ in range(int(bb_samples)):
+            pi = rng.dirichlet(np.ones(n))
+            z = n * (L @ pi)  # bootstrap elpd per model
+            z = z - z.max()
+            e = np.exp(z)
+            acc += e / e.sum()
+        w = acc / acc.sum()
+    elif method == "pseudo-bma":
+        z = L.sum(axis=1)
+        z = z - z.max()
+        e = np.exp(z)
+        w = e / e.sum()
+    else:
+        raise ValueError(
+            "method must be 'stacking', 'pseudo-bma+' or 'pseudo-bma', "
+            f"got {method!r}"
+        )
+    return {m: float(wk) for m, wk in zip(model_names, w)}

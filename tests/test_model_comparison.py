@@ -109,3 +109,38 @@ def test_pareto_khat_flags_heavy_tails():
     # smoothing caps the tail at the raw max
     sm, _ = dg._psis_smooth(heavy)
     assert sm.max() <= 1e-12
+
+
+def test_stacking_weights_optimizer_synthetic():
+    # complementary models: A fits the first half of the observations, B
+    # the second half — stacking mixes them; exp-elpd schemes collapse
+    n = 20
+    L = np.full((2, n), -10.0)
+    L[0, : n // 2] = -1.0
+    L[1, n // 2 :] = -1.0
+    w = dg._stacking_weights(L)
+    assert abs(w[0] - 0.5) < 0.02 and abs(w.sum() - 1.0) < 1e-9
+    # dominated model gets ~zero stacking weight
+    L = np.stack([np.full(n, -1.0), np.full(n, -3.0)])
+    w = dg._stacking_weights(L)
+    assert w[0] > 0.98
+    # identical models: EM stays at the symmetric optimum
+    L = np.stack([np.full(n, -2.0), np.full(n, -2.0)])
+    w = dg._stacking_weights(L)
+    assert abs(w[0] - 0.5) < 1e-9
+
+
+def test_model_weights_end_to_end(gum_posterior):
+    post_bad = Overdispersed().posterior(
+        num_traces=2000, observe=OBS,
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER, num_chains=8,
+    )
+    posteriors = {"gum": gum_posterior, "overdispersed": post_bad}
+    for method in ("stacking", "pseudo-bma+", "pseudo-bma"):
+        w = dg.model_weights(posteriors, method=method)
+        assert set(w) == {"gum", "overdispersed"}
+        assert abs(sum(w.values()) - 1.0) < 1e-6
+        # the well-specified model dominates under every scheme
+        assert w["gum"] > 0.85, (method, w)
+    with pytest.raises(ValueError, match="method"):
+        dg.model_weights(posteriors, method="nope")
