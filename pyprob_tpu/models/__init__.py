@@ -12,6 +12,7 @@ from .models import (
     BranchingCompiled,
     MiniCaptcha,
     VariableLengthGaussian,
+    EightSchools,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "BranchingCompiled",
     "MiniCaptcha",
     "VariableLengthGaussian",
+    "EightSchools",
 ]

@@ -22,7 +22,14 @@ import jax.numpy as jnp
 
 from .. import state as _state
 from ..model import Model
-from ..distributions import Categorical, Normal, Poisson, Uniform, Empirical
+from ..distributions import (
+    Categorical,
+    HalfCauchy,
+    Normal,
+    Poisson,
+    Uniform,
+    Empirical,
+)
 
 sample = _state.sample
 observe = _state.observe
@@ -329,3 +336,35 @@ class MiniCaptcha(Model):
         image = self._images[letter_id]
         observe(Normal(image, self._noise), name="query_image")
         return letter_id
+
+
+class EightSchools(Model):
+    """The canonical Bayesian hierarchical benchmark (Rubin 1981; Gelman et
+    al., BDA §5.5): eight schools' treatment effects with known standard
+    errors, partial pooling through a population mean and scale.
+
+    Written in the non-centered parameterization (theta = mu + tau * z,
+    z ~ N(0,1)) so the funnel geometry stays tractable for the gradient
+    engines; runs on the compiled tier under every engine.  Observe names
+    are ``y0..y7`` — ``observes()`` returns the classic data dict.
+    forward() returns [mu, tau]."""
+
+    Y = (28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0)
+    SIGMA = (15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0)
+
+    def __init__(self, sigma=None):
+        super().__init__(name="Eight schools (non-centered)")
+        self.sigma = tuple(sigma) if sigma is not None else self.SIGMA
+
+    def observes(self):
+        """The classic dataset as an observe dict."""
+        return {f"y{i}": v for i, v in enumerate(self.Y)}
+
+    def forward(self):
+        mu = sample(Normal(0.0, 5.0), name="mu")
+        tau = sample(HalfCauchy(5.0), name="tau")
+        B = jnp if hasattr(mu, "aval") or isinstance(mu, jnp.ndarray) else np
+        for i, s in enumerate(self.sigma):
+            z = sample(Normal(0.0, 1.0), address=f"z{i}")
+            observe(Normal(mu + tau * z, s), name=f"y{i}")
+        return B.stack([mu, tau])

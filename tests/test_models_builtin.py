@@ -153,3 +153,29 @@ def test_remote_timeout():
     m = pp.RemoteModel("ipc:///tmp/nonexistent_ppx_socket_xyz", timeout_sec=0.5)
     with pytest.raises((TimeoutError, RuntimeError)):
         m.sample()
+
+
+def test_eight_schools_nuts_and_tempered_smc_agree():
+    # the canonical hierarchical benchmark (non-centered): NUTS and
+    # tempered SMC agree with each other and with the published Stan
+    # anchors (mu ~ 4.4 +- 3.3, tau ~ 3.6 under HalfCauchy(5))
+    from pyprob_tpu.models import EightSchools
+
+    import numpy as np
+
+    m = EightSchools()
+    obs = m.observes()
+    assert obs["y0"] == 28.0 and len(obs) == 8
+    nuts = m.posterior_results(
+        num_traces=20000, observe=obs,
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER,
+    )
+    mu_mean, tau_mean = np.asarray(nuts.mean, np.float64)
+    assert 3.2 < mu_mean < 5.6
+    assert 2.2 < tau_mean < 5.2
+    tsmc = m.posterior_results(
+        num_traces=20000, observe=obs,
+        inference_engine=pp.InferenceEngine.TEMPERED_SMC,
+    )
+    diff = np.abs(np.asarray(nuts.mean) - np.asarray(tsmc.mean))
+    assert diff.max() < 0.6, (np.asarray(nuts.mean), np.asarray(tsmc.mean))
