@@ -19,10 +19,14 @@ Wire protocol (JSON over ZMQ REQ/REP):
 
   request:  {"observe": {name: value | [values]},
              "num_samples": k,          # optional posterior draws
-             "num_traces": n}           # optional per-query override
+             "num_traces": n,           # optional per-query override
+             "quantiles": [q...],       # optional weighted quantiles
+             "hpd_mass": m}             # optional HPD interval mass
   reply:    {"ok": true, "mean": ..., "stddev": ..., "ess": ...,
              "log_evidence": ... | null, "latency_s": ...,
-             "samples": [...]}          # present when num_samples > 0
+             "samples": [...],          # present when num_samples > 0
+             "quantiles": [...],        # parallel to the request's qs
+             "hpd": [low, high]}        # present when hpd_mass given
   errors:   {"ok": false, "error": "..."}
 
 A "shutdown" request ({"shutdown": true}) stops the server loop.
@@ -67,11 +71,14 @@ class PosteriorService:
         """Compile the query program for this observe-name set."""
         self.query(observe)
 
-    def query(self, observe, num_samples=0, num_traces=None):
+    def query(self, observe, num_samples=0, num_traces=None, quantiles=None,
+              hpd_mass=None):
         """Run posterior inference for one observation set.
 
-        Returns a dict with posterior summary statistics (and ``samples``
-        when ``num_samples`` > 0).
+        Returns a dict with posterior summary statistics (plus ``samples``
+        when ``num_samples`` > 0, weighted ``quantiles`` for the requested
+        levels, and the shortest credible interval ``hpd`` when
+        ``hpd_mass`` is given).
         """
         if num_traces is not None and int(num_traces) <= 0:
             raise ValueError(f"num_traces must be positive, got {num_traces}")
@@ -106,6 +113,12 @@ class PosteriorService:
                 np.asarray(posterior.sample()).tolist()
                 for _ in range(int(num_samples))
             ]
+        if quantiles is not None:
+            out["quantiles"] = np.atleast_1d(
+                posterior.quantile(list(quantiles))
+            ).tolist()
+        if hpd_mass is not None:
+            out["hpd"] = list(posterior.hpd_interval(float(hpd_mass)))
         return out
 
     @property
@@ -146,6 +159,8 @@ class PosteriorServer:
                 request.get("observe") or {},
                 num_samples=int(request.get("num_samples", 0)),
                 num_traces=request.get("num_traces"),
+                quantiles=request.get("quantiles"),
+                hpd_mass=request.get("hpd_mass"),
             )
             return reply, False
         except Exception as e:
@@ -229,10 +244,15 @@ class PosteriorClient:
         self.close()
         return False
 
-    def query(self, observe, num_samples=0, num_traces=None):
+    def query(self, observe, num_samples=0, num_traces=None, quantiles=None,
+              hpd_mass=None):
         request = {"observe": _jsonable(observe), "num_samples": num_samples}
         if num_traces is not None:
             request["num_traces"] = int(num_traces)
+        if quantiles is not None:
+            request["quantiles"] = [float(q) for q in quantiles]
+        if hpd_mass is not None:
+            request["hpd_mass"] = float(hpd_mass)
         self._socket.send(json.dumps(request).encode())
         reply = json.loads(self._socket.recv())
         if not reply.get("ok"):

@@ -74,3 +74,28 @@ def test_server_client_roundtrip():
         client.close()
         thread.join(timeout=30)
     assert not thread.is_alive()
+
+
+def test_quantiles_and_hpd_over_the_wire():
+    import math
+
+    svc = PosteriorService(GaussianUnknownMean(), num_traces=20000)
+    server = PosteriorServer(svc, f"ipc://@pyprob_tpu_serve_q_{uuid.uuid4()}")
+    server.serve_in_thread()
+    client = PosteriorClient(server.address)
+    try:
+        r = client.query(
+            {"obs0": 8.0, "obs1": 9.0},
+            quantiles=[0.05, 0.5, 0.95],
+            hpd_mass=0.9,
+        )
+        sd = math.sqrt(1 / 1.2)
+        qs = r["quantiles"]
+        assert abs(qs[1] - 7.25) < 0.1
+        assert abs(qs[2] - (7.25 + 1.6449 * sd)) < 0.15
+        lo, hi = r["hpd"]
+        assert abs(lo - (7.25 - 1.6449 * sd)) < 0.15
+        assert abs(hi - (7.25 + 1.6449 * sd)) < 0.15
+    finally:
+        client.shutdown()
+        client.close()
