@@ -18,6 +18,14 @@ been weighted, so redrawing them is exact.  Cost is n_obs forward passes
 Resampling is adaptive: systematic resampling (parallel.collectives)
 triggers only when ESS drops below ``resample_threshold * num_particles``,
 accumulating the standard stratified log-evidence estimate either way.
+
+Caveat on the reported ESS: ``posterior.effective_sample_size`` is the
+standard 1/sum(w^2) of the FINAL weights, which does not see genealogy
+correlation — after a resampling step many particles share ancestors, so
+the statistical accuracy of posterior expectations is lower than the
+final-weight ESS suggests (estimates remain unbiased/consistent; the
+run-to-run spread is what shrinks more slowly).  Use more particles, or
+``Empirical.combine_duplicates`` to inspect support collapse.
 """
 
 from __future__ import annotations

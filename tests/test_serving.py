@@ -79,7 +79,15 @@ def test_server_client_roundtrip():
 def test_quantiles_and_hpd_over_the_wire():
     import math
 
-    svc = PosteriorService(GaussianUnknownMean(), num_traces=20000)
+    # LAPLACE is exact on the Gaussian GUM posterior (constant weights),
+    # so the served tail quantiles are reliable at this particle count
+    # (plain-IS tails at 20k are ESS-starved; SMC's final-weight ESS
+    # overstates accuracy after resampling — genealogy correlation)
+    svc = PosteriorService(
+        GaussianUnknownMean(),
+        num_traces=20000,
+        inference_engine=pp.InferenceEngine.LAPLACE,
+    )
     server = PosteriorServer(svc, f"ipc://@pyprob_tpu_serve_q_{uuid.uuid4()}")
     server.serve_in_thread()
     client = PosteriorClient(server.address)
