@@ -13,6 +13,10 @@ def __getattr__(name):
         from .hmc import vectorized_hmc_posterior
 
         return vectorized_hmc_posterior
+    if name == "GradientChainState":
+        from .hmc import GradientChainState
+
+        return GradientChainState
     if name == "vectorized_nuts_posterior":
         from .nuts import vectorized_nuts_posterior
 

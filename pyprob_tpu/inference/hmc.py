@@ -29,6 +29,7 @@ preconditioned automatically.
 from __future__ import annotations
 
 import time
+import warnings
 
 import numpy as np
 import jax
@@ -335,13 +336,15 @@ def vectorized_hmc_posterior(
     likelihood_importance=1.0,
     mesh=None,
     return_chains=False,
+    initial_state=None,
     args=(),
     kwargs=None,
 ):
     """HMC posterior: C vmapped chains x scanned transitions, one compiled
     dispatch.  Returns an Empirical of ``num_traces`` (uniform-weight)
-    samples with acceptance-rate metadata, or None if the model is not
-    jax-traceable (HMC has no interpreter tier — gradients need XLA)."""
+    samples with acceptance-rate metadata (and ``final_gradient_state``
+    for warm resumes), or None if the model is not jax-traceable (HMC has
+    no interpreter tier — gradients need XLA)."""
     if leapfrog_steps is None:
         leapfrog_steps = 10
     if target_accept is None:
@@ -376,6 +379,7 @@ def vectorized_hmc_posterior(
         return_chains=return_chains,
         args=args,
         kwargs=kwargs,
+        initial_state=initial_state,
     )
 
 
@@ -400,11 +404,16 @@ def _gradient_mcmc_posterior(
     return_chains,
     args,
     kwargs,
+    initial_state=None,
 ):
     """Shared driver for the gradient-based chain engines (HMC, NUTS):
     resolve chain geometry, run the compiled program (which returns kept
-    unconstrained samples plus a stats dict), decode, and materialize an
-    Empirical (or per-chain Empiricals for ``return_chains``)."""
+    unconstrained samples plus a stats dict and the chains' final
+    adaptation state), decode, and materialize an Empirical (or per-chain
+    Empiricals for ``return_chains``).  ``initial_state``: a
+    ``GradientChainState`` from a previous run's
+    ``posterior.final_gradient_state`` — resuming skips warmup by default
+    and reuses the adapted step size / mass matrix."""
     if _TraceabilityCache.known_untraceable(model):
         return None
     if not observe:
@@ -416,14 +425,22 @@ def _gradient_mcmc_posterior(
         from ..parallel import data_parallel_mesh
 
         mesh = data_parallel_mesh()
-    if num_chains is None:
+    if initial_state is not None:
+        if num_chains is not None and num_chains != initial_state.num_chains:
+            warnings.warn(
+                f"num_chains={num_chains} ignored: the warm-start state "
+                f"carries {initial_state.num_chains} chains."
+            )
+        num_chains = initial_state.num_chains
+    elif num_chains is None:
         num_chains = int(min(max(1, num_traces // 256), 1024))
-    if mesh is not None:
+    if mesh is not None and initial_state is None:
         from ..parallel import pad_to_multiple
 
         num_chains = pad_to_multiple(num_chains, mesh.size)
     if burn_in is None:
-        burn_in = 200
+        # warm start: the chains are already equilibrated and adapted
+        burn_in = 0 if initial_state is not None else 200
     if thinning_steps is None:
         thinning_steps = 1
     if step_size is None:
@@ -451,6 +468,20 @@ def _gradient_mcmc_posterior(
             if cacheable:
                 builder_cache[cache_key] = program, decode_fn, sites
 
+        init = None
+        if initial_state is not None:
+            lat_dim = getattr(program, "latent_dim", None)
+            if lat_dim is not None and initial_state.dim != lat_dim:
+                raise RuntimeError(
+                    f"warm-start state has latent dim {initial_state.dim} "
+                    f"but the model's unconstrained space is {lat_dim}-"
+                    f"dimensional"
+                )
+            init = (
+                jnp.asarray(initial_state.z, util.dtype()),
+                jnp.asarray(initial_state.inv_mass, util.dtype()),
+                jnp.asarray(initial_state.step_size, util.dtype()),
+            )
         init_keys = util.next_keys(num_chains)
         chain_keys = util.next_keys(num_chains)
         if mesh is not None:
@@ -459,13 +490,16 @@ def _gradient_mcmc_posterior(
             shard = NamedSharding(mesh, P("dp"))
             init_keys = jax.device_put(init_keys, shard)
             chain_keys = jax.device_put(chain_keys, shard)
-        z_samples, stats = program(
+            if init is not None:
+                init = jax.device_put(init, shard)
+        z_samples, stats, final_adapt = program(
             init_keys,
             chain_keys,
             obs_arrays,
             jnp.asarray(burn_in, jnp.int32),
             jnp.asarray(total_steps, jnp.int32),
             jnp.asarray(step_size, util.dtype()),
+            init,
         )
         # [total_steps, C, ...] -> keep post-burn-in, thinned, then flatten
         # step-major (index = step * C + chain)
@@ -481,6 +515,15 @@ def _gradient_mcmc_posterior(
         outputs = decode_fn(z_kept, decode_keys, obs_arrays)
         host = jax.device_get(outputs)
         stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+        final_state = None
+        if final_adapt is not None:
+            inv_mass_fin, eps_fin = jax.device_get(final_adapt)
+            final_state = GradientChainState(
+                z=np.asarray(jax.device_get(z_samples[-1])),
+                inv_mass=np.asarray(inv_mass_fin),
+                step_size=np.asarray(eps_fin),
+                engine_name=engine_name,
+            )
     except NotImplementedError:
         raise
     except (
@@ -525,6 +568,7 @@ def _gradient_mcmc_posterior(
     emp = materialize_empirical(
         sites, host, n_out, map_func, results_only, file_name
     )
+    emp.final_gradient_state = final_state
 
     duration = time.time() - t0
     emp.rename(
@@ -954,29 +998,68 @@ def _warmup_adapt(da, wf, inv_mass, z, alpha, t, burn_in, target_accept,
     return da, wf, inv_mass
 
 
+class GradientChainState:
+    """Warm-start snapshot of a gradient-engine run (HMC/NUTS): final
+    unconstrained positions, the adapted diagonal mass matrix and the
+    dual-averaged step size of every chain.  Returned as
+    ``posterior.final_gradient_state`` and accepted via
+    ``posterior(..., initial_trace=state)`` — resuming skips warmup
+    (``burn_in`` defaults to 0) and rescoring against a CHANGED
+    observation happens automatically (the potential/gradient at the
+    stored positions are recomputed from the new traced observe values).
+    Plain numpy arrays: pickles to disk."""
+
+    def __init__(self, z, inv_mass, step_size, engine_name):
+        self.z = np.asarray(z)                  # [C, D]
+        self.inv_mass = np.asarray(inv_mass)    # [C, D]
+        self.step_size = np.asarray(step_size)  # [C]
+        self.engine_name = engine_name
+
+    @property
+    def num_chains(self):
+        return int(self.z.shape[0])
+
+    @property
+    def dim(self):
+        return int(self.z.shape[1])
+
+    def __repr__(self):
+        return (
+            f"GradientChainState({self.engine_name}, chains="
+            f"{self.num_chains}, dim={self.dim}, mean step size "
+            f"{float(np.mean(self.step_size)):.4g})"
+        )
+
+
 def _make_program_dispatch(program):
-    """Per-total_steps jit cache: scan lengths must be static, so each
-    distinct total_steps compiles its own program (closing over the
-    python int).  ``program(init_keys, chain_keys, obs, burn_in,
-    total_steps:int, eps0)`` must treat total_steps as static."""
+    """Per-(total_steps, warm) jit cache: scan lengths must be static, so
+    each distinct total_steps compiles its own program (closing over the
+    python int); the warm-start variant (``init`` carried positions/mass/
+    step size) has a different argument structure and compiles separately.
+    ``program(init_keys, chain_keys, obs, burn_in, total_steps:int, eps0,
+    init)`` must treat total_steps as static."""
     cache = {}
 
-    def dispatch(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+    def dispatch(init_keys, chain_keys, obs, burn_in, total_steps, eps0,
+                 init=None):
         n = int(total_steps)
-        if n not in cache:
+        key = (n, init is not None)
+        if key not in cache:
 
-            def jitted(init_keys, chain_keys, obs, burn_in, eps0, _n=n):
+            def jitted(init_keys, chain_keys, obs, burn_in, eps0, init,
+                       _n=n):
                 return program(
-                    init_keys, chain_keys, obs, burn_in, _n, eps0
+                    init_keys, chain_keys, obs, burn_in, _n, eps0, init
                 )
 
-            cache[n] = jax.jit(jitted)
-        return cache[n](
+            cache[key] = jax.jit(jitted, static_argnames=())
+        return cache[key](
             init_keys,
             chain_keys,
             obs,
             jnp.asarray(int(burn_in), jnp.int32),
             eps0,
+            init,
         )
 
     return dispatch
@@ -1045,29 +1128,41 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
 
         return chain_step
 
-    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0,
+                init=None):
         chain_step = make_chain_step(obs, burn_in)
-        z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
+        if init is None:
+            z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
+            C = z0.shape[0]
+            inv_mass0 = jnp.ones((C, dim), util.dtype())
+            eps0_chain = jnp.full((C,), eps0, util.dtype())
+        else:
+            # warm start: stored positions/mass/step size; the potential
+            # and gradient recompute below, so a changed observation is
+            # rescored automatically
+            z0, inv_mass0, eps0_chain = init
         u0 = jax.vmap(potential, in_axes=(0, None))(z0, obs)
         g0 = jax.vmap(grad_potential, in_axes=(0, None))(z0, obs)
 
-        def one_chain(z, u, g, key):
+        def one_chain(z, u, g, key, inv_mass_init, eps_init):
             carry0 = (
                 z,
                 u,
                 g,
-                _da_init(eps0),
-                jnp.ones((dim,), util.dtype()),
+                _da_init(eps_init),
+                inv_mass_init,
                 _welford_init(dim),
                 key,
                 jnp.zeros((), util.dtype()),
             )
-            (_, _, _, da, _, _, _, acc_sum), zs = jax.lax.scan(
+            (_, _, _, da, inv_mass_fin, _, _, acc_sum), zs = jax.lax.scan(
                 chain_step, carry0, jnp.arange(total_steps)
             )
-            return zs, acc_sum, jnp.exp(da[2])
+            return zs, acc_sum, jnp.exp(da[2]), inv_mass_fin
 
-        zs, acc_sums, final_eps = jax.vmap(one_chain)(z0, u0, g0, chain_keys)
+        zs, acc_sums, final_eps, inv_mass_fin = jax.vmap(one_chain)(
+            z0, u0, g0, chain_keys, inv_mass0, eps0_chain
+        )
         # zs: [C, T, D] -> [T, C, D]
         zs = jnp.swapaxes(zs, 0, 1)
         post_steps = jnp.maximum(total_steps - burn_in, 1)
@@ -1075,7 +1170,9 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
         return zs, {
             "acceptance_rate": accept_rate,
             "final_step_size": jnp.mean(final_eps),
-        }
+        }, (inv_mass_fin, final_eps)
 
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
-    return _make_program_dispatch(program), decode_fn, sites
+    dispatch = _make_program_dispatch(program)
+    dispatch.latent_dim = dim
+    return dispatch, decode_fn, sites

@@ -69,13 +69,15 @@ def vectorized_nuts_posterior(
     likelihood_importance=1.0,
     mesh=None,
     return_chains=False,
+    initial_state=None,
     args=(),
     kwargs=None,
 ):
     """NUTS posterior: C vmapped chains x scanned transitions, one
     compiled dispatch.  Returns an Empirical of ``num_traces``
     (uniform-weight) samples with acceptance/tree-depth/divergence
-    metadata, or None if the model is not jax-traceable."""
+    metadata (and ``final_gradient_state`` for warm resumes), or None if
+    the model is not jax-traceable."""
     if max_tree_depth is None:
         max_tree_depth = 10
     if target_accept is None:
@@ -110,6 +112,7 @@ def vectorized_nuts_posterior(
         return_chains=return_chains,
         args=args,
         kwargs=kwargs,
+        initial_state=initial_state,
     )
 
 
@@ -376,32 +379,48 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
 
         return chain_step
 
-    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0,
+                init=None):
         chain_step = make_chain_step(obs, burn_in)
-        z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
+        if init is None:
+            z0 = jax.vmap(encode_single, in_axes=(0, None))(init_keys, obs)
+            C = z0.shape[0]
+            inv_mass0 = jnp.ones((C, dim), f32)
+            eps0_chain = jnp.full((C,), eps0, f32)
+        else:
+            # warm start (GradientChainState): stored positions/mass/step
+            # size; potential/gradient recompute, so a changed observation
+            # is rescored automatically
+            z0, inv_mass0, eps0_chain = init
         u0 = jax.vmap(potential, in_axes=(0, None))(z0, obs)
         g0 = jax.vmap(grad_potential, in_axes=(0, None))(z0, obs)
 
-        def one_chain(z, u, g, key):
+        def one_chain(z, u, g, key, inv_mass_init, eps_init):
             carry0 = (
                 z,
                 u,
                 g,
-                _da_init(eps0),
-                jnp.ones((dim,), f32),
+                _da_init(eps_init),
+                inv_mass_init,
                 _welford_init(dim),
                 key,
                 jnp.zeros((), f32),
                 jnp.zeros((), f32),
                 jnp.zeros((), f32),
             )
-            (_, _, _, da, _, _, _, acc_sum, depth_sum, div_sum), zs = (
-                jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
+            (
+                (_, _, _, da, inv_mass_fin, _, _, acc_sum, depth_sum,
+                 div_sum),
+                zs,
+            ) = jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
+            return (
+                zs, acc_sum, depth_sum, div_sum, jnp.exp(da[2]),
+                inv_mass_fin,
             )
-            return zs, acc_sum, depth_sum, div_sum, jnp.exp(da[2])
 
-        zs, acc_sums, depth_sums, div_sums, final_eps = jax.vmap(one_chain)(
-            z0, u0, g0, chain_keys
+        zs, acc_sums, depth_sums, div_sums, final_eps, inv_mass_fin = (
+            jax.vmap(one_chain)(z0, u0, g0, chain_keys, inv_mass0,
+                                eps0_chain)
         )
         zs = jnp.swapaxes(zs, 0, 1)  # [C, T, D] -> [T, C, D]
         post_steps = jnp.maximum(total_steps - burn_in, 1)
@@ -410,7 +429,9 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
             "final_step_size": jnp.mean(final_eps),
             "mean_tree_depth": jnp.mean(depth_sums) / post_steps,
             "divergences": jnp.sum(div_sums),
-        }
+        }, (inv_mass_fin, final_eps)
 
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
-    return _make_program_dispatch(program), decode_fn, sites
+    dispatch = _make_program_dispatch(program)
+    dispatch.latent_dim = dim
+    return dispatch, decode_fn, sites

@@ -261,7 +261,13 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
 
         return chain_step
 
-    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0):
+    def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0,
+                init=None):
+        if init is not None:
+            raise NotImplementedError(
+                "PARALLEL_TEMPERING does not support warm-start "
+                "GradientChainState (replica-ladder state; use HMC/NUTS)"
+            )
         chain_step = make_chain_step(obs, burn_in)
         C = init_keys.shape[0]
         # independent prior inits for every replica of every ensemble
@@ -309,7 +315,7 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             "final_step_size": jnp.mean(final_eps),
             "swap_acceptance_rate": jnp.sum(swap_sums)
             / jnp.maximum(jnp.sum(swap_ns), 1.0),
-        }
+        }, None
 
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
     return _make_program_dispatch(program), decode_fn, sites

@@ -1432,28 +1432,45 @@ def vectorized_posterior(
             args=args,
             kwargs=kwargs,
         )
-    if inference_engine == InferenceEngine.NO_U_TURN_SAMPLER:
-        from .inference.nuts import vectorized_nuts_posterior
+    if inference_engine in (
+        InferenceEngine.NO_U_TURN_SAMPLER,
+        InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+    ):
+        # initial_trace doubles as the warm-start slot for the gradient
+        # engines: a GradientChainState from final_gradient_state
+        gradient_state = None
+        if initial_trace is not None:
+            from .inference.hmc import GradientChainState
 
-        return vectorized_nuts_posterior(
-            model,
-            num_traces=num_traces,
-            observe=observe,
-            map_func=map_func,
-            file_name=file_name,
-            num_chains=num_chains,
-            burn_in=burn_in,
-            thinning_steps=thinning_steps,
-            max_tree_depth=max_tree_depth,
-            target_accept=target_accept,
-            step_size=step_size,
-            likelihood_importance=likelihood_importance,
-            mesh=mesh,
-            return_chains=return_chains,
-            args=args,
-            kwargs=kwargs,
-        )
-    if inference_engine == InferenceEngine.HAMILTONIAN_MONTE_CARLO:
+            if not isinstance(initial_trace, GradientChainState):
+                raise RuntimeError(
+                    f"{inference_engine.name} resumes from a "
+                    "GradientChainState (posterior.final_gradient_state), "
+                    f"got {type(initial_trace).__name__}"
+                )
+            gradient_state = initial_trace
+        if inference_engine == InferenceEngine.NO_U_TURN_SAMPLER:
+            from .inference.nuts import vectorized_nuts_posterior
+
+            return vectorized_nuts_posterior(
+                model,
+                num_traces=num_traces,
+                observe=observe,
+                map_func=map_func,
+                file_name=file_name,
+                num_chains=num_chains,
+                burn_in=burn_in,
+                thinning_steps=thinning_steps,
+                max_tree_depth=max_tree_depth,
+                target_accept=target_accept,
+                step_size=step_size,
+                likelihood_importance=likelihood_importance,
+                mesh=mesh,
+                return_chains=return_chains,
+                initial_state=gradient_state,
+                args=args,
+                kwargs=kwargs,
+            )
         from .inference.hmc import vectorized_hmc_posterior
 
         return vectorized_hmc_posterior(
@@ -1471,6 +1488,7 @@ def vectorized_posterior(
             likelihood_importance=likelihood_importance,
             mesh=mesh,
             return_chains=return_chains,
+            initial_state=gradient_state,
             args=args,
             kwargs=kwargs,
         )
