@@ -662,12 +662,18 @@ def summary(chains):
     x = _chain_matrix(chains)
     flat = x.reshape(-1)
     q5, q50, q95 = np.quantile(flat, [0.05, 0.5, 0.95])
+    from .distributions import Empirical
+
+    hpd_lo, hpd_hi = Empirical.from_arrays(
+        flat, np.zeros(flat.shape[0])
+    ).hpd_interval(0.9)
     return {
         "mean": float(flat.mean()),
         "sd": float(flat.std(ddof=1)),
         "q5": float(q5),
         "median": float(q50),
         "q95": float(q95),
+        "hpd90": (hpd_lo, hpd_hi),
         "r_hat": float(split_rhat(chains)),
         "ess_bulk": float(effective_sample_size_chains(chains, "bulk")),
         "ess_tail": float(effective_sample_size_chains(chains, "tail")),
@@ -681,11 +687,13 @@ def summary_str(chains):
     s = summary(chains)
     header = (
         f"{'mean':>9s} {'sd':>8s} {'5%':>8s} {'50%':>8s} {'95%':>8s} "
+        f"{'hpd90':>19s} "
         f"{'r_hat':>7s} {'ess_bulk':>9s} {'ess_tail':>9s}"
     )
+    hpd = f"[{s['hpd90'][0]:8.3f},{s['hpd90'][1]:8.3f}]"
     row = (
         f"{s['mean']:9.3f} {s['sd']:8.3f} {s['q5']:8.3f} "
-        f"{s['median']:8.3f} {s['q95']:8.3f} {s['r_hat']:7.3f} "
+        f"{s['median']:8.3f} {s['q95']:8.3f} {hpd:>19s} {s['r_hat']:7.3f} "
         f"{s['ess_bulk']:9.0f} {s['ess_tail']:9.0f}"
     )
     return (

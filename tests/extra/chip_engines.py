@@ -47,6 +47,9 @@ def main():
         ("PT (K=8)", pp.InferenceEngine.PARALLEL_TEMPERING, {}),
         ("tempered SMC", pp.InferenceEngine.TEMPERED_SMC, {}),
         ("VI meanfield", pp.InferenceEngine.VARIATIONAL_INFERENCE, {}),
+        ("Laplace", pp.InferenceEngine.LAPLACE, {}),
+        ("SVGD", pp.InferenceEngine.STEIN_VARIATIONAL_GRADIENT_DESCENT,
+         {"svgd_particles": 1024}),
     ]
     print(f"{'engine':14s} {'samples/s':>12s}  (n={n:,}, warm, one dispatch)")
     for label, engine, kw in configs:
