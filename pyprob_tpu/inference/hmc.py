@@ -477,6 +477,14 @@ def _gradient_mcmc_posterior(
                     f"but the model's unconstrained space is {lat_dim}-"
                     f"dimensional"
                 )
+            rank = getattr(program, "state_rank", None)
+            if rank is not None and initial_state.z.ndim != rank:
+                raise RuntimeError(
+                    f"warm-start state rank {initial_state.z.ndim} does "
+                    f"not fit {engine_name} (expects rank {rank}: PT "
+                    "carries a replica ladder [C, K, D]; HMC/NUTS carry "
+                    "[C, D])"
+                )
             init = (
                 jnp.asarray(initial_state.z, util.dtype()),
                 jnp.asarray(initial_state.inv_mass, util.dtype()),
@@ -517,9 +525,9 @@ def _gradient_mcmc_posterior(
         stats = {k: float(v) for k, v in jax.device_get(stats).items()}
         final_state = None
         if final_adapt is not None:
-            inv_mass_fin, eps_fin = jax.device_get(final_adapt)
+            z_fin, inv_mass_fin, eps_fin = jax.device_get(final_adapt)
             final_state = GradientChainState(
-                z=np.asarray(jax.device_get(z_samples[-1])),
+                z=np.asarray(z_fin),
                 inv_mass=np.asarray(inv_mass_fin),
                 step_size=np.asarray(eps_fin),
                 engine_name=engine_name,
@@ -1010,9 +1018,11 @@ class GradientChainState:
     Plain numpy arrays: pickles to disk."""
 
     def __init__(self, z, inv_mass, step_size, engine_name):
-        self.z = np.asarray(z)                  # [C, D]
-        self.inv_mass = np.asarray(inv_mass)    # [C, D]
-        self.step_size = np.asarray(step_size)  # [C]
+        # HMC/NUTS: z/inv_mass [C, D], step_size [C].  PT ensembles carry
+        # the full replica ladder: z/inv_mass [C, K, D], step_size [C, K].
+        self.z = np.asarray(z)
+        self.inv_mass = np.asarray(inv_mass)
+        self.step_size = np.asarray(step_size)
         self.engine_name = engine_name
 
     @property
@@ -1021,7 +1031,7 @@ class GradientChainState:
 
     @property
     def dim(self):
-        return int(self.z.shape[1])
+        return int(self.z.shape[-1])
 
     def __repr__(self):
         return (
@@ -1155,12 +1165,12 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
                 key,
                 jnp.zeros((), util.dtype()),
             )
-            (_, _, _, da, inv_mass_fin, _, _, acc_sum), zs = jax.lax.scan(
-                chain_step, carry0, jnp.arange(total_steps)
+            (z_fin, _, _, da, inv_mass_fin, _, _, acc_sum), zs = (
+                jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
             )
-            return zs, acc_sum, jnp.exp(da[2]), inv_mass_fin
+            return zs, acc_sum, jnp.exp(da[2]), z_fin, inv_mass_fin
 
-        zs, acc_sums, final_eps, inv_mass_fin = jax.vmap(one_chain)(
+        zs, acc_sums, final_eps, z_fin, inv_mass_fin = jax.vmap(one_chain)(
             z0, u0, g0, chain_keys, inv_mass0, eps0_chain
         )
         # zs: [C, T, D] -> [T, C, D]
@@ -1170,9 +1180,10 @@ def _build_hmc(model, obs_arrays, likelihood_importance, leapfrog_steps,
         return zs, {
             "acceptance_rate": accept_rate,
             "final_step_size": jnp.mean(final_eps),
-        }, (inv_mass_fin, final_eps)
+        }, (z_fin, inv_mass_fin, final_eps)
 
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
     dispatch = _make_program_dispatch(program)
     dispatch.latent_dim = dim
+    dispatch.state_rank = 2  # warm-start state: z [C, D]
     return dispatch, decode_fn, sites

@@ -409,16 +409,17 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
                 jnp.zeros((), f32),
             )
             (
-                (_, _, _, da, inv_mass_fin, _, _, acc_sum, depth_sum,
+                (z_fin, _, _, da, inv_mass_fin, _, _, acc_sum, depth_sum,
                  div_sum),
                 zs,
             ) = jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
             return (
-                zs, acc_sum, depth_sum, div_sum, jnp.exp(da[2]),
+                zs, acc_sum, depth_sum, div_sum, jnp.exp(da[2]), z_fin,
                 inv_mass_fin,
             )
 
-        zs, acc_sums, depth_sums, div_sums, final_eps, inv_mass_fin = (
+        (zs, acc_sums, depth_sums, div_sums, final_eps, z_fin,
+         inv_mass_fin) = (
             jax.vmap(one_chain)(z0, u0, g0, chain_keys, inv_mass0,
                                 eps0_chain)
         )
@@ -429,9 +430,10 @@ def _build_nuts(model, obs_arrays, likelihood_importance, max_tree_depth,
             "final_step_size": jnp.mean(final_eps),
             "mean_tree_depth": jnp.mean(depth_sums) / post_steps,
             "divergences": jnp.sum(div_sums),
-        }, (inv_mass_fin, final_eps)
+        }, (z_fin, inv_mass_fin, final_eps)
 
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
     dispatch = _make_program_dispatch(program)
     dispatch.latent_dim = dim
+    dispatch.state_rank = 2  # warm-start state: z [C, D]
     return dispatch, decode_fn, sites

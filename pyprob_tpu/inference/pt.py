@@ -67,6 +67,7 @@ def vectorized_pt_posterior(
     likelihood_importance=1.0,
     mesh=None,
     return_chains=False,
+    initial_state=None,
     args=(),
     kwargs=None,
 ):
@@ -85,9 +86,10 @@ def vectorized_pt_posterior(
         leapfrog_steps = 10
     if target_accept is None:
         target_accept = 0.75
-    if num_chains is None:
+    if num_chains is None and initial_state is None:
         # ensembles cost K replica moves per kept sample — default to
-        # fewer, longer chains than plain HMC
+        # fewer, longer chains than plain HMC (warm starts take their
+        # ensemble count from the state)
         num_chains = int(min(max(1, num_traces // 1024), 256))
     return _gradient_mcmc_posterior(
         model=model,
@@ -127,6 +129,7 @@ def vectorized_pt_posterior(
         return_chains=return_chains,
         args=args,
         kwargs=kwargs,
+        initial_state=initial_state,
     )
 
 
@@ -263,19 +266,21 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
 
     def program(init_keys, chain_keys, obs, burn_in, total_steps, eps0,
                 init=None):
-        if init is not None:
-            raise NotImplementedError(
-                "PARALLEL_TEMPERING does not support warm-start "
-                "GradientChainState (replica-ladder state; use HMC/NUTS)"
-            )
         chain_step = make_chain_step(obs, burn_in)
-        C = init_keys.shape[0]
-        # independent prior inits for every replica of every ensemble
-        all_init = jax.vmap(
-            lambda k: jax.vmap(encode_single, in_axes=(0, None))(
-                jax.random.split(k, K), obs
-            )
-        )(init_keys)  # [C, K, D]
+        if init is None:
+            C = init_keys.shape[0]
+            # independent prior inits for every replica of every ensemble
+            all_init = jax.vmap(
+                lambda k: jax.vmap(encode_single, in_axes=(0, None))(
+                    jax.random.split(k, K), obs
+                )
+            )(init_keys)  # [C, K, D]
+            inv_mass0 = jnp.ones((C, K, dim), f32)
+            eps0_rep = jnp.full((C, K), eps0, f32)
+        else:
+            # warm start: the stored replica ladder; LP/LL/G recompute, so
+            # a changed observation is rescored automatically
+            all_init, inv_mass0, eps0_rep = init
 
         LP0, LL0 = jax.vmap(
             jax.vmap(potential_parts, in_axes=(0, None)), in_axes=(0, None)
@@ -286,36 +291,45 @@ def _build_pt(model, obs_arrays, likelihood_importance, num_temperatures,
             )
         )(all_init)
 
-        def one_ensemble(Z, LP, LL, G, key):
+        def one_ensemble(Z, LP, LL, G, key, inv_mass_init, eps_init):
             carry0 = (
                 Z,
                 LP,
                 LL,
                 G,
-                jax.vmap(lambda _: _da_init(eps0))(jnp.arange(K)),
-                jnp.ones((K, dim), f32),
+                jax.vmap(_da_init)(eps_init),
+                inv_mass_init,
                 jax.vmap(lambda _: _welford_init(dim))(jnp.arange(K)),
                 key,
                 jnp.zeros((), f32),
                 jnp.zeros((), f32),
                 jnp.zeros((), f32),
             )
-            (_, _, _, _, da, _, _, _, acc_sum, swap_sum, swap_n), zs = (
-                jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
+            (
+                (Z_fin, _, _, _, da, inv_mass_fin, _, _, acc_sum, swap_sum,
+                 swap_n),
+                zs,
+            ) = jax.lax.scan(chain_step, carry0, jnp.arange(total_steps))
+            return (
+                zs, acc_sum, swap_sum, swap_n, jnp.exp(da[2]), Z_fin,
+                inv_mass_fin,
             )
-            return zs, acc_sum, swap_sum, swap_n, jnp.exp(da[2][K - 1])
 
-        zs, acc_sums, swap_sums, swap_ns, final_eps = jax.vmap(
-            one_ensemble
-        )(all_init, LP0, LL0, G0, chain_keys)
+        (zs, acc_sums, swap_sums, swap_ns, final_eps, Z_fin,
+         inv_mass_fin) = jax.vmap(one_ensemble)(
+            all_init, LP0, LL0, G0, chain_keys, inv_mass0, eps0_rep
+        )
         zs = jnp.swapaxes(zs, 0, 1)  # [C, T, D] -> [T, C, D]
         post_steps = jnp.maximum(total_steps - burn_in, 1)
         return zs, {
             "acceptance_rate": jnp.mean(acc_sums) / post_steps,
-            "final_step_size": jnp.mean(final_eps),
+            "final_step_size": jnp.mean(final_eps[:, K - 1]),
             "swap_acceptance_rate": jnp.sum(swap_sums)
             / jnp.maximum(jnp.sum(swap_ns), 1.0),
-        }, None
+        }, (Z_fin, inv_mass_fin, final_eps)
 
     decode_fn = jax.jit(jax.vmap(decode_single, in_axes=(0, 0, None)))
-    return _make_program_dispatch(program), decode_fn, sites
+    dispatch = _make_program_dispatch(program)
+    dispatch.latent_dim = dim
+    dispatch.state_rank = 3  # warm-start ladder: z [C, K, D]
+    return dispatch, decode_fn, sites

@@ -269,8 +269,13 @@ class Model:
         *args,
         **kwargs,
     ):
-        """num_chains / burn_in / return_chains configure the compiled MCMC
-        tier (vmapped parallel chains, pyprob_tpu.inference.mcmc);
+        """initial_trace resumes chains: a Trace or ChainState for LMH/RMH
+        (pyprob_tpu.inference.mcmc) or a GradientChainState
+        (posterior.final_gradient_state) for HMC/NUTS — gradient resumes
+        skip warmup and rescore automatically when the observation
+        changed.  num_chains / burn_in / return_chains configure the
+        compiled MCMC tier (vmapped parallel chains,
+        pyprob_tpu.inference.mcmc);
         resample_threshold configures the SMC engines
         (pyprob_tpu.inference.smc); vi_steps / vi_particles / guide /
         learning_rate configure the VARIATIONAL_INFERENCE engine

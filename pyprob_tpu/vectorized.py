@@ -1413,6 +1413,17 @@ def vectorized_posterior(
     if inference_engine == InferenceEngine.PARALLEL_TEMPERING:
         from .inference.pt import vectorized_pt_posterior
 
+        pt_state = None
+        if initial_trace is not None:
+            from .inference.hmc import GradientChainState
+
+            if not isinstance(initial_trace, GradientChainState):
+                raise RuntimeError(
+                    "PARALLEL_TEMPERING resumes from a GradientChainState "
+                    "(posterior.final_gradient_state), got "
+                    f"{type(initial_trace).__name__}"
+                )
+            pt_state = initial_trace
         return vectorized_pt_posterior(
             model,
             num_traces=num_traces,
@@ -1429,6 +1440,7 @@ def vectorized_posterior(
             likelihood_importance=likelihood_importance,
             mesh=mesh,
             return_chains=return_chains,
+            initial_state=pt_state,
             args=args,
             kwargs=kwargs,
         )

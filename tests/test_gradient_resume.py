@@ -115,3 +115,39 @@ def test_resume_validation_errors():
             inference_engine=pp.InferenceEngine.HAMILTONIAN_MONTE_CARLO,
             initial_trace=state,
         )
+
+
+def test_pt_resume_replica_ladder():
+    m = GaussianUnknownMean()
+    pt = pp.InferenceEngine.PARALLEL_TEMPERING
+    post = m.posterior_results(
+        num_traces=4000, observe=OBS, inference_engine=pt, num_chains=16,
+        num_temperatures=4,
+    )
+    state = post.final_gradient_state
+    assert state.z.ndim == 3 and state.z.shape[1:] == (4, 1)
+    assert state.step_size.shape == (16, 4)
+    post2 = m.posterior_results(
+        num_traces=4000, observe=OBS, inference_engine=pt,
+        num_temperatures=4, initial_trace=state,
+    )
+    assert abs(float(post2.mean) - TRUE_MEAN) < 0.2
+    assert post2._metadata[-1]["burn_in"] == 0
+    # rank mismatch: an HMC state cannot warm-start PT and vice versa
+    hmc_post = m.posterior_results(
+        num_traces=1000, observe=OBS,
+        inference_engine=pp.InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+        num_chains=8,
+    )
+    with pytest.raises(RuntimeError, match="rank"):
+        m.posterior_results(
+            num_traces=100, observe=OBS, inference_engine=pt,
+            num_temperatures=4,
+            initial_trace=hmc_post.final_gradient_state,
+        )
+    with pytest.raises(RuntimeError, match="rank"):
+        m.posterior_results(
+            num_traces=100, observe=OBS,
+            inference_engine=pp.InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+            initial_trace=state,
+        )
