@@ -96,6 +96,28 @@ def main():
     print(f"NUTS diagnostics: split-R-hat {rhat:.4f}, "
           f"bulk-ESS {bulk:,.0f}, tail-ESS {tail:,.0f}")
 
+    # warm-start resume: the adapted state answers a NEW observation
+    # without re-running warmup (amortized MCMC serving)
+    import time as _t
+
+    nuts = pp.InferenceEngine.NO_U_TURN_SAMPLER
+    post = model.posterior_results(
+        num_traces=N, observe=observe, inference_engine=nuts, num_chains=64
+    )
+    new_obs = {"y": -1.0}
+    ref2 = model.posterior_results(num_traces=400000, observe=new_obs)
+    t0 = _t.time()
+    warm = model.posterior_results(
+        num_traces=N,
+        observe=new_obs,
+        inference_engine=nuts,
+        initial_trace=post.final_gradient_state,
+        burn_in=50,
+    )
+    print(f"warm NUTS on a new observation: mean {float(warm.mean):+.4f} "
+          f"(IS reference {float(ref2.mean):+.4f}) in {_t.time() - t0:.2f}s,"
+          f" no warmup")
+
 
 if __name__ == "__main__":
     main()
