@@ -13,6 +13,9 @@ from .models import (
     MiniCaptcha,
     VariableLengthGaussian,
     EightSchools,
+    BayesianLinearRegression,
+    BayesianLogisticRegression,
+    GaussianProcessRegression,
 )
 
 __all__ = [
@@ -25,4 +28,7 @@ __all__ = [
     "MiniCaptcha",
     "VariableLengthGaussian",
     "EightSchools",
+    "BayesianLinearRegression",
+    "BayesianLogisticRegression",
+    "GaussianProcessRegression",
 ]

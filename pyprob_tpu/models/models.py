@@ -368,3 +368,252 @@ class EightSchools(Model):
             z = sample(Normal(0.0, 1.0), address=f"z{i}")
             observe(Normal(mu + tau * z, s), name=f"y{i}")
         return B.stack([mu, tau])
+
+
+class BayesianLinearRegression(Model):
+    """Bayesian linear regression with known noise: w_j ~ N(0, tau^2) per
+    coefficient (sites ``w0..w{D-1}``), y ~ N(X w, sigma^2 I) observed as
+    ONE vector observe ``y`` — the whole likelihood is a single [N,D]@[D]
+    matmul per particle, so vmapped particle batches tile onto the MXU.
+    Conjugate: the exact posterior is Gaussian (``true_posterior()``), so
+    the Laplace engine is exact on this family and every other engine can
+    be validated against closed-form moments.  (Reference pyprob ships no
+    regression family; model-family parity anchors live in
+    reference tests/test_inference.py.)"""
+
+    def __init__(self, X, prior_stddev=1.0, noise_stddev=0.5):
+        super().__init__(name="Bayesian linear regression")
+        self.X = np.asarray(X, dtype=np.float64)
+        if self.X.ndim != 2:
+            raise ValueError("X must be [num_data, num_features]")
+        self.num_data, self.num_features = self.X.shape
+        self.prior_stddev = float(prior_stddev)
+        self.noise_stddev = float(noise_stddev)
+        self._Xj = jnp.asarray(self.X, dtype=jnp.float32)
+
+    def forward(self):
+        ws = [
+            sample(Normal(0.0, self.prior_stddev), address=f"w{j}")
+            for j in range(self.num_features)
+        ]
+        B = jnp if any(hasattr(w, "aval") for w in ws) else np
+        w = B.stack(ws)
+        Xm = self._Xj if B is jnp else self.X
+        observe(Normal(Xm @ w, self.noise_stddev), name="y")
+        return w
+
+    def true_posterior(self, y):
+        """Exact Gaussian posterior: mean vector and covariance matrix."""
+        y = np.asarray(y, dtype=np.float64)
+        prec = self.X.T @ self.X / self.noise_stddev**2 + np.eye(
+            self.num_features
+        ) / self.prior_stddev**2
+        cov = np.linalg.inv(prec)
+        mean = cov @ (self.X.T @ y) / self.noise_stddev**2
+        return mean, cov
+
+    def synthesize(self, w_true, rng=None):
+        """Draw a dataset y = X w_true + noise (host numpy)."""
+        rng = np.random.default_rng(rng)
+        return self.X @ np.asarray(w_true, dtype=np.float64) + rng.normal(
+            0.0, self.noise_stddev, size=self.num_data
+        )
+
+
+class BayesianLogisticRegression(Model):
+    """Bayesian logistic regression: w_j ~ N(0, tau^2), y ~
+    Bernoulli(sigmoid(X w)) observed as one vector observe ``y``.  No
+    conjugate posterior; ``true_posterior_moments()`` grid-integrates the
+    exact posterior for num_features <= 2 to validate the gradient
+    engines on a non-Gaussian (but log-concave) target."""
+
+    def __init__(self, X, prior_stddev=2.0):
+        super().__init__(name="Bayesian logistic regression")
+        self.X = np.asarray(X, dtype=np.float64)
+        if self.X.ndim != 2:
+            raise ValueError("X must be [num_data, num_features]")
+        self.num_data, self.num_features = self.X.shape
+        self.prior_stddev = float(prior_stddev)
+        self._Xj = jnp.asarray(self.X, dtype=jnp.float32)
+
+    def forward(self):
+        from ..distributions import Bernoulli
+
+        ws = [
+            sample(Normal(0.0, self.prior_stddev), address=f"w{j}")
+            for j in range(self.num_features)
+        ]
+        B = jnp if any(hasattr(w, "aval") for w in ws) else np
+        w = B.stack(ws)
+        Xm = self._Xj if B is jnp else self.X
+        observe(Bernoulli(logits=Xm @ w), name="y")
+        return w
+
+    def _log_post(self, w, y):
+        logits = self.X @ w
+        loglik = np.sum(y * logits - np.logaddexp(0.0, logits))
+        logprior = -0.5 * np.sum(w**2) / self.prior_stddev**2
+        return loglik + logprior
+
+    def true_posterior_moments(self, y, lim=8.0, n=401):
+        """Grid-integrated exact posterior mean/stddev per coefficient
+        (num_features <= 2 only)."""
+        y = np.asarray(y, dtype=np.float64)
+        grid = np.linspace(-lim, lim, n)
+        if self.num_features == 1:
+            lp = np.array([self._log_post(np.array([g]), y) for g in grid])
+            p = np.exp(lp - lp.max())
+            p /= p.sum()
+            mean = float(np.sum(p * grid))
+            var = float(np.sum(p * (grid - mean) ** 2))
+            return np.array([mean]), np.array([math.sqrt(var)])
+        if self.num_features == 2:
+            G0, G1 = np.meshgrid(grid, grid, indexing="ij")
+            lp = np.empty_like(G0)
+            for i in range(n):
+                for j in range(n):
+                    lp[i, j] = self._log_post(
+                        np.array([G0[i, j], G1[i, j]]), y
+                    )
+            p = np.exp(lp - lp.max())
+            p /= p.sum()
+            means = np.array([np.sum(p * G0), np.sum(p * G1)])
+            stds = np.array(
+                [
+                    math.sqrt(np.sum(p * (G0 - means[0]) ** 2)),
+                    math.sqrt(np.sum(p * (G1 - means[1]) ** 2)),
+                ]
+            )
+            return means, stds
+        raise ValueError("grid ground truth implemented for D <= 2")
+
+    def synthesize(self, w_true, rng=None):
+        rng = np.random.default_rng(rng)
+        p = 1.0 / (1.0 + np.exp(-(self.X @ np.asarray(w_true, np.float64))))
+        return (rng.uniform(size=self.num_data) < p).astype(np.float64)
+
+
+class GaussianProcessRegression(Model):
+    """GP regression with the latent function marginalized out: the
+    latents are the kernel hyperparameters (log-lengthscale,
+    log-amplitude, log-noise — any subset learnable, the rest fixed) and
+    the likelihood is one MultivariateNormal observe ``y`` over the full
+    dataset, y ~ N(0, amp^2 exp(-d^2/2ell^2) + noise^2 I).  Each particle
+    builds an [N,N] kernel and factorizes it — Cholesky + triangular
+    solve, the MXU/VPU-dense showcase model of the built-in set.  The
+    exact single-hyperparameter posterior is available by grid
+    integration (``true_posterior_moments``)."""
+
+    LEARNABLE = ("lengthscale", "amplitude", "noise")
+
+    def __init__(
+        self,
+        x,
+        learn=("lengthscale",),
+        lengthscale=1.0,
+        amplitude=1.0,
+        noise=0.1,
+        prior_mean=0.0,
+        prior_stddev=1.0,
+    ):
+        super().__init__(name="GP regression (marginal likelihood)")
+        self.x = np.asarray(x, dtype=np.float64).reshape(-1)
+        self.num_data = self.x.size
+        unknown = set(learn) - set(self.LEARNABLE)
+        if unknown:
+            raise ValueError(f"unknown hyperparameters: {sorted(unknown)}")
+        self.learn = tuple(learn)
+        self.fixed = dict(
+            lengthscale=float(lengthscale),
+            amplitude=float(amplitude),
+            noise=float(noise),
+        )
+        self.prior_mean = float(prior_mean)
+        self.prior_stddev = float(prior_stddev)
+        d = self.x[:, None] - self.x[None, :]
+        self._sq_dists = d * d
+        self._sq_dists_j = jnp.asarray(self._sq_dists, dtype=jnp.float32)
+
+    def _hyper(self, name, B):
+        """Sample log-hyperparameter if learnable, else its fixed value."""
+        if name in self.learn:
+            lg = sample(
+                Normal(self.prior_mean, self.prior_stddev),
+                address=f"log_{name}",
+            )
+            return B.exp(lg)
+        return self.fixed[name]
+
+    def _cov(self, B, sq, ell, amp, noise):
+        K = (amp * amp) * B.exp(-0.5 * sq / (ell * ell))
+        return K + (noise * noise + 1e-6) * B.eye(self.num_data)
+
+    def forward(self):
+        from ..distributions import MultivariateNormal
+
+        # probe tier with the first learnable hyperparameter
+        first = sample(
+            Normal(self.prior_mean, self.prior_stddev),
+            address=f"log_{self.learn[0]}",
+        )
+        B = jnp if hasattr(first, "aval") else np
+        vals = {self.learn[0]: B.exp(first)}
+        for name in self.LEARNABLE:
+            if name not in vals:
+                vals[name] = self._hyper(name, B)
+        sq = self._sq_dists_j if B is jnp else self._sq_dists
+        cov = self._cov(
+            B, sq, vals["lengthscale"], vals["amplitude"], vals["noise"]
+        )
+        loc = B.zeros(self.num_data)
+        observe(MultivariateNormal(loc, covariance_matrix=cov), name="y")
+        return B.stack([B.log(vals[n]) for n in self.learn])
+
+    def _log_marglik(self, y, ell, amp, noise):
+        K = self._cov(np, self._sq_dists, ell, amp, noise)
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L, y)
+        return (
+            -0.5 * alpha @ alpha
+            - np.sum(np.log(np.diag(L)))
+            - 0.5 * self.num_data * math.log(2 * math.pi)
+        )
+
+    def true_posterior_moments(self, y, lim=3.0, n=241):
+        """Grid-integrated posterior mean/stddev of the single learned
+        log-hyperparameter (len(learn) == 1 only)."""
+        if len(self.learn) != 1:
+            raise ValueError("grid ground truth needs exactly one learnable")
+        y = np.asarray(y, dtype=np.float64)
+        name = self.learn[0]
+        grid = np.linspace(
+            self.prior_mean - lim * self.prior_stddev,
+            self.prior_mean + lim * self.prior_stddev,
+            n,
+        )
+        lp = np.empty(n)
+        for i, g in enumerate(grid):
+            vals = dict(self.fixed)
+            vals[name] = math.exp(g)
+            lp[i] = self._log_marglik(
+                y, vals["lengthscale"], vals["amplitude"], vals["noise"]
+            ) - 0.5 * (g - self.prior_mean) ** 2 / self.prior_stddev**2
+        p = np.exp(lp - lp.max())
+        p /= p.sum()
+        mean = float(np.sum(p * grid))
+        var = float(np.sum(p * (grid - mean) ** 2))
+        return mean, math.sqrt(var)
+
+    def synthesize(self, rng=None, **hyper):
+        """Draw y from the GP prior at the fixed (or given) hyperparams."""
+        vals = dict(self.fixed)
+        vals.update(hyper)
+        K = self._cov(
+            np,
+            self._sq_dists,
+            vals["lengthscale"],
+            vals["amplitude"],
+            vals["noise"],
+        )
+        rng = np.random.default_rng(rng)
+        return np.linalg.cholesky(K) @ rng.normal(size=self.num_data)

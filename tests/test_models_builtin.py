@@ -179,3 +179,66 @@ def test_eight_schools_nuts_and_tempered_smc_agree():
     )
     diff = np.abs(np.asarray(nuts.mean) - np.asarray(tsmc.mean))
     assert diff.max() < 0.6, (np.asarray(nuts.mean), np.asarray(tsmc.mean))
+
+
+def test_bayesian_linear_regression_conjugate():
+    # IS (compiled tier) and Laplace both recover the exact conjugate
+    # Gaussian posterior; Laplace is exact on this family (Gaussian
+    # target), so its variance must match the closed form too.
+    from pyprob_tpu.models import BayesianLinearRegression
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(40, 2))
+    m = BayesianLinearRegression(X)
+    y = m.synthesize([1.5, -0.7], rng=1)
+    mean, cov = m.true_posterior(y)
+
+    post = m.posterior_results(num_traces=20000, observe={"y": y}, vectorized=True)
+    assert np.abs(np.asarray(post.mean, np.float64) - mean).max() < 0.12
+
+    lap = m.posterior(
+        num_traces=1500, observe={"y": y},
+        inference_engine=pp.InferenceEngine.LAPLACE,
+    )
+    draws = np.stack([np.asarray(t.result, np.float64) for t in lap])
+    assert np.abs(draws.mean(axis=0) - mean).max() < 0.05
+    assert np.abs(draws.var(axis=0) - np.diag(cov)).max() < 0.4 * np.diag(cov).max() + 0.003
+
+
+def test_bayesian_logistic_regression_nuts_vs_grid():
+    from pyprob_tpu.models import BayesianLogisticRegression
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(60, 1))
+    m = BayesianLogisticRegression(X)
+    y = m.synthesize([1.2], rng=2)
+    tmean, tstd = m.true_posterior_moments(y)
+    post = m.posterior(
+        num_traces=600, observe={"y": y},
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER, burn_in=200,
+    )
+    draws = np.stack([np.asarray(t.result, np.float64) for t in post])
+    assert abs(draws.mean() - tmean[0]) < 0.5 * tstd[0]
+    assert abs(draws.std() - tstd[0]) < 0.5 * tstd[0]
+
+
+def test_gp_regression_hyperposterior():
+    # marginal-likelihood GP: HMC and compiled-tier IS agree with the
+    # grid-integrated exact posterior of the log-lengthscale
+    from pyprob_tpu.models import GaussianProcessRegression
+
+    x = np.linspace(0, 4, 25)
+    m = GaussianProcessRegression(x, learn=("lengthscale",), noise=0.2)
+    y = m.synthesize(rng=3, lengthscale=1.0)
+    gmean, gstd = m.true_posterior_moments(y)
+
+    post = m.posterior(
+        num_traces=400, observe={"y": y},
+        inference_engine=pp.InferenceEngine.HAMILTONIAN_MONTE_CARLO, burn_in=200,
+    )
+    draws = np.array([float(np.asarray(t.result).reshape(-1)[0]) for t in post])
+    assert abs(draws.mean() - gmean) < 0.6 * gstd
+
+    isv = m.posterior_results(num_traces=4000, observe={"y": y}, vectorized=True)
+    is_mean = float(np.asarray(isv.mean).reshape(-1)[0])
+    assert abs(is_mean - gmean) < 0.6 * gstd
