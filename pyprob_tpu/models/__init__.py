@@ -16,6 +16,7 @@ from .models import (
     BayesianLinearRegression,
     BayesianLogisticRegression,
     GaussianProcessRegression,
+    GaussianMixture,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "BayesianLinearRegression",
     "BayesianLogisticRegression",
     "GaussianProcessRegression",
+    "GaussianMixture",
 ]

@@ -617,3 +617,125 @@ class GaussianProcessRegression(Model):
         )
         rng = np.random.default_rng(rng)
         return np.linalg.cholesky(K) @ rng.normal(size=self.num_data)
+
+
+class GaussianMixture(Model):
+    """K-component 1-D Gaussian mixture with unknown component means:
+    mu_k ~ N(prior_mean, prior_stddev) (sites ``mu0..mu{K-1}``), y_i ~
+    sum_k w_k N(mu_k, sigma) observed as ONE batched Mixture observe
+    ``y`` (assignments marginalized analytically, so the model is fully
+    continuous and every gradient engine runs).  With exchangeable
+    priors the posterior is K!-fold label-switching multimodal — the
+    parallel-tempering showcase model.  Optional ``learn_weights=True``
+    adds a Dirichlet(alpha) weight latent (site ``w``) exercising the
+    stick-breaking transform.  Exact K=2 fixed-weight posterior by grid
+    integration (``true_posterior_moments``).  (No reference
+    counterpart; closest anchor is the enumerable-branching family,
+    reference tests/test_inference.py:577-692.)"""
+
+    def __init__(
+        self,
+        num_components=2,
+        weights=None,
+        obs_stddev=0.6,
+        prior_mean=0.0,
+        prior_stddev=3.0,
+        num_data=30,
+        learn_weights=False,
+        dirichlet_alpha=2.0,
+    ):
+        super().__init__(name="Gaussian mixture (marginalized assignments)")
+        self.num_components = int(num_components)
+        if weights is None:
+            weights = np.full(self.num_components, 1.0 / self.num_components)
+        self.weights = np.asarray(weights, dtype=np.float64)
+        if self.weights.shape != (self.num_components,):
+            raise ValueError("weights must have shape [num_components]")
+        self.obs_stddev = float(obs_stddev)
+        self.prior_mean = float(prior_mean)
+        self.prior_stddev = float(prior_stddev)
+        self.num_data = int(num_data)
+        self.learn_weights = bool(learn_weights)
+        self.dirichlet_alpha = float(dirichlet_alpha)
+
+    def forward(self):
+        from ..distributions import Dirichlet, Mixture
+
+        mus = [
+            sample(Normal(self.prior_mean, self.prior_stddev), address=f"mu{k}")
+            for k in range(self.num_components)
+        ]
+        B = jnp if any(hasattr(m, "aval") for m in mus) else np
+        if self.learn_weights:
+            w = sample(
+                Dirichlet(B.full(self.num_components, self.dirichlet_alpha)),
+                address="w",
+            )
+            probs = w
+        else:
+            probs = B.asarray(self.weights)
+        comps = [
+            Normal(B.broadcast_to(m, (self.num_data,)), self.obs_stddev)
+            for m in mus
+        ]
+        observe(Mixture(comps, probs=probs), name="y")
+        return B.stack(mus)
+
+    def _log_post(self, mus, y):
+        lps = np.stack(
+            [
+                -0.5 * ((y - m) / self.obs_stddev) ** 2
+                - math.log(self.obs_stddev)
+                - 0.5 * math.log(2 * math.pi)
+                + math.log(wk)
+                for m, wk in zip(mus, self.weights)
+            ],
+            axis=-1,
+        )
+        loglik = np.sum(_logsumexp(lps, axis=-1))
+        logprior = -0.5 * np.sum(
+            ((np.asarray(mus) - self.prior_mean) / self.prior_stddev) ** 2
+        )
+        return loglik + logprior
+
+    def true_posterior_moments(self, y, lim=3.0, n=201):
+        """Grid-integrated exact posterior over (mu0, mu1) for K=2 fixed
+        weights; returns (means[2], stddevs[2]).  The grid covers the
+        full label-switching posterior, so with symmetric priors the
+        means of the two sites coincide — compare mode-aware summaries
+        (e.g. per-mode conditional means) for sharper checks."""
+        if self.num_components != 2 or self.learn_weights:
+            raise ValueError("grid ground truth: K=2 fixed weights only")
+        y = np.asarray(y, dtype=np.float64)
+        grid = np.linspace(
+            self.prior_mean - lim * self.prior_stddev,
+            self.prior_mean + lim * self.prior_stddev,
+            n,
+        )
+        G0, G1 = np.meshgrid(grid, grid, indexing="ij")
+        lp = np.empty_like(G0)
+        for i in range(n):
+            for j in range(n):
+                lp[i, j] = self._log_post([G0[i, j], G1[i, j]], y)
+        p = np.exp(lp - lp.max())
+        p /= p.sum()
+        means = np.array([np.sum(p * G0), np.sum(p * G1)])
+        stds = np.sqrt(
+            [np.sum(p * (G0 - means[0]) ** 2), np.sum(p * (G1 - means[1]) ** 2)]
+        )
+        return means, stds
+
+    def synthesize(self, mus_true, rng=None, weights=None):
+        """Draw a dataset from the mixture at the given component means."""
+        rng = np.random.default_rng(rng)
+        w = self.weights if weights is None else np.asarray(weights)
+        idx = rng.choice(self.num_components, size=self.num_data, p=w / w.sum())
+        mus_true = np.asarray(mus_true, dtype=np.float64)
+        return mus_true[idx] + rng.normal(0, self.obs_stddev, self.num_data)
+
+
+def _logsumexp(a, axis=None):
+    m = np.max(a, axis=axis, keepdims=True)
+    return np.squeeze(m, axis=axis) + np.log(
+        np.sum(np.exp(a - m), axis=axis)
+    )

@@ -242,3 +242,50 @@ def test_gp_regression_hyperposterior():
     isv = m.posterior_results(num_traces=4000, observe={"y": y}, vectorized=True)
     is_mean = float(np.asarray(isv.mean).reshape(-1)[0])
     assert abs(is_mean - gmean) < 0.6 * gstd
+
+def test_gaussian_mixture_label_switching():
+    # marginalized-assignment GMM: the K=2 symmetric posterior is
+    # label-switching bimodal. Every PT ensemble hops between the modes
+    # (replica exchange) and the pooled draws match the grid-integrated
+    # moments; every NUTS chain freezes in a single mode — the contrast
+    # this family showcases.  Chains pad to the mesh (8 devices here).
+    from pyprob_tpu.models import GaussianMixture
+
+    m = GaussianMixture(num_components=2, obs_stddev=0.6, num_data=40)
+    y = m.synthesize([-2.0, 2.0], rng=0)
+    tmean, tstd = m.true_posterior_moments(y)
+    assert abs(tmean[0] - tmean[1]) < 1e-9  # symmetric by construction
+
+    pt = m.posterior(
+        num_traces=2000, observe={"y": y}, burn_in=500, return_chains=True,
+        inference_engine=pp.InferenceEngine.PARALLEL_TEMPERING,
+    )
+    pooled = np.concatenate([np.asarray(c, np.float64) for c in pt])
+    hopping = sum(
+        0.05 < (np.asarray(c, np.float64)[:, 0] < 0).mean() < 0.95
+        for c in pt
+    )
+    assert hopping >= len(pt) - 1, hopping  # nearly all ensembles hop
+    assert abs(pooled[:, 0].std() - tstd[0]) < 0.35 * tstd[0]
+
+    nuts = m.posterior(
+        num_traces=1600, observe={"y": y}, burn_in=200, return_chains=True,
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER,
+    )
+    frozen = sum(
+        (lambda f: f < 0.05 or f > 0.95)(
+            (np.asarray(c, np.float64)[:, 0] < 0).mean()
+        )
+        for c in nuts
+    )
+    assert frozen >= len(nuts) - 1, frozen  # chains freeze per mode
+
+    # Dirichlet weight latent exercises the stick-breaking transform
+    mw = GaussianMixture(num_components=2, obs_stddev=0.6, num_data=40,
+                         learn_weights=True)
+    hw = mw.posterior(
+        num_traces=200, observe={"y": y},
+        inference_engine=pp.InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+        burn_in=150,
+    )
+    assert len(hw) == 200
