@@ -17,6 +17,7 @@ from .models import (
     BayesianLogisticRegression,
     GaussianProcessRegression,
     GaussianMixture,
+    LinearGaussianStateSpace,
 )
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "BayesianLogisticRegression",
     "GaussianProcessRegression",
     "GaussianMixture",
+    "LinearGaussianStateSpace",
 ]

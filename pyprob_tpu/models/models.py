@@ -739,3 +739,99 @@ def _logsumexp(a, axis=None):
     return np.squeeze(m, axis=axis) + np.log(
         np.sum(np.exp(a - m), axis=axis)
     )
+
+
+class LinearGaussianStateSpace(Model):
+    """Linear-Gaussian state-space model (local-level / AR(1)):
+    x_0 ~ N(0, p0), x_t ~ N(a x_{t-1}, q), y_t ~ N(x_t, r) observed at
+    every step (sites ``x0..x{T}``, observes ``y0..y{T-1}``).  forward()
+    returns the full state path [T+1], so a trace posterior's mean is
+    the SMOOTHED path — validated against the exact Kalman filter
+    (``kalman_filter``) and RTS smoother (``kalman_smoother``).  The
+    canonical SMC-vs-IS degeneracy benchmark: plain IS collapses over T
+    observes while the staged particle filter keeps ESS healthy
+    (reference has no SSM family; the pattern anchors SMC correctness,
+    see tests/test_smc.py here)."""
+
+    def __init__(self, num_steps=8, a=1.0, init_stddev=1.0,
+                 transition_stddev=math.sqrt(0.5),
+                 observation_stddev=math.sqrt(0.3)):
+        super().__init__(name="Linear-Gaussian state space")
+        self.num_steps = int(num_steps)
+        self.a = float(a)
+        self.init_stddev = float(init_stddev)
+        self.transition_stddev = float(transition_stddev)
+        self.observation_stddev = float(observation_stddev)
+
+    def forward(self):
+        xs = [sample(Normal(0.0, self.init_stddev), address="x0")]
+        for t in range(self.num_steps):
+            xs.append(
+                sample(
+                    Normal(self.a * xs[-1], self.transition_stddev),
+                    address=f"x{t + 1}",
+                )
+            )
+            observe(
+                Normal(xs[-1], self.observation_stddev), name=f"y{t}"
+            )
+        B = jnp if any(hasattr(x, "aval") for x in xs) else np
+        return B.stack(xs)
+
+    def observes(self, ys):
+        return {f"y{t}": float(v) for t, v in enumerate(ys)}
+
+    def kalman_filter(self, ys):
+        """Exact filtering means/vars of x_1..x_T given y_1..y_t (each
+        entry conditions on observations up to and including its own
+        step).  Returns (means[T], vars[T])."""
+        q, r = self.transition_stddev**2, self.observation_stddev**2
+        mean, var = 0.0, self.init_stddev**2
+        means, vars_ = [], []
+        for y in np.asarray(ys, dtype=np.float64):
+            mean_p = self.a * mean
+            var_p = self.a * self.a * var + q
+            k = var_p / (var_p + r)
+            mean = mean_p + k * (y - mean_p)
+            var = (1 - k) * var_p
+            means.append(mean)
+            vars_.append(var)
+        return np.array(means), np.array(vars_)
+
+    def kalman_smoother(self, ys):
+        """Exact smoothing means/vars of x_0..x_T given ALL observations
+        (Rauch-Tung-Striebel).  Returns (means[T+1], vars[T+1]) aligned
+        with forward()'s returned path."""
+        q, r = self.transition_stddev**2, self.observation_stddev**2
+        ys = np.asarray(ys, dtype=np.float64)
+        T = len(ys)
+        # forward pass over x_0..x_T (x_0 is unobserved)
+        fm = np.empty(T + 1)
+        fv = np.empty(T + 1)
+        pm = np.empty(T + 1)  # predicted (prior to update) at each step
+        pv = np.empty(T + 1)
+        fm[0], fv[0] = 0.0, self.init_stddev**2
+        pm[0], pv[0] = fm[0], fv[0]
+        for t in range(T):
+            pm[t + 1] = self.a * fm[t]
+            pv[t + 1] = self.a * self.a * fv[t] + q
+            k = pv[t + 1] / (pv[t + 1] + r)
+            fm[t + 1] = pm[t + 1] + k * (ys[t] - pm[t + 1])
+            fv[t + 1] = (1 - k) * pv[t + 1]
+        sm = fm.copy()
+        sv = fv.copy()
+        for t in range(T - 1, -1, -1):
+            c = fv[t] * self.a / pv[t + 1]
+            sm[t] = fm[t] + c * (sm[t + 1] - pm[t + 1])
+            sv[t] = fv[t] + c * c * (sv[t + 1] - pv[t + 1])
+        return sm, sv
+
+    def synthesize(self, rng=None):
+        """Draw (states[T+1], observations[T]) from the prior."""
+        rng = np.random.default_rng(rng)
+        xs = [rng.normal(0.0, self.init_stddev)]
+        ys = []
+        for _ in range(self.num_steps):
+            xs.append(self.a * xs[-1] + rng.normal(0.0, self.transition_stddev))
+            ys.append(xs[-1] + rng.normal(0.0, self.observation_stddev))
+        return np.array(xs), np.array(ys)

@@ -289,3 +289,35 @@ def test_gaussian_mixture_label_switching():
         burn_in=150,
     )
     assert len(hw) == 200
+
+
+def test_linear_gaussian_state_space_vs_kalman():
+    # built-in SSM: the trace posterior's mean is the SMOOTHED path —
+    # SMC and NUTS both match the exact RTS smoother; plain IS
+    # degenerates over the T observes (the SMC showcase contrast).
+    from pyprob_tpu.models import LinearGaussianStateSpace
+
+    m = LinearGaussianStateSpace(num_steps=8, a=0.9)
+    xs, ys = m.synthesize(rng=0)
+    sm, sv = m.kalman_smoother(ys)
+    fm, fv = m.kalman_filter(ys)
+    assert abs(sm[-1] - fm[-1]) < 1e-12  # smoother == filter at t=T
+    assert (sv[1:] <= fv + 1e-12).all()  # smoothing never widens x_1..x_T
+
+    smc = m.posterior_results(
+        num_traces=30000, observe=m.observes(ys),
+        inference_engine=pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert np.abs(np.asarray(smc.mean, np.float64) - sm).max() < 0.06
+    assert np.abs(np.asarray(smc.variance, np.float64) - sv).max() < 0.04
+
+    nuts = m.posterior_results(
+        num_traces=4000, observe=m.observes(ys), burn_in=0,
+        inference_engine=pp.InferenceEngine.NO_U_TURN_SAMPLER,
+    )
+    assert np.abs(np.asarray(nuts.mean, np.float64) - sm).max() < 0.08
+
+    isv = m.posterior_results(
+        num_traces=30000, observe=m.observes(ys), vectorized=True
+    )
+    assert smc.effective_sample_size > 5 * isv.effective_sample_size
