@@ -10,6 +10,12 @@
   posterior (reference: tests/test_inference.py:577-692).
 * MiniCaptcha — rendered-letter inversion with a CNN observe embedding
   (reference: tests/test_inference.py:695-854).
+
+Beyond the reference set (each with analytic or grid ground truth):
+VariableLengthGaussian, EightSchools, BayesianLinearRegression,
+BayesianLogisticRegression, GaussianProcessRegression, GaussianMixture
+(label-switching multimodal — the PT showcase), and
+LinearGaussianStateSpace (Kalman/RTS ground truth — the SMC showcase).
 """
 
 from __future__ import annotations
