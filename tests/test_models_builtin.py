@@ -321,3 +321,29 @@ def test_linear_gaussian_state_space_vs_kalman():
         num_traces=30000, observe=m.observes(ys), vectorized=True
     )
     assert smc.effective_sample_size > 5 * isv.effective_sample_size
+
+
+def test_model_zoo_structural():
+    # every exported family constructs, samples a trace, and runs a
+    # small prior batch — guards the whole pyprob_tpu.models surface
+    import pyprob_tpu.models as zoo
+
+    rng = np.random.default_rng(0)
+    for name in zoo.__all__:
+        cls = getattr(zoo, name)
+        if name == "MiniCaptcha":
+            m = cls(alphabet=("A", "B"))
+        elif name == "HiddenMarkovModel":
+            m = cls(init_probs=[0.5, 0.5],
+                    transition_probs=[[0.9, 0.1], [0.2, 0.8]],
+                    emission_means=[-1.0, 1.0], obs_length=3)
+        elif name in ("BayesianLinearRegression", "BayesianLogisticRegression"):
+            m = cls(rng.normal(size=(10, 2)))
+        elif name == "GaussianProcessRegression":
+            m = cls(np.linspace(0, 2, 8))
+        else:
+            m = cls()
+        trace = m.sample()
+        assert np.isfinite(np.asarray(trace.result, np.float64)).all(), name
+        prior = m.prior_results(num_traces=20)
+        assert prior.length == 20, name
