@@ -17,6 +17,7 @@ automatically, preserving the universal-PPL contract.
 from __future__ import annotations
 
 import math
+import os
 import time
 import warnings
 
@@ -850,6 +851,33 @@ def run_traced(
 # (BASELINE.md).
 _BATCH_LIMIT = 1 << 18
 
+# Learned per-model dispatch caps after an on-device OOM (keyed like
+# _jit_run_cache, by model identity): heavy-per-particle programs (e.g.
+# a [N,N] Cholesky per particle) can exhaust HBM far below
+# _BATCH_LIMIT; once a size OOMs, subsequent calls start from the
+# working cap instead of re-hitting the failure.
+_oom_batch_limit = {}
+
+
+def _effective_batch_limit(model, pad_shapes):
+    limit = _BATCH_LIMIT
+    env = os.environ.get("PYPROB_TPU_BATCH_LIMIT")
+    if env:
+        limit = min(limit, max(1, int(env)))
+    limit = min(limit, _oom_batch_limit.get(id(model), limit))
+    if pad_shapes and limit > 1:
+        limit = 1 << (limit.bit_length() - 1)  # round DOWN to a power of 2
+    return limit
+
+
+def _is_oom_error(e):
+    msg = str(e)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Ran out of memory" in msg
+        or "out of memory" in msg.lower()
+    )
+
 
 def _next_pow2(n):
     p = 1
@@ -1114,22 +1142,52 @@ def _run_batched(
     # compute dominates and compilation is cheap, so shapes stay exact.
     _PIPELINE_DEPTH = 2
     pad_shapes = jax.default_backend() != "cpu"
+    limit = _effective_batch_limit(model, pad_shapes)
     chunks = []
     in_flight = []  # (pending outputs, rows to keep)
     remaining = num_traces
+
+    def _shrink_after_oom(failed_size):
+        # halve the dispatch size and remember it for this model — the
+        # program's per-particle HBM footprint won't change between calls.
+        # Returns False when there is nothing left to back off (OOM at a
+        # single particle is genuine); the caller re-raises then.
+        nonlocal limit
+        if failed_size <= 1:
+            return False
+        limit = max(1, failed_size // 2)
+        _oom_batch_limit[id(model)] = limit
+        warnings.warn(
+            f"device OOM at {failed_size} particles/dispatch; retrying "
+            f"with chunks of {limit} (set PYPROB_TPU_BATCH_LIMIT to pin)"
+        )
+        return True
+
     while remaining > 0 or in_flight:
         if remaining > 0 and len(in_flight) < _PIPELINE_DEPTH:
-            n = min(remaining, _BATCH_LIMIT)
+            n = min(remaining, limit)
             n_padded = _next_pow2(n) if pad_shapes else n
             keys = util.next_keys(n_padded)
-            out = run(keys, obs_arrays)
+            try:
+                out = run(keys, obs_arrays)
+            except Exception as e:  # compile-time OOM surfaces here
+                if not _is_oom_error(e) or not _shrink_after_oom(n_padded):
+                    raise
+                continue  # remaining unchanged: retry this span smaller
             if fetch is not None:
                 out = {k: out[k] for k in fetch}
             in_flight.append((out, n))
             remaining -= n
         else:
             out, n = in_flight.pop(0)
-            host_chunk = jax.device_get(out)
+            try:
+                host_chunk = jax.device_get(out)
+            except Exception as e:  # async execution OOM surfaces here
+                failed = _next_pow2(n) if pad_shapes else n
+                if not _is_oom_error(e) or not _shrink_after_oom(failed):
+                    raise
+                remaining += n  # chunk lost: re-run it at the new size
+                continue
             if pad_shapes:
                 host_chunk = jax.tree_util.tree_map(
                     lambda x: x[:n], host_chunk

@@ -302,3 +302,82 @@ def test_mcmc_chain_knobs_route_through_posterior():
             inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
             num_chains=4,
         )
+
+
+def test_oom_backoff_halves_dispatch_and_remembers(monkeypatch):
+    # a dispatch that OOMs (compile- or run-time) halves the chunk size,
+    # retries, stitches the full result, and remembers the working cap
+    # for the model so the next call starts there
+    from pyprob_tpu import vectorized as V
+
+    class FakeModel:
+        pass
+
+    model = FakeModel()
+    calls = []
+
+    def fake_get_jitted_run(m, *a, **k):
+        def run(keys, obs):
+            n = len(keys)
+            calls.append(n)
+            if n > 64:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                    "space hbm"
+                )
+            return {"result": np.arange(n, dtype=np.float32)}
+
+        return run, [("site0",)], m
+
+    monkeypatch.setattr(V, "_get_jitted_run", fake_get_jitted_run)
+    monkeypatch.setattr(V, "_BATCH_LIMIT", 512)
+    V._oom_batch_limit.pop(id(model), None)
+
+    with pytest.warns(UserWarning, match="device OOM"):
+        host, sites = V._run_batched(
+            model, 300, {}, pp.util.TraceMode.POSTERIOR,
+            pp.InferenceEngine.IMPORTANCE_SAMPLING,
+            pp.util.PriorInflation.DISABLED, 1.0,
+        )
+    assert host["result"].shape == (300,)
+    assert sites == ("site0",)
+    # 300 requested, OOM at 300 then 150 then 75; succeeds at <=64
+    assert max(calls) > 64 and V._oom_batch_limit[id(model)] <= 64
+
+    # second call starts at the remembered cap: no oversized dispatches
+    calls.clear()
+    host, _ = V._run_batched(
+        model, 200, {}, pp.util.TraceMode.POSTERIOR,
+        pp.InferenceEngine.IMPORTANCE_SAMPLING,
+        pp.util.PriorInflation.DISABLED, 1.0,
+    )
+    assert host["result"].shape == (200,)
+    assert max(calls) <= 64
+    V._oom_batch_limit.pop(id(model), None)
+
+
+def test_batch_limit_env_knob(monkeypatch):
+    from pyprob_tpu import vectorized as V
+
+    class FakeModel:
+        pass
+
+    model = FakeModel()
+    sizes = []
+
+    def fake_get_jitted_run(m, *a, **k):
+        def run(keys, obs):
+            sizes.append(len(keys))
+            return {"result": np.zeros(len(keys), dtype=np.float32)}
+
+        return run, [()], m
+
+    monkeypatch.setattr(V, "_get_jitted_run", fake_get_jitted_run)
+    monkeypatch.setenv("PYPROB_TPU_BATCH_LIMIT", "50")
+    host, _ = V._run_batched(
+        model, 120, {}, pp.util.TraceMode.POSTERIOR,
+        pp.InferenceEngine.IMPORTANCE_SAMPLING,
+        pp.util.PriorInflation.DISABLED, 1.0,
+    )
+    assert host["result"].shape == (120,)
+    assert max(sizes) <= 50
