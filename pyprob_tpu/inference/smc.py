@@ -41,8 +41,9 @@ from .. import util
 from ..util import TraceMode, InferenceEngine
 from ..distributions import Empirical
 from ..parallel.collectives import (
+    RESAMPLING_SCHEMES,
+    resample_indices,
     sharded_effective_sample_size,
-    systematic_resample_indices,
 )
 
 
@@ -50,7 +51,8 @@ _smc_cache = {}
 
 
 def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
-               results_only, args, kwargs, proposal_step=None):
+               results_only, args, kwargs, proposal_step=None,
+               resampling="systematic"):
     """Build (jitted_program, sites, observe_addrs).  The program takes
     (run_keys [n_obs, N], resample_keys [n_obs-1], obs_arrays dict) and
     returns (final outputs, final log-weights [N], log_evidence scalar).
@@ -116,6 +118,8 @@ def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
         w = jnp.zeros((n_particles,), util.dtype())
         log_z = jnp.zeros((), util.dtype())
         log_n = jnp.log(jnp.asarray(n_particles, util.dtype()))
+        ess_hist = []
+        resampled = []
         for r in range(1, n_obs + 1):
             incr = outputs["log_probs"][observe_addrs[r - 1]]
             if proposal_step is not None:
@@ -128,14 +132,16 @@ def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
                     if commits and a in liws:
                         incr = incr + liws[a]
             w = w + incr
+            ess = sharded_effective_sample_size(w)
+            ess_hist.append(ess)
             if r == n_obs:
                 break
-            ess = sharded_effective_sample_size(w)
             do_resample = ess < resample_threshold * n_particles
+            resampled.append(do_resample)
             idx = jnp.where(
                 do_resample,
-                systematic_resample_indices(
-                    resample_keys[r - 1], w, n_particles
+                resample_indices(
+                    resample_keys[r - 1], w, n_particles, scheme=resampling
                 ),
                 jnp.arange(n_particles),
             )
@@ -152,7 +158,13 @@ def _build_smc(model, obs_arrays, likelihood_importance, resample_threshold,
         log_z = log_z + jax.scipy.special.logsumexp(w) - log_n
         if results_only:
             outputs = {"result": outputs["result"]}
-        return outputs, w, log_z
+        stats = (
+            jnp.stack(ess_hist),
+            jnp.stack(resampled)
+            if resampled
+            else jnp.zeros((0,), jnp.bool_),
+        )
+        return outputs, w, log_z, stats
 
     return jax.jit(program), sites, n_obs
 
@@ -164,6 +176,7 @@ def vectorized_smc_posterior(
     map_func=None,
     file_name=None,
     resample_threshold=0.5,
+    resampling="systematic",
     likelihood_importance=1.0,
     mesh=None,
     proposal_step=None,
@@ -205,11 +218,17 @@ def vectorized_smc_posterior(
     # proposal_step identity is a freshness check, not part of the key:
     # retraining creates a new closure, and keeping the old id keyed would
     # pin the stale compiled program (and its parameter pytree) forever
+    if resampling not in RESAMPLING_SCHEMES:
+        raise ValueError(
+            f"Unknown resampling scheme {resampling!r}; choose one of "
+            f"{sorted(RESAMPLING_SCHEMES)}"
+        )
     cache_key = (
         id(model),
         tuple(sorted(observe.keys())),
         likelihood_importance,
         float(resample_threshold),
+        str(resampling),
         results_only,
     )
     ps_id = id(proposal_step) if proposal_step is not None else None
@@ -230,6 +249,7 @@ def vectorized_smc_posterior(
                 args,
                 kwargs,
                 proposal_step=proposal_step,
+                resampling=resampling,
             )
             if cacheable:
                 _smc_cache[cache_key] = ps_id, program, sites, n_obs
@@ -249,10 +269,14 @@ def vectorized_smc_posterior(
             obs_arrays = {
                 k: jax.device_put(v, repl) for k, v in obs_arrays.items()
             }
-        outputs, w, log_z = program(run_keys, resample_keys, obs_arrays)
+        outputs, w, log_z, stats = program(
+            run_keys, resample_keys, obs_arrays
+        )
         host = jax.device_get(outputs)
         log_weights = np.asarray(jax.device_get(w), dtype=np.float64)
         log_evidence = float(jax.device_get(log_z))
+        stage_ess = [float(e) for e in jax.device_get(stats[0])]
+        resampled_stages = [bool(b) for b in jax.device_get(stats[1])]
     except (
         jax.errors.ConcretizationTypeError,
         jax.errors.TracerArrayConversionError,
@@ -325,7 +349,10 @@ def vectorized_smc_posterior(
         effective_sample_size=emp.effective_sample_size,
         log_evidence=log_evidence,
         resample_threshold=resample_threshold,
+        resampling=resampling,
         stages=n_obs,
+        stage_ess=stage_ess,
+        resampled_stages=resampled_stages,
         vectorized=True,
     )
     if util.verbosity() > 1:
@@ -337,6 +364,39 @@ def vectorized_smc_posterior(
     return emp
 
 
+def _host_resample_indices(rng, log_weights, num_samples, scheme):
+    """Host (numpy, float64) mirror of parallel.collectives.resample_indices
+    for the interpreter tier."""
+    w = np.exp(log_weights - log_weights.max())
+    w = w / w.sum()
+    n = num_samples
+    if scheme == "systematic":
+        points = (rng.random() + np.arange(n)) / n
+    elif scheme == "stratified":
+        points = (rng.random(n) + np.arange(n)) / n
+    elif scheme == "multinomial":
+        points = rng.random(n)
+    elif scheme == "residual":
+        counts = np.floor(n * w).astype(np.int64)
+        det = np.repeat(np.arange(w.size), counts)
+        rem = n - det.size
+        resid = n * w - counts
+        resid_sum = resid.sum()
+        if rem == 0 or resid_sum <= 0.0:
+            return det[:n]
+        resid_cdf = np.cumsum(resid / resid_sum)
+        extra = np.minimum(
+            np.searchsorted(resid_cdf, rng.random(rem)), w.size - 1
+        )
+        return np.concatenate([det, extra])
+    else:
+        raise ValueError(
+            f"Unknown resampling scheme {scheme!r}; choose one of "
+            f"{sorted(RESAMPLING_SCHEMES)}"
+        )
+    return np.minimum(np.searchsorted(np.cumsum(w), points), w.size - 1)
+
+
 def interpreter_smc_posterior(
     model,
     num_traces,
@@ -344,6 +404,7 @@ def interpreter_smc_posterior(
     map_func=None,
     file_name=None,
     resample_threshold=0.5,
+    resampling="systematic",
     likelihood_importance=1.0,
     args=(),
     kwargs=None,
@@ -367,6 +428,11 @@ def interpreter_smc_posterior(
     if not observe:
         raise RuntimeError(
             "SEQUENTIAL_MONTE_CARLO requires observe={...} values"
+        )
+    if resampling not in RESAMPLING_SCHEMES:
+        raise ValueError(
+            f"Unknown resampling scheme {resampling!r}; choose one of "
+            f"{sorted(RESAMPLING_SCHEMES)}"
         )
     t0 = time.time()
     n = num_traces
@@ -402,19 +468,21 @@ def interpreter_smc_posterior(
     w = np.zeros(n, dtype=np.float64)
     log_z = 0.0
     log_n = np.log(n)
+    stage_ess = []
+    resampled_stages = []
     for r in range(1, n_obs + 1):
         for i, t in enumerate(traces):
             w[i] += float(t.variables_observed[r - 1].log_prob)
         w[~np.isfinite(w)] = -np.inf
+        ess = float(util.effective_sample_size(w))
+        stage_ess.append(ess)
         if r == n_obs:
             break
-        if util.effective_sample_size(w) < resample_threshold * n:
+        resampled_stages.append(ess < resample_threshold * n)
+        if resampled_stages[-1]:
             log_z += float(logsumexp(w)) - log_n
-            probs = np.exp(w - w.max())
-            cdf = np.cumsum(probs / probs.sum())
-            points = (rng.random() + np.arange(n)) / n
-            idx = np.searchsorted(cdf, points)
-            ancestors = [traces[j] for j in np.minimum(idx, n - 1)]
+            idx = _host_resample_indices(rng, w, n, resampling)
+            ancestors = [traces[j] for j in idx]
             w[:] = 0.0
         else:
             ancestors = list(traces)
@@ -453,7 +521,10 @@ def interpreter_smc_posterior(
         effective_sample_size=emp.effective_sample_size,
         log_evidence=log_z,
         resample_threshold=resample_threshold,
+        resampling=resampling,
         stages=n_obs,
+        stage_ess=stage_ess,
+        resampled_stages=resampled_stages,
         vectorized=False,
     )
     if util.verbosity() > 1:

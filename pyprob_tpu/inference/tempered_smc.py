@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from .. import util
 from ..vectorized import _TraceabilityCache
-from ..parallel.collectives import systematic_resample_indices
+from ..parallel.collectives import RESAMPLING_SCHEMES, resample_indices
 from .hmc import (
     _functionalize,
     _da_init,
@@ -56,6 +56,7 @@ def vectorized_tempered_smc_posterior(
     map_func=None,
     file_name=None,
     resample_threshold=0.5,
+    resampling="systematic",
     rejuvenation_steps=None,
     leapfrog_steps=None,
     target_accept=None,
@@ -73,6 +74,11 @@ def vectorized_tempered_smc_posterior(
         return None
     if not observe:
         raise RuntimeError("TEMPERED_SMC requires observe={...} values")
+    if resampling not in RESAMPLING_SCHEMES:
+        raise ValueError(
+            f"Unknown resampling scheme {resampling!r}; choose one of "
+            f"{sorted(RESAMPLING_SCHEMES)}"
+        )
     if any(v is None for v in observe.values()):
         raise RuntimeError(f"Observe has missing value(s): {observe}")
     t0 = time.time()
@@ -106,6 +112,7 @@ def vectorized_tempered_smc_posterior(
         tuple(sorted(observe.keys())),
         likelihood_importance,
         float(resample_threshold),
+        str(resampling),
         int(rejuvenation_steps),
         int(leapfrog_steps),
         float(target_accept),
@@ -129,6 +136,7 @@ def vectorized_tempered_smc_posterior(
                 results_only,
                 args,
                 kwargs,
+                resampling=resampling,
             )
             if cacheable:
                 _tempered_cache[cache_key] = program, decode_fn, sites
@@ -190,6 +198,7 @@ def vectorized_tempered_smc_posterior(
         acceptance_rate=stats["acceptance_rate"],
         final_step_size=stats["final_step_size"],
         resample_threshold=float(resample_threshold),
+        resampling=resampling,
         rejuvenation_steps=int(rejuvenation_steps),
         leapfrog_steps=int(leapfrog_steps),
         vectorized=True,
@@ -206,7 +215,8 @@ def vectorized_tempered_smc_posterior(
 def _build_tempered_smc(model, obs_arrays, likelihood_importance,
                         resample_threshold, rejuvenation_steps,
                         leapfrog_steps, target_accept, max_stages,
-                        results_only, args, kwargs):
+                        results_only, args, kwargs,
+                        resampling="systematic"):
     """Build (program, decode_fn, sites).
 
     program(init_keys [N], run_key, obs, eps0) -> (z_final [N, D], stats)
@@ -288,7 +298,7 @@ def _build_tempered_smc(model, obs_arrays, likelihood_importance,
                 log_Z = log_Z + jax.scipy.special.logsumexp(w) - jnp.log(
                     jnp.asarray(n, f32)
                 )
-                idx = systematic_resample_indices(k_res, w, n)
+                idx = resample_indices(k_res, w, n, scheme=resampling)
                 z, LP, LL = z[idx], LP[idx], LL[idx]
 
                 # ---- M Hamiltonian rejuvenation steps at new_beta ----

@@ -252,6 +252,7 @@ class Model:
         return_chains=False,
         mesh=None,
         resample_threshold=0.5,
+        resampling="systematic",
         vi_steps=None,
         vi_particles=None,
         guide=None,
@@ -276,7 +277,8 @@ class Model:
         changed.  num_chains / burn_in / return_chains configure the
         compiled MCMC tier (vmapped parallel chains,
         pyprob_tpu.inference.mcmc);
-        resample_threshold configures the SMC engines
+        resample_threshold and resampling ('systematic' | 'stratified' |
+        'residual' | 'multinomial') configure the SMC engines
         (pyprob_tpu.inference.smc); vi_steps / vi_particles / guide /
         learning_rate configure the VARIATIONAL_INFERENCE engine
         (pyprob_tpu.inference.vi); leapfrog_steps / target_accept /
@@ -324,6 +326,7 @@ class Model:
                 return_chains=return_chains,
                 mesh=mesh,
                 resample_threshold=resample_threshold,
+                resampling=resampling,
                 vi_steps=vi_steps,
                 vi_particles=vi_particles,
                 guide=guide,
@@ -375,6 +378,7 @@ class Model:
                 map_func=map_func,
                 file_name=file_name,
                 resample_threshold=resample_threshold,
+                resampling=resampling,
                 likelihood_importance=likelihood_importance,
                 args=args,
                 kwargs=kwargs,

@@ -3,6 +3,11 @@ from .collectives import (
     pooled_log_weight_stats,
     sharded_effective_sample_size,
     systematic_resample_indices,
+    stratified_resample_indices,
+    residual_resample_indices,
+    multinomial_resample_indices,
+    resample_indices,
+    RESAMPLING_SCHEMES,
 )
 
 __all__ = [
@@ -12,4 +17,9 @@ __all__ = [
     "pooled_log_weight_stats",
     "sharded_effective_sample_size",
     "systematic_resample_indices",
+    "stratified_resample_indices",
+    "residual_resample_indices",
+    "multinomial_resample_indices",
+    "resample_indices",
+    "RESAMPLING_SCHEMES",
 ]

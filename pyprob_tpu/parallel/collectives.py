@@ -40,14 +40,81 @@ def sharded_effective_sample_size(log_weights, axis_name=None):
     return jnp.exp(2.0 * log_z - log_z2)
 
 
+def _normalized_weights(log_weights):
+    lw = jnp.ravel(log_weights)
+    w = jnp.exp(lw - jnp.max(lw))
+    return w / jnp.sum(w)
+
+
 def systematic_resample_indices(key, log_weights, num_samples):
     """Systematic (low-variance) resampling: indices into log_weights drawn
     with a single uniform offset across equally spaced points."""
-    lw = jnp.ravel(log_weights)
-    m = jnp.max(lw)
-    w = jnp.exp(lw - m)
-    w = w / jnp.sum(w)
-    cdf = jnp.cumsum(w)
+    cdf = jnp.cumsum(_normalized_weights(log_weights))
     u0 = jax.random.uniform(key, ()) / num_samples
     points = u0 + jnp.arange(num_samples) / num_samples
     return jnp.searchsorted(cdf, points)
+
+
+def stratified_resample_indices(key, log_weights, num_samples):
+    """Stratified resampling: one independent uniform per stratum
+    [i/N, (i+1)/N) — slightly higher variance than systematic but with
+    provably-nonnegative correlations (Douc et al. 2005)."""
+    cdf = jnp.cumsum(_normalized_weights(log_weights))
+    u = jax.random.uniform(key, (num_samples,))
+    points = (u + jnp.arange(num_samples)) / num_samples
+    return jnp.searchsorted(cdf, points)
+
+
+def multinomial_resample_indices(key, log_weights, num_samples):
+    """Multinomial (iid) resampling — the highest-variance baseline; the
+    reference's Empirical sampling is the host analogue
+    (pyprob/distributions/empirical.py:392-408)."""
+    cdf = jnp.cumsum(_normalized_weights(log_weights))
+    u = jax.random.uniform(key, (num_samples,))
+    return jnp.minimum(
+        jnp.searchsorted(cdf, u), log_weights.size - 1
+    )
+
+
+def residual_resample_indices(key, log_weights, num_samples):
+    """Residual resampling: floor(N*w_i) deterministic copies of particle i,
+    then multinomial draws from the normalized residuals for the remainder.
+    Fixed-shape (XLA-friendly): position j takes the deterministic copy
+    while j < sum(floor counts) and a residual draw otherwise."""
+    w = _normalized_weights(log_weights)
+    n = w.size
+    nw = num_samples * w
+    counts = jnp.floor(nw)
+    det_total = jnp.sum(counts)
+    det_cum = jnp.cumsum(counts)
+    j = jnp.arange(num_samples)
+    det_idx = jnp.minimum(
+        jnp.searchsorted(det_cum, j, side="right"), n - 1
+    )
+    resid = nw - counts
+    resid = resid / jnp.maximum(jnp.sum(resid), 1e-30)
+    resid_cdf = jnp.cumsum(resid)
+    u = jax.random.uniform(key, (num_samples,))
+    resid_idx = jnp.minimum(jnp.searchsorted(resid_cdf, u), n - 1)
+    return jnp.where(j < det_total, det_idx, resid_idx)
+
+
+RESAMPLING_SCHEMES = {
+    "systematic": systematic_resample_indices,
+    "stratified": stratified_resample_indices,
+    "residual": residual_resample_indices,
+    "multinomial": multinomial_resample_indices,
+}
+
+
+def resample_indices(key, log_weights, num_samples, scheme="systematic"):
+    """Dispatch over the four classic resampling schemes (variance order:
+    systematic <= stratified <= residual < multinomial)."""
+    try:
+        fn = RESAMPLING_SCHEMES[scheme]
+    except KeyError:
+        raise ValueError(
+            f"Unknown resampling scheme {scheme!r}; choose one of "
+            f"{sorted(RESAMPLING_SCHEMES)}"
+        ) from None
+    return fn(key, log_weights, num_samples)

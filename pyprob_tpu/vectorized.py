@@ -1374,6 +1374,7 @@ def vectorized_posterior(
     return_chains=False,
     mesh=None,
     resample_threshold=0.5,
+    resampling="systematic",
     vi_steps=None,
     vi_particles=None,
     guide=None,
@@ -1459,6 +1460,7 @@ def vectorized_posterior(
             map_func=map_func,
             file_name=file_name,
             resample_threshold=resample_threshold,
+            resampling=resampling,
             rejuvenation_steps=rejuvenation_steps,
             leapfrog_steps=leapfrog_steps,
             target_accept=target_accept,
@@ -1593,6 +1595,7 @@ def vectorized_posterior(
             map_func=map_func,
             file_name=file_name,
             resample_threshold=resample_threshold,
+            resampling=resampling,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
             proposal_step=proposal_step,
