@@ -258,6 +258,55 @@ def trace_histograms(trace_dist, use_address_base=True, figsize=(10, 5), bins=30
     return stats
 
 
+def _write_address_reports(file_name, trace_dists, use_address_base):
+    """Emit the reference's companion report files next to the histogram
+    figure: ``<file_name>.txt`` (aggregate address summary) and
+    ``<file_name>.csv`` (one row per address)
+    (reference: pyprob/diagnostics.py:316-332)."""
+    from . import __version__
+    import jax
+
+    combined = OrderedDict()
+    total_elements = 0
+    for d in trace_dists:
+        stats = _address_stats(d, use_address_base=use_address_base,
+                               reuse_ids_from_address_stats=combined or None)
+        total_elements += d.length
+        for key, val in stats.items():
+            if key in combined:
+                combined[key]["count"] += val["count"]
+                combined[key]["weight"] += val["weight"]
+            else:
+                combined[key] = val
+    extra = OrderedDict()
+    extra["pyprob_tpu_version"] = __version__
+    extra["jax_version"] = jax.__version__
+    extra["num_distribution_elements"] = total_elements
+    extra["addresses"] = len(combined)
+    extra["addresses_controlled"] = sum(1 for v in combined.values() if v["controlled"])
+    extra["addresses_observable"] = sum(1 for v in combined.values() if v["variable"].observable)
+    extra["addresses_observed"] = sum(1 for v in combined.values() if v["observed"])
+    extra["addresses_tagged"] = sum(1 for v in combined.values() if v["tagged"])
+    with open(file_name + ".txt", "w") as f:
+        f.write("pyprob_tpu diagnostics\n")
+        f.write(("aggregated " if use_address_base else "") + "address report\n")
+        for key, value in extra.items():
+            f.write(f"{key}: {value}\n")
+    with open(file_name + ".csv", "w") as f:
+        f.write(
+            "address_id, count, name, controlled, observable, observed, "
+            + ("address_base" if use_address_base else "address")
+            + "\n"
+        )
+        for key, value in combined.items():
+            v = value["variable"]
+            name = "" if v.name is None else v.name
+            f.write(
+                f"{value['address_id']}, {value['count']}, {name}, "
+                f"{v.control}, {v.observable}, {v.observed}, {key}\n"
+            )
+
+
 def address_histograms(trace_dists, ground_truth_trace=None, figsize=(15, 12), bins=30, use_address_base=True, plot=False, plot_show=False, file_name=None, names=None):
     if not isinstance(trace_dists, (list, tuple)):
         trace_dists = [trace_dists]
@@ -265,6 +314,8 @@ def address_histograms(trace_dists, ground_truth_trace=None, figsize=(15, 12), b
         _variable_values(d, names=names, n_most_frequent=8)
         for d in trace_dists
     ]
+    if file_name is not None:
+        _write_address_reports(file_name, trace_dists, use_address_base)
 
     def draw(plt):
         labels = list(all_values[0].keys())

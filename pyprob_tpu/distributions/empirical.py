@@ -704,9 +704,23 @@ class Empirical(Distribution):
         file_name=None,
         show=False,
         density=True,
+        ax=None,
         **kwargs,
     ):
-        """Weighted histogram of the values (reference: empirical.py:889-918)."""
+        """Weighted histogram of the values (reference: empirical.py:889-918).
+
+        Pass ``ax=`` (or ``ax=plt.gca()`` in a notebook) to draw onto an
+        existing axes for overlays; figure creation/closing is then left to
+        the caller."""
+        if ax is not None:
+            ax.hist(
+                self.values_numpy(),
+                weights=self.weights_numpy(),
+                bins=bins,
+                density=density,
+                **kwargs,
+            )
+            return ax.figure
         if not show:
             import matplotlib
 

@@ -382,8 +382,14 @@ def _host_resample_indices(rng, log_weights, num_samples, scheme):
         rem = n - det.size
         resid = n * w - counts
         resid_sum = resid.sum()
-        if rem == 0 or resid_sum <= 0.0:
+        if rem == 0:
             return det[:n]
+        if resid_sum <= 0.0:
+            # Pathological underflow: every residual vanished but floor
+            # counts fell short of n.  Pad deterministically so the result
+            # always has exactly n indices (a short return would silently
+            # shrink the particle set out of sync with the weight array).
+            return np.concatenate([det, np.full(rem, int(np.argmax(w)))])
         resid_cdf = np.cumsum(resid / resid_sum)
         extra = np.minimum(
             np.searchsorted(resid_cdf, rng.random(rem)), w.size - 1

@@ -117,6 +117,30 @@ def _ndtr(z):
     return 0.5 * (1.0 + jax.lax.erf(z / math.sqrt(2.0)))
 
 
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7,
+    at f32 resolution): Pallas TPU has no lowering for the ``erf`` primitive
+    (jax 0.9.0 raises NotImplementedError inside kernels), so the kernel
+    computes it from exp, which does lower."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592,
+        -0.284496736,
+        1.421413741,
+        -1.453152027,
+        1.061405429,
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _ndtr_kernel(z):
+    return 0.5 * (1.0 + _erf_poly(z / math.sqrt(2.0)))
+
+
 def _mixture_tnorm_ref(x, means, stddevs, logits, low, high):
     alpha = (low[:, None] - means) / stddevs
     beta = (high[:, None] - means) / stddevs
@@ -145,7 +169,7 @@ def _mixture_tnorm_kernel(
     high = high_ref[:]
     alpha = (low - means) / stddevs
     beta = (high - means) / stddevs
-    zn = jnp.clip(_ndtr(beta) - _ndtr(alpha), 1e-12, None)
+    zn = jnp.clip(_ndtr_kernel(beta) - _ndtr_kernel(alpha), 1e-12, None)
     xi = (x - means) / stddevs
     comp = (
         -0.5 * xi * xi - _LOG_SQRT_2PI - jnp.log(stddevs) - jnp.log(zn) + logits

@@ -52,7 +52,9 @@ def systematic_resample_indices(key, log_weights, num_samples):
     cdf = jnp.cumsum(_normalized_weights(log_weights))
     u0 = jax.random.uniform(key, ()) / num_samples
     points = u0 + jnp.arange(num_samples) / num_samples
-    return jnp.searchsorted(cdf, points)
+    # float32 cumsum can leave cdf[-1] < 1.0: clamp so host-side (numpy)
+    # consumers never see an index == size (JAX gather would clamp anyway).
+    return jnp.minimum(jnp.searchsorted(cdf, points), log_weights.size - 1)
 
 
 def stratified_resample_indices(key, log_weights, num_samples):
@@ -62,7 +64,7 @@ def stratified_resample_indices(key, log_weights, num_samples):
     cdf = jnp.cumsum(_normalized_weights(log_weights))
     u = jax.random.uniform(key, (num_samples,))
     points = (u + jnp.arange(num_samples)) / num_samples
-    return jnp.searchsorted(cdf, points)
+    return jnp.minimum(jnp.searchsorted(cdf, points), log_weights.size - 1)
 
 
 def multinomial_resample_indices(key, log_weights, num_samples):
@@ -84,7 +86,10 @@ def residual_resample_indices(key, log_weights, num_samples):
     w = _normalized_weights(log_weights)
     n = w.size
     nw = num_samples * w
-    counts = jnp.floor(nw)
+    # Integer bookkeeping: float32 counts/cumsums lose exactness past ~2^24
+    # particles, mis-assigning boundary positions between the deterministic
+    # and residual regions.
+    counts = jnp.floor(nw).astype(jnp.int32)
     det_total = jnp.sum(counts)
     det_cum = jnp.cumsum(counts)
     j = jnp.arange(num_samples)

@@ -75,13 +75,18 @@ class Variable:
         return copy.deepcopy(self)
 
     def __hash__(self):
+        # Hash raw array bytes rather than stringified contents: Empirical
+        # dedup paths (combine_duplicates) hash every variable, and building
+        # a python-list string is ~100x the cost of hashing the buffer for
+        # large tensor values.
         v = self.value
         try:
-            vs = str(np.asarray(v).tolist())
+            a = np.asarray(v)
+            vh = hash((a.shape, a.dtype.str, a.tobytes()))
         except Exception:
-            vs = str(v)
+            vh = hash(str(v))
         return hash(
-            (self.address or "") + vs + str(self.control) + str(self.observed) + str(self.tagged)
+            (self.address or "", vh, self.control, self.observed, self.tagged)
         )
 
     def __eq__(self, other):

@@ -140,6 +140,27 @@ def test_trace_histograms_stats():
     assert "trace_stats" in stats
 
 
+def test_address_histogram_report_files(tmp_path):
+    """address_histograms(file_name=...) emits the reference's companion
+    .txt summary and .csv per-address report
+    (reference: pyprob/diagnostics.py:316-332)."""
+    m = GUM()
+    prior = m.prior(num_traces=200)
+    base = str(tmp_path / "addr_report")
+    diagnostics.address_histograms(prior, file_name=base)
+    txt = open(base + ".txt").read()
+    assert "address report" in txt
+    assert "addresses_controlled: 1" in txt
+    assert "num_distribution_elements: 200" in txt
+    csv_lines = open(base + ".csv").read().strip().splitlines()
+    assert csv_lines[0].startswith("address_id, count, name, controlled")
+    # GUM: one controlled latent + one observed site
+    rows = [l.split(", ") for l in csv_lines[1:]]
+    assert len(rows) == 2
+    counts = {r[2]: int(r[1]) for r in rows}
+    assert counts == {"mu": 200, "obs0": 200}
+
+
 def test_network_report():
     class GUM2(pp.Model):
         def forward(self):

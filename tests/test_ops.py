@@ -90,3 +90,11 @@ def test_mixture_dispatch_conditions():
         assert mix._fused_log_prob(jnp.zeros(4)) is None
     finally:
         K.set_use_pallas(None)
+
+
+def test_erf_poly_accuracy():
+    """The in-kernel erf approximation (A&S 7.1.26; Pallas TPU has no erf
+    lowering) must match lax.erf to f32 resolution across the full range."""
+    x = jnp.linspace(-6.0, 6.0, 20001)
+    err = np.abs(np.asarray(K._erf_poly(x)) - np.asarray(jax.lax.erf(x)))
+    assert err.max() < 1e-6

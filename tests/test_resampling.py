@@ -34,10 +34,16 @@ def test_device_scheme_counts(scheme):
     assert idx.min() >= 0 and idx.max() < W.size
     counts = np.bincount(idx, minlength=W.size).astype(float)
     expected = N * W
-    if scheme in ("systematic", "stratified"):
-        # single-distribution guarantee: floor(Nw) <= count <= ceil(Nw)
+    if scheme == "systematic":
+        # single-offset guarantee: floor(Nw) <= count <= ceil(Nw)
         assert (counts >= np.floor(expected) - 1e-9).all()
         assert (counts <= np.ceil(expected) + 1e-9).all()
+    elif scheme == "stratified":
+        # per-stratum uniforms: counts can land one outside the systematic
+        # bound depending on stratum alignment (Douc et al. 2005), so allow
+        # floor(Nw)-1 .. ceil(Nw)+1 rather than pinning to the fixed seed.
+        assert (counts >= np.floor(expected) - 1 - 1e-9).all()
+        assert (counts <= np.ceil(expected) + 1 + 1e-9).all()
     elif scheme == "residual":
         assert (counts >= np.floor(expected) - 1e-9).all()
         assert np.abs(counts - expected).max() < 5 * math.sqrt(N)
