@@ -1,4 +1,5 @@
 from .mesh import get_mesh, data_parallel_mesh, pad_to_multiple
+from .introspect import capture_jit, JitRecord
 from .collectives import (
     pooled_log_weight_stats,
     sharded_effective_sample_size,
@@ -14,6 +15,8 @@ __all__ = [
     "get_mesh",
     "data_parallel_mesh",
     "pad_to_multiple",
+    "capture_jit",
+    "JitRecord",
     "pooled_log_weight_stats",
     "sharded_effective_sample_size",
     "systematic_resample_indices",

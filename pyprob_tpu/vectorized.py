@@ -1107,13 +1107,18 @@ def _run_batched(
     args=(),
     kwargs=None,
     fetch=None,
+    mesh=None,
 ):
     """vmap+jit forward() over particle batches; returns host-side outputs
     stacked to num_traces, plus the static site list.
 
     ``fetch``: optional list of top-level output keys to pull to the host
     (results-only paths skip transferring per-site arrays entirely —
-    that device->host traffic otherwise dominates large runs)."""
+    that device->host traffic otherwise dominates large runs).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``dp`` axis; particle
+    keys shard over it (observations replicate) so each chunk runs SPMD
+    across the mesh instead of on the default device."""
     run, sites_box, _ = _get_jitted_run(
         model,
         trace_mode,
@@ -1128,6 +1133,15 @@ def _run_batched(
     obs_arrays = {
         k: jnp.asarray(v, util.dtype()) for k, v in (observed or {}).items()
     }
+    key_sharding = None
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        key_sharding = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        obs_arrays = {
+            k: jax.device_put(v, repl) for k, v in obs_arrays.items()
+        }
 
     # Pipelined chunks: JAX dispatch is async, so keeping a bounded number
     # of chunk computations in flight overlaps chunk k's device->host
@@ -1167,7 +1181,13 @@ def _run_batched(
         if remaining > 0 and len(in_flight) < _PIPELINE_DEPTH:
             n = min(remaining, limit)
             n_padded = _next_pow2(n) if pad_shapes else n
+            if key_sharding is not None:
+                from .parallel.mesh import pad_to_multiple
+
+                n_padded = pad_to_multiple(n_padded, mesh.size)
             keys = util.next_keys(n_padded)
+            if key_sharding is not None:
+                keys = jax.device_put(keys, key_sharding)
             try:
                 out = run(keys, obs_arrays)
             except Exception as e:  # compile-time OOM surfaces here
@@ -1188,7 +1208,7 @@ def _run_batched(
                     raise
                 remaining += n  # chunk lost: re-run it at the new size
                 continue
-            if pad_shapes:
+            if pad_shapes or key_sharding is not None:
                 host_chunk = jax.tree_util.tree_map(
                     lambda x: x[:n], host_chunk
                 )
@@ -1216,6 +1236,7 @@ def vectorized_traces(
     rename=None,
     args=(),
     kwargs=None,
+    mesh=None,
 ):
     """Vectorized counterpart of Model._traces.  Returns an Empirical, or
     None if the model is not jax-traceable (caller falls back)."""
@@ -1238,6 +1259,7 @@ def vectorized_traces(
             args=args,
             kwargs=kwargs,
             fetch=["result", "log_importance_weight"] if results_only else None,
+            mesh=mesh,
         )
     except (
         jax.errors.ConcretizationTypeError,
@@ -1614,6 +1636,7 @@ def vectorized_posterior(
             likelihood_importance=likelihood_importance,
             args=args,
             kwargs=kwargs,
+            mesh=mesh,
         )
         if emp is not None:
             emp.rename(
@@ -1653,6 +1676,7 @@ def vectorized_posterior(
             proposal_step=proposal_step,
             args=args,
             kwargs=kwargs,
+            mesh=mesh,
         )
         if emp is not None:
             emp.rename(
