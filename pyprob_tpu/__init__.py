@@ -29,6 +29,7 @@ from .util import (
 from .state import sample, observe, factor, tag, rejection_sample
 from .address import AddressDictionary
 from .model import Model, RemoteModel, RemoteModelPool, ConditionalModel, ParallelModel
+from .markov import MarkovModel
 from .inference import ChainState
 
 
@@ -76,6 +77,7 @@ __all__ = [
     "rejection_sample",
     "AddressDictionary",
     "Model",
+    "MarkovModel",
     "RemoteModel",
     "RemoteModelPool",
     "LockstepRemoteModel",

@@ -212,8 +212,36 @@ def vectorized_smc_posterior(
 
         num_traces = pad_to_multiple(num_traces, mesh.size)
 
-    t0 = time.time()
     results_only = getattr(map_func, "__name__", "") == "trace_result"
+
+    # Scan-structured models get the O(T) lax.scan filter instead of the
+    # O(T^2) staged replay — results-only (no Trace materialization) and
+    # prior-proposal only; Trace/map_func/guided callers stay on staged.
+    from ..markov import MarkovModel
+
+    if (
+        isinstance(model, MarkovModel)
+        and proposal_step is None
+        and results_only
+    ):
+        from .smc_scan import scan_smc_posterior
+
+        emp = scan_smc_posterior(
+            model,
+            num_traces,
+            observe=observe,
+            file_name=file_name,
+            resample_threshold=resample_threshold,
+            resampling=resampling,
+            likelihood_importance=likelihood_importance,
+            mesh=mesh,
+            args=args,
+            kwargs=kwargs,
+        )
+        if emp is not None:
+            return emp
+
+    t0 = time.time()
     cacheable = not args and not kwargs
     # proposal_step identity is a freshness check, not part of the key:
     # retraining creates a new closure, and keeping the old id keyed would
@@ -424,8 +452,12 @@ def interpreter_smc_posterior(
     divergent programs stay on their ancestor's path through the committed
     prefix.  Weight math is float64 on host.
 
-    Requires every execution to pass the same NUMBER of observes (their
-    addresses may differ); raises otherwise."""
+    Executions may pass DIFFERENT numbers of observes (a universal-PPL
+    possibility with no reference counterpart): the filter runs
+    max-observes stages, and a particle past its last observe carries a
+    zero weight increment — it has already reached the final target, so
+    later stages leave its weight (and its fully-committed replay)
+    unchanged while it keeps participating in resampling."""
     from scipy.special import logsumexp
 
     from .. import state
@@ -459,15 +491,10 @@ def interpreter_smc_posterior(
             state._set_smc_replay(None)
 
     traces = [run_particle(None) for _ in range(n)]
-    n_obs = len(traces[0].variables_observed)
+    n_obs = max(len(t.variables_observed) for t in traces)
     if n_obs == 0:
         raise RuntimeError(
             "SEQUENTIAL_MONTE_CARLO requires at least one observed site"
-        )
-    if any(len(t.variables_observed) != n_obs for t in traces):
-        raise RuntimeError(
-            "SEQUENTIAL_MONTE_CARLO requires a fixed number of observes "
-            "per execution; this model's executions disagree."
         )
 
     rng = util.get_rng()
@@ -478,7 +505,10 @@ def interpreter_smc_posterior(
     resampled_stages = []
     for r in range(1, n_obs + 1):
         for i, t in enumerate(traces):
-            w[i] += float(t.variables_observed[r - 1].log_prob)
+            # a particle past its last observe has reached the final
+            # target: zero increment, weight carried forward unchanged
+            if r <= len(t.variables_observed):
+                w[i] += float(t.variables_observed[r - 1].log_prob)
         w[~np.isfinite(w)] = -np.inf
         ess = float(util.effective_sample_size(w))
         stage_ess.append(ess)
@@ -496,14 +526,21 @@ def interpreter_smc_posterior(
         for a in ancestors:
             replay = {}
             seen_obs = 0
+            committed = True  # fully-committed traces replay whole
             for v in a.variables:
                 if v.observed:
                     seen_obs += 1
                     if seen_obs >= r:
+                        committed = False
                         break
                 elif v.control:
                     replay[v.address] = v.value
-            new_traces.append(run_particle(replay))
+            if committed:
+                # no observe r: the trace is final — keep it verbatim
+                # (re-running would re-randomize committed sites)
+                new_traces.append(a)
+            else:
+                new_traces.append(run_particle(replay))
         traces = new_traces
     log_z += float(logsumexp(w)) - log_n
 

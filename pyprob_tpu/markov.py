@@ -1,0 +1,136 @@
+"""Scan-structured (Markov) model protocol.
+
+A universal-PPL program cannot be paused mid-trace, so the generic SMC
+engine resamples via staged replay: stage r re-executes the whole
+``forward`` (pyprob_tpu.inference.smc) — T observes cost T full
+re-executions, O(T^2) program work.  Models that ARE scan-structured
+can say so by subclassing :class:`MarkovModel`; the SMC engine then runs
+an O(T) ``lax.scan`` particle filter (pyprob_tpu.inference.smc_scan):
+one ``markov_step`` evaluation per particle per stage, with resampling a
+batched gather on the carry, the whole filter one XLA program.
+
+Protocol (all effect calls — ``pp.sample`` / ``pp.observe`` /
+``pp.factor`` — work as usual inside each hook):
+
+* ``markov_init(self) -> carry`` — run once per particle: sample global
+  latents and the initial state; may observe (weights fold into the
+  initial stage).  Returns the filter carry, any pytree of arrays.
+* ``markov_step(self, carry, t) -> carry`` — one transition: sample the
+  step's latents, observe the step's data, return the new carry.
+  Every ``observe(name=...)``/observed-``sample(name=...)`` inside
+  ``markov_step`` reads ROW ``t`` of the user-provided observation
+  array: pass ``observe={"y": array of shape [num_steps, ...]}`` and
+  write ``pp.observe(dist, name="y")`` in the step.  Anything the next
+  step needs (including values you want in the result) must flow
+  through the carry.
+* ``markov_finalize(self, carry) -> result`` — map the final carry to
+  the model's return value (default: the carry itself).
+* ``self.num_steps`` — the (static) number of steps.
+
+``forward()`` is derived from the hooks (a plain Python loop with the
+same per-step observation slicing), so a MarkovModel works unchanged
+with every other engine — IS, IC, MCMC, HMC/NUTS, VI — on both tiers;
+the reference has no counterpart (its engine list is
+reference: pyprob/util.py:49-53 and it has no SMC at all).
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from .model import Model
+from . import state
+
+
+class _StepObserves:
+    """Read-only view of the observed dict that slices row ``t`` of every
+    value on access — installed while ``markov_step`` runs so per-step
+    observations keep a single static address across steps."""
+
+    __slots__ = ("_base", "_t")
+
+    def __init__(self, base, t):
+        self._base = base
+        self._t = t
+
+    def __contains__(self, name):
+        return name in self._base
+
+    def __getitem__(self, name):
+        return self._base[name][self._t]
+
+    def get(self, name, default=None):
+        if name in self._base:
+            return self[name]
+        return default
+
+    def keys(self):
+        return self._base.keys()
+
+    def __iter__(self):
+        return iter(self._base)
+
+    def __len__(self):
+        return len(self._base)
+
+    def items(self):
+        return ((k, self[k]) for k in self._base)
+
+    def values(self):
+        return (self[k] for k in self._base)
+
+
+@contextlib.contextmanager
+def _sliced_observes(t):
+    """Slice row ``t`` of every observed value for the active tier's
+    handler while the body runs."""
+    handler = state._get_handler()
+    if handler is not None:  # compiled tier (vmap tracing)
+        base = handler.observed
+        handler.observed = _StepObserves(base, t)
+        try:
+            yield
+        finally:
+            handler.observed = base
+    else:  # interpreter tier
+        ctx = state._ctx_local.value
+        base = ctx.observed_variables
+        ctx.observed_variables = _StepObserves(base, t)
+        try:
+            yield
+        finally:
+            ctx.observed_variables = base
+
+
+class MarkovModel(Model):
+    """Base class for scan-structured models; see the module docstring
+    for the ``markov_init`` / ``markov_step`` / ``markov_finalize``
+    protocol.  Set ``num_steps`` (constructor argument or attribute)."""
+
+    def __init__(self, num_steps=None, name="Unnamed pyprob_tpu markov model",
+                 **kwargs):
+        super().__init__(name=name, **kwargs)
+        if num_steps is not None:
+            self.num_steps = int(num_steps)
+
+    # -- the protocol --------------------------------------------------
+    def markov_init(self):
+        raise NotImplementedError(
+            "MarkovModel subclasses must implement markov_init()"
+        )
+
+    def markov_step(self, carry, t):
+        raise NotImplementedError(
+            "MarkovModel subclasses must implement markov_step(carry, t)"
+        )
+
+    def markov_finalize(self, carry):
+        return carry
+
+    # -- derived forward: every non-SMC engine sees a normal model -----
+    def forward(self):
+        carry = self.markov_init()
+        for t in range(self.num_steps):
+            with _sliced_observes(t):
+                carry = self.markov_step(carry, t)
+        return self.markov_finalize(carry)

@@ -18,6 +18,7 @@ from .models import (
     GaussianProcessRegression,
     GaussianMixture,
     LinearGaussianStateSpace,
+    LinearGaussianStateSpaceMarkov,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "GaussianProcessRegression",
     "GaussianMixture",
     "LinearGaussianStateSpace",
+    "LinearGaussianStateSpaceMarkov",
 ]

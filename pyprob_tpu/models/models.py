@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from .. import state as _state
 from ..model import Model
+from ..markov import MarkovModel
 from ..distributions import (
     Categorical,
     HalfCauchy,
@@ -841,3 +842,75 @@ class LinearGaussianStateSpace(Model):
             xs.append(self.a * xs[-1] + rng.normal(0.0, self.transition_stddev))
             ys.append(xs[-1] + rng.normal(0.0, self.observation_stddev))
         return np.array(xs), np.array(ys)
+
+    def kalman_log_evidence(self, ys):
+        """Exact log marginal likelihood log p(y_1..y_T): the sum of
+        one-step predictive log-densities from the Kalman recursion —
+        ground truth for SMC's log_evidence estimate."""
+        q, r = self.transition_stddev**2, self.observation_stddev**2
+        mean, var = 0.0, self.init_stddev**2
+        log_z = 0.0
+        for y in np.asarray(ys, dtype=np.float64):
+            mean_p = self.a * mean
+            var_p = self.a * self.a * var + q
+            s = var_p + r
+            log_z += -0.5 * (
+                math.log(2 * math.pi * s) + (y - mean_p) ** 2 / s
+            )
+            k = var_p / s
+            mean = mean_p + k * (y - mean_p)
+            var = (1 - k) * var_p
+        return log_z
+
+
+class LinearGaussianStateSpaceMarkov(MarkovModel):
+    """The same local-level model as :class:`LinearGaussianStateSpace`,
+    declared through the markov protocol so SMC runs the O(T) lax.scan
+    filter (pyprob_tpu.inference.smc_scan) instead of O(T^2) staged
+    replay.  The carry is the current state x_t; ``markov_finalize``
+    returns x_T, so the SMC posterior targets the FILTERING distribution
+    p(x_T | y_{1:T}) — validated against the exact Kalman filter.  The
+    per-step observation is a single array: ``observe={"y": ys[T]}``.
+    Every other engine sees the derived ``forward()`` (the plain loop)
+    and works unchanged."""
+
+    def __init__(self, num_steps=8, a=1.0, init_stddev=1.0,
+                 transition_stddev=math.sqrt(0.5),
+                 observation_stddev=math.sqrt(0.3)):
+        super().__init__(
+            num_steps=num_steps,
+            name="Linear-Gaussian state space (markov)",
+        )
+        self.a = float(a)
+        self.init_stddev = float(init_stddev)
+        self.transition_stddev = float(transition_stddev)
+        self.observation_stddev = float(observation_stddev)
+        # exact ground truth shared with the staged-replay variant
+        self._exact = LinearGaussianStateSpace(
+            num_steps=num_steps, a=a, init_stddev=init_stddev,
+            transition_stddev=transition_stddev,
+            observation_stddev=observation_stddev,
+        )
+
+    def markov_init(self):
+        return sample(Normal(0.0, self.init_stddev), address="x0")
+
+    def markov_step(self, x, t):
+        x = sample(Normal(self.a * x, self.transition_stddev), address="x")
+        observe(Normal(x, self.observation_stddev), name="y")
+        return x
+
+    def observes(self, ys):
+        return {"y": np.asarray(ys, dtype=np.float64)}
+
+    def kalman_filter(self, ys):
+        return self._exact.kalman_filter(ys)
+
+    def kalman_smoother(self, ys):
+        return self._exact.kalman_smoother(ys)
+
+    def kalman_log_evidence(self, ys):
+        return self._exact.kalman_log_evidence(ys)
+
+    def synthesize(self, rng=None):
+        return self._exact.synthesize(rng)

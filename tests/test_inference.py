@@ -185,6 +185,67 @@ def test_marsaglia_importance_sampling():
     _record("IS", "Marsaglia", time.time() - t0, f"KL {kl:.4f}")
 
 
+def test_marsaglia_ic_ff():
+    """Interpreter-tier Marsaglia IC-FF: the canonical universal-PPL IC
+    benchmark — ESS floor 0.8% (reference: tests/test_inference.py:315)."""
+    m = GUMMarsaglia()
+    m.learn_inference_network(
+        num_traces=IC_TRAIN,
+        observe_embeddings={"obs0": {"dim": 32, "depth": 2},
+                            "obs1": {"dim": 32, "depth": 2}},
+        inference_network=pp.InferenceNetwork.FEEDFORWARD,
+        prior_inflation=pp.PriorInflation.ENABLED,
+        batch_size=256,
+        learning_rate_init=0.005,
+    )
+    t0 = time.time()
+    post = m.posterior_results(
+        IC_SAMPLES,
+        observe=GUM_OBS,
+        vectorized=False,  # interpreter tier on purpose
+        inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+    )
+    kl = _check_gum(post, "IC-FF", IC_SAMPLES, ess_floor=0.008)
+    _record("IC-FF", "Marsaglia", time.time() - t0, f"KL {kl:.4f}")
+
+
+def test_marsaglia_ic_lstm():
+    """Interpreter-tier Marsaglia IC-LSTM — ESS floor 1.6%
+    (reference: tests/test_inference.py:344)."""
+    m = GUMMarsaglia()
+    m.learn_inference_network(
+        num_traces=IC_TRAIN,
+        observe_embeddings={"obs0": {"dim": 32, "depth": 2},
+                            "obs1": {"dim": 32, "depth": 2}},
+        inference_network=pp.InferenceNetwork.LSTM,
+        prior_inflation=pp.PriorInflation.ENABLED,
+        batch_size=256,
+        learning_rate_init=0.005,
+        lstm_dim=128,
+    )
+    t0 = time.time()
+    post = m.posterior_results(
+        IC_SAMPLES,
+        observe=GUM_OBS,
+        vectorized=False,
+        inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+    )
+    kl = _check_gum(post, "IC-LSTM", IC_SAMPLES, ess_floor=0.016)
+    _record("IC-LSTM", "Marsaglia", time.time() - t0, f"KL {kl:.4f}")
+
+
+def test_marsaglia_lmh():
+    m = GUMMarsaglia()
+    t0 = time.time()
+    post = m.posterior_results(
+        MCMC_SAMPLES,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+        observe=GUM_OBS,
+    )
+    kl = _check_gum(post, "LMH", MCMC_SAMPLES, burn_in=1000)
+    _record("LMH", "Marsaglia", time.time() - t0, f"KL {kl:.4f}")
+
+
 def test_marsaglia_rmh():
     m = GUMMarsaglia()
     t0 = time.time()
@@ -302,6 +363,60 @@ def test_hmm_ic_lstm():
     assert post.effective_sample_size > 0.001 * 10000
     l2, kl = _check_hmm(post)
     _record("IC-LSTM", "HMM", time.time() - t0, f"L2 {l2:.3f} KL {kl:.3f}")
+
+
+def test_hmm_ic_ff():
+    """HMM IC-FF — ESS floor 0.1% (reference: tests/test_inference.py:484)."""
+    m = HMM()
+    obs = {f"obs{i}": HMM_OBSERVATION[i] for i in range(len(HMM_OBSERVATION))}
+    m.learn_inference_network(
+        num_traces=IC_TRAIN,
+        observe_embeddings={
+            f"obs{i}": {"depth": 2, "dim": 8} for i in range(len(HMM_OBSERVATION))
+        },
+        inference_network=pp.InferenceNetwork.FEEDFORWARD,
+        batch_size=256,
+        learning_rate_init=0.005,
+    )
+    t0 = time.time()
+    post = m.posterior_results(
+        10000,
+        observe=obs,
+        vectorized=True,
+        inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+    )
+    assert post.effective_sample_size > 0.001 * 10000
+    l2, kl = _check_hmm(post)
+    _record("IC-FF", "HMM", time.time() - t0, f"L2 {l2:.3f} KL {kl:.3f}")
+
+
+def test_hmm_lmh():
+    """HMM LMH — L2<3, KL<1 after burn-in
+    (reference: tests/test_inference.py:536)."""
+    m = HMM()
+    obs = {f"obs{i}": HMM_OBSERVATION[i] for i in range(len(HMM_OBSERVATION))}
+    t0 = time.time()
+    post = m.posterior_results(
+        MCMC_SAMPLES,
+        observe=obs,
+        inference_engine=pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS,
+    )[700:]
+    l2, kl = _check_hmm(post)
+    _record("LMH", "HMM", time.time() - t0, f"L2 {l2:.3f} KL {kl:.3f}")
+
+
+def test_hmm_rmh():
+    """HMM RMH (reference: tests/test_inference.py:556)."""
+    m = HMM()
+    obs = {f"obs{i}": HMM_OBSERVATION[i] for i in range(len(HMM_OBSERVATION))}
+    t0 = time.time()
+    post = m.posterior_results(
+        MCMC_SAMPLES,
+        observe=obs,
+        inference_engine=pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS,
+    )[700:]
+    l2, kl = _check_hmm(post)
+    _record("RMH", "HMM", time.time() - t0, f"L2 {l2:.3f} KL {kl:.3f}")
 
 
 # ---------------------------------------------------------------------------
@@ -498,3 +613,70 @@ def test_mini_captcha_ic_cnn():
     accuracy = correct / len(test_images)
     assert accuracy > 0.8  # (reference: tests/test_inference.py:777)
     _record("IC-CNN", "MiniCaptcha", time.time() - t0, f"acc {accuracy:.2f}")
+
+
+def test_mini_captcha_ic_lstm():
+    """The second IC variant: LSTM core over the CNN observe embedding —
+    accuracy > 0.8 (reference: tests/test_inference.py:780-808)."""
+    m = MiniCaptcha()
+    test_images = [m.render(a) for a in m._alphabet]
+    m.learn_inference_network(
+        num_traces=8192,
+        observe_embeddings={
+            "query_image": {
+                "dim": 32,
+                "reshape": [1, 28, 28],
+                "embedding": pp.ObserveEmbedding.CNN2D5C,
+            }
+        },
+        inference_network=pp.InferenceNetwork.LSTM,
+        batch_size=128,
+        learning_rate_init=0.002,
+        lstm_dim=128,
+    )
+    t0 = time.time()
+    correct = 0
+    for i, img in enumerate(test_images):
+        post = m.posterior_results(
+            512,
+            observe={"query_image": img},
+            vectorized=True,
+            inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK,
+        )
+        if int(np.asarray(post.mode)) == i:
+            correct += 1
+    accuracy = correct / len(test_images)
+    assert accuracy > 0.8
+    _record("IC-LSTM", "MiniCaptcha", time.time() - t0, f"acc {accuracy:.2f}")
+
+
+def _mini_captcha_mcmc(engine, label):
+    """MAP accuracy > 0.9 via per-letter chains with duplicate-combined mode
+    (reference: tests/test_inference.py:810-853)."""
+    m = MiniCaptcha()
+    test_images = [m.render(a) for a in m._alphabet]
+    samples = 834  # 5000 / |alphabet| (reference: tests/test_inference.py:811)
+    burn_in = 84
+    t0 = time.time()
+    correct = 0
+    for i, img in enumerate(test_images):
+        post = m.posterior_results(
+            samples, observe={"query_image": img}, inference_engine=engine
+        )[burn_in:]
+        if int(np.asarray(post.combine_duplicates().mode)) == i:
+            correct += 1
+    accuracy = correct / len(test_images)
+    assert accuracy > 0.9
+    _record(label, "MiniCaptcha", time.time() - t0, f"acc {accuracy:.2f}")
+
+
+def test_mini_captcha_lmh():
+    _mini_captcha_mcmc(
+        pp.InferenceEngine.LIGHTWEIGHT_METROPOLIS_HASTINGS, "LMH"
+    )
+
+
+def test_mini_captcha_rmh():
+    _mini_captcha_mcmc(
+        pp.InferenceEngine.RANDOM_WALK_METROPOLIS_HASTINGS, "RMH"
+    )

@@ -1,0 +1,181 @@
+"""MarkovModel protocol + O(T) scan-native SMC (pyprob_tpu.markov,
+pyprob_tpu.inference.smc_scan) and the variable-observe-count
+interpreter SMC.  Ground truth: exact Kalman filter / log evidence."""
+
+import math
+
+import numpy as np
+import pytest
+
+import pyprob_tpu as pp
+from pyprob_tpu import InferenceEngine, MarkovModel
+from pyprob_tpu.distributions import Categorical, Normal
+from pyprob_tpu.models import (
+    LinearGaussianStateSpace,
+    LinearGaussianStateSpaceMarkov,
+)
+
+
+def _setup(T=16, seed=1):
+    m = LinearGaussianStateSpaceMarkov(num_steps=T)
+    xs, ys = m.synthesize(rng=seed)
+    return m, ys, m.observes(ys)
+
+
+def test_scan_smc_matches_kalman_filter():
+    m, ys, obs = _setup(T=16)
+    post = m.posterior_results(
+        4096,
+        observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+        resample_threshold=0.7,
+    )
+    assert "scan" in post.name
+    fm, fv = m.kalman_filter(ys)
+    assert abs(float(post.mean) - fm[-1]) < 0.1
+    assert abs(float(post.stddev) - math.sqrt(fv[-1])) < 0.1
+    assert abs(post.log_evidence - m.kalman_log_evidence(ys)) < 0.5
+
+
+def test_scan_smc_long_horizon_t256():
+    # the staged filter's program is O(T^2); T=256 only exists on the
+    # scan path (staged compile measured 139 s at T=64, CPU)
+    m, ys, obs = _setup(T=256)
+    post = m.posterior_results(
+        2048,
+        observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert "scan" in post.name
+    fm, fv = m.kalman_filter(ys)
+    assert abs(float(post.mean) - fm[-1]) < 0.15
+    assert abs(post.log_evidence - m.kalman_log_evidence(ys)) < 3.0
+
+
+def test_scan_and_staged_agree():
+    # same model family, same data: the markov variant's scan filter and
+    # the address-replay staged filter estimate the same evidence
+    T = 8
+    mk, ys, obs = _setup(T=T)
+    staged = LinearGaussianStateSpace(num_steps=T)
+    p_scan = mk.posterior_results(
+        4096,
+        observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    p_staged = staged.posterior_results(
+        4096,
+        observe=staged.observes(ys),
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert "scan" in p_scan.name and "scan" not in p_staged.name
+    assert abs(p_scan.log_evidence - p_staged.log_evidence) < 0.4
+    exact = mk.kalman_log_evidence(ys)
+    assert abs(p_scan.log_evidence - exact) < 0.3
+
+
+def test_markov_forward_derivation_other_engines():
+    """The derived forward() (python loop + per-step observe slicing)
+    makes every other engine work unchanged on a MarkovModel."""
+    m, ys, obs = _setup(T=8)
+    fm, fv = m.kalman_filter(ys)
+    # interpreter IS
+    post = m.posterior_results(3000, observe=obs)
+    assert abs(float(post.mean) - fm[-1]) < 0.3
+    # compiled IS
+    post = m.posterior_results(4096, observe=obs, vectorized=True)
+    assert abs(float(post.mean) - fm[-1]) < 0.3
+    # HMC (gradient engine over the derived forward)
+    post = m.posterior_results(
+        512,
+        observe=obs,
+        inference_engine=InferenceEngine.HAMILTONIAN_MONTE_CARLO,
+        num_chains=8,
+        burn_in=50,
+    )
+    assert abs(float(post.mean) - fm[-1]) < 0.3
+
+
+def test_markov_trace_posterior_falls_back_to_staged():
+    """posterior() materializes Traces, which the scan path cannot —
+    staged replay serves those calls (and still matches the evidence)."""
+    m, ys, obs = _setup(T=8)
+    post = m.posterior(
+        2048,
+        observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert "scan" not in post.name
+    t = post.sample()
+    assert hasattr(t, "variables")  # a real Trace
+    assert abs(post.log_evidence - m.kalman_log_evidence(ys)) < 0.5
+
+
+def test_scan_smc_sharded_over_mesh():
+    import jax
+    from pyprob_tpu.parallel import capture_jit, get_mesh
+
+    assert len(jax.devices()) >= 8
+    m, ys, obs = _setup(T=8)
+    with capture_jit() as records:
+        post = m.posterior_results(
+            512,
+            observe=obs,
+            inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+            resample_threshold=1.0,
+            mesh=get_mesh(num_devices=8),
+        )
+    assert "scan" in post.name
+    dp = [r for r in records if r.dp_sharded_outputs(8)]
+    assert dp, f"no dp-sharded scan-SMC program in {records}"
+    assert any(r.has_collectives() for r in dp)
+
+
+def test_scan_smc_seed_reproducible():
+    m, ys, obs = _setup(T=8)
+    pp.seed(7)
+    a = m.posterior_results(
+        512, observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    pp.seed(7)
+    b = m.posterior_results(
+        512, observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert float(a.mean) == float(b.mean)
+    assert a.log_evidence == b.log_evidence
+
+
+# ---------------------------------------------------------------------------
+# variable-observe-count interpreter SMC (universal-PPL divergence)
+# ---------------------------------------------------------------------------
+
+
+class _VarObsModel(pp.Model):
+    """Executions observe 1 or 2 data points depending on a latent coin —
+    untraceable (python loop bound on a sampled value), so SMC lands on
+    the interpreter filter."""
+
+    def forward(self):
+        k = int(pp.sample(Categorical(probs=[0.5, 0.5]))) + 1
+        mu = pp.sample(Normal(0.0, 2.0))
+        lik = Normal(mu, 1.0)
+        for t in range(k):
+            pp.observe(lik, name=f"obs{t}")
+        return mu
+
+
+def test_interpreter_smc_variable_observe_count():
+    obs = {"obs0": 1.5, "obs1": 2.5}
+    m = _VarObsModel()
+    post_smc = m.posterior_results(
+        2000,
+        observe=obs,
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    assert post_smc.length == 2000
+    # property check: IS targets the same posterior on the same model
+    post_is = m.posterior_results(4000, observe=obs)
+    assert abs(float(post_smc.mean) - float(post_is.mean)) < 0.25
+    assert abs(float(post_smc.stddev) - float(post_is.stddev)) < 0.25
