@@ -242,15 +242,29 @@ class InferenceNetwork:
 
     def _infer_init(self, observe=None):
         self._infer_observe = observe
-        obs = {
-            name: jnp.asarray(
-                np.asarray(observe[name], dtype=util.dtype()).reshape(1, -1)
-            )
-            for name in self._params["observe"].keys()
-        }
-        self._infer_observe_embedding = self._embed_observe_pure(
-            self._params, obs
-        )
+        # one posterior run calls _infer_init once per TRACE with the same
+        # observe dict: reuse the embedding (holding a reference keeps the
+        # id() key valid) instead of re-running the embedding net per trace
+        cached = getattr(self, "_infer_emb_cache", None)
+        key = (id(observe), self._total_train_iterations)
+        if (
+            cached is not None
+            and cached[0] == key
+            and cached[1] is observe
+        ):
+            self._infer_observe_embedding = cached[2]
+        else:
+            obs = {
+                name: jnp.asarray(
+                    np.asarray(observe[name], dtype=util.dtype()).reshape(
+                        1, -1
+                    )
+                )
+                for name in self._params["observe"].keys()
+            }
+            emb = self._embed_observe_pure(self._params, obs)
+            self._infer_emb_cache = (key, observe, emb)
+            self._infer_observe_embedding = emb
         self._infer_begin_trace()
 
     def _infer_begin_trace(self):
@@ -321,8 +335,10 @@ class InferenceNetwork:
             v = trace.variables_controlled[time_step]
             pp = prior_param_arrays(v.distribution)
             for k, val in pp.items():
+                # flattened per-row: scalars become [B, 1], event-shaped
+                # params [B, K]; heads reshape to their own layout
                 out.setdefault(k, []).append(
-                    np.asarray(val, dtype=util.dtype()).reshape(())
+                    np.asarray(val, dtype=util.dtype()).reshape(-1)
                 )
         return {k: jnp.asarray(np.stack(v)) for k, v in out.items()}
 
@@ -463,13 +479,20 @@ class InferenceNetwork:
             dist = jax.tree_util.tree_unflatten(
                 s.dist_treedef, [jnp.asarray(l) for l in leaves]
             )
-            prior = {
-                k: jnp.broadcast_to(
-                    jnp.asarray(v, util.dtype()).reshape(-1)
-                    if np.ndim(v) <= 1
-                    else jnp.asarray(v, util.dtype()),
-                    (batch_size,),
+            def _pack_prior(v):
+                # per-particle params carry a leading batch dim (vmapped
+                # dist leaves); constants broadcast.  Rows are flattened
+                # [B, K] — heads reshape to their own layout (scalar K=1,
+                # event-shaped K=D or D*D)
+                arr = jnp.asarray(v, util.dtype())
+                if arr.ndim > 0 and arr.shape[0] == batch_size:
+                    return arr.reshape(batch_size, -1)
+                return jnp.broadcast_to(
+                    arr.reshape(1, -1), (batch_size, max(arr.size, 1))
                 )
+
+            prior = {
+                k: _pack_prior(v)
                 for k, v in prior_param_arrays(dist).items()
             }
             step = {"values": values, "prior": prior}
@@ -548,12 +571,44 @@ class InferenceNetwork:
                 self._head_train_iterations.get(addr, 0) + 1
             )
 
+    def _loss_params_subset(self, addrs, dist_names):
+        """The sub-pytree of ``self._params`` a trace type's loss reads.
+        Loss programs are jitted against THIS structure, so polymorphing
+        a new address elsewhere does not change their input treedef and
+        every previously compiled bucket stays compiled.  (Passing the
+        full params instead retraced and recompiled every cached loss on
+        every polymorph — measured ~77 recompiles over one Marsaglia FF
+        training run.)  Default: the full params (fixed-structure
+        models never polymorph mid-run)."""
+        return self._params
+
+    def _expand_grads(self, sub_grads, addrs, dist_names):
+        """Embed gradients w.r.t. a params subset back into the
+        full-params structure (zeros elsewhere)."""
+        if sub_grads is None:
+            return None
+
+        def expand(full, sub):
+            if isinstance(full, dict):
+                return {
+                    k: (
+                        expand(v, sub[k])
+                        if isinstance(sub, dict) and k in sub
+                        else jax.tree_util.tree_map(jnp.zeros_like, v)
+                    )
+                    for k, v in full.items()
+                }
+            return sub
+
+        return expand(self._params, sub_grads)
+
     def _loss_and_grad(self, batch):
         """Full-batch loss + grads: one jitted computation per sub-batch
         (cached by trace type), grads accumulated over sub-batches."""
         if isinstance(batch, PackedBatch):
             key, loss_fn = self._make_loss_for(batch.addrs, batch.dist_names)
             packed = batch.packed
+            subset = self._loss_params_subset(batch.addrs, batch.dist_names)
             if self._dp_mesh is not None:
                 ndev = self._dp_mesh.size
                 nprocs = self._dp_num_processes()
@@ -566,16 +621,18 @@ class InferenceNetwork:
                         loss_fn
                     )
                 loss, grads = self._loss_grad_cache[dp_key](
-                    self._params, packed
+                    subset, packed
                 )
                 norm = batch.size * nprocs  # psum spans all ranks' rows
             else:
                 if key not in self._loss_grad_cache:
+                    util.relieve_compile_pressure()
                     self._loss_grad_cache[key] = jax.jit(
                         jax.value_and_grad(loss_fn)
                     )
-                loss, grads = self._loss_grad_cache[key](self._params, packed)
+                loss, grads = self._loss_grad_cache[key](subset, packed)
                 norm = batch.size
+            grads = self._expand_grads(grads, batch.addrs, batch.dist_names)
             loss_value = float(loss) / norm
             grads = jax.tree_util.tree_map(lambda g: g / norm, grads)
             success = not (
@@ -598,6 +655,14 @@ class InferenceNetwork:
         for sub_batch in batch.sub_batches:
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
             packed = self._pack_sub_batch(sub_batch)
+            sb_addrs = tuple(
+                v.address for v in sub_batch[0].variables_controlled
+            )
+            sb_dists = tuple(
+                v.distribution.name
+                for v in sub_batch[0].variables_controlled
+            )
+            subset = self._loss_params_subset(sb_addrs, sb_dists)
             if self._dp_mesh is not None:
                 ndev = self._dp_mesh.size
                 target = ((len(sub_batch) + ndev - 1) // ndev) * ndev
@@ -609,21 +674,18 @@ class InferenceNetwork:
                         loss_fn
                     )
                 loss, grads = self._loss_grad_cache[dp_key](
-                    self._params, packed
+                    subset, packed
                 )
-                total_loss = total_loss + loss
-                if total_grads is None:
-                    total_grads = grads
-                else:
-                    total_grads = jax.tree_util.tree_map(
-                        lambda a, b: a + b, total_grads, grads
+            else:
+                if key not in self._loss_grad_cache:
+                    # variable-structure models mint one loss program per
+                    # trace type: the canonical mmap-exhaustion risk
+                    util.relieve_compile_pressure()
+                    self._loss_grad_cache[key] = jax.jit(
+                        jax.value_and_grad(loss_fn)
                     )
-                continue
-            if key not in self._loss_grad_cache:
-                self._loss_grad_cache[key] = jax.jit(
-                    jax.value_and_grad(loss_fn)
-                )
-            loss, grads = self._loss_grad_cache[key](self._params, packed)
+                loss, grads = self._loss_grad_cache[key](subset, packed)
+            grads = self._expand_grads(grads, sb_addrs, sb_dists)
             total_loss = total_loss + loss
             if total_grads is None:
                 total_grads = grads
@@ -648,10 +710,19 @@ class InferenceNetwork:
         for sub_batch in batch.sub_batches:
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
             packed = self._pack_sub_batch(sub_batch)
+            example = sub_batch[0]
+            subset = self._loss_params_subset(
+                tuple(v.address for v in example.variables_controlled),
+                tuple(
+                    v.distribution.name
+                    for v in example.variables_controlled
+                ),
+            )
             if key not in self._loss_cache:
+                util.relieve_compile_pressure()
                 self._loss_cache[key] = jax.jit(loss_fn)
             total_loss = total_loss + float(
-                self._loss_cache[key](self._params, packed)
+                self._loss_cache[key](subset, packed)
             )
         loss_value = total_loss / batch.size
         success = not (math.isnan(loss_value) or math.isinf(loss_value))

@@ -14,6 +14,7 @@ from .inference_network import InferenceNetwork
 from .layers import num_params
 from .proposals import (
     head_kind_for,
+    event_dim_for,
     head_init,
     head_apply,
     prior_param_arrays,
@@ -65,6 +66,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                     self._observe_embedding_dim,
                     mixture_components=self._proposal_mixture_components,
                     num_categories=num_categories,
+                    event_dim=event_dim_for(distribution),
                 )
                 self._head_meta[address] = {
                     "kind": kind,
@@ -117,6 +119,17 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         )
         return self._make_loss_for(addrs, dist_names)
 
+    def _loss_params_subset(self, addrs, dist_names):
+        # only the keys the FF loss reads — polymorphing a new address
+        # elsewhere must not retrace this trace type's compiled loss
+        return {
+            "observe": self._params["observe"],
+            "observe_final": self._params["observe_final"],
+            "proposal": {
+                a: self._params["proposal"][a] for a in set(addrs)
+            },
+        }
+
     def _make_loss_for(self, addrs, dist_names):
         for addr in addrs:
             if addr not in self._params["proposal"]:
@@ -164,14 +177,20 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 )
                 return distribution
         prior = {
-            k: jnp.asarray(np.asarray(v, util.dtype()).reshape(1))
+            k: np.asarray(v, util.dtype()).reshape(1, -1)
             for k, v in prior_param_arrays(distribution).items()
         }
-        return head_apply(
-            self._params["proposal"][address],
-            self._infer_observe_embedding,
-            prior,
-        )
+        # one jitted dispatch per site (heads with the same structure share
+        # the compiled program), returning the proposal as a pytree
+        # (distributions are registered pytrees); leaves come back as
+        # numpy so the interpreter tier samples/scores in the numpy
+        # backend — ~50 per-op jnp dispatches per site otherwise
+        fn = getattr(self, "_infer_step_jit", None)
+        if fn is None:
+            fn = self._infer_step_jit = jax.jit(head_apply)
+        d = fn(self._params["proposal"][address],
+               self._infer_observe_embedding, prior)
+        return jax.tree_util.tree_map(np.asarray, d)
 
     # ------------------------------------------------------------------
     def make_vectorized_proposal_step(self, observe=None):
@@ -214,17 +233,18 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 value = distribution._sample_jax(key, ())
                 return value, distribution.log_prob(value, sum=True)
             prior = {
-                k: jnp.reshape(jnp.asarray(v, util.dtype()), (1,))
+                k: jnp.reshape(jnp.asarray(v, util.dtype()), (1, -1))
                 for k, v in prior_param_arrays(distribution).items()
             }
+            ev = tuple(getattr(distribution, "event_shape", ()))
             d = head_apply(params["proposal"][addr], _emb(observed), prior)
             if forced_value is not None:
-                value = jnp.reshape(forced_value, ())
+                value = jnp.reshape(forced_value, ev)
                 plp = jnp.sum(d.log_prob(value))
             elif defensive is not None:
                 kq, kp, ku = jax.random.split(key, 3)
-                xq = jnp.reshape(d._sample_jax(kq, ()), ())
-                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                xq = jnp.reshape(d._sample_jax(kq, ()), ev)
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ev)
                 value = jnp.where(jax.random.bernoulli(ku, defensive), xq, xp)
                 plp = jnp.logaddexp(
                     jnp.log(defensive) + jnp.sum(d.log_prob(value)),
@@ -235,12 +255,12 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 # sample(mask=): masked-off lanes draw from the prior; the
                 # caller zeroes their weight correction
                 kq, kp = jax.random.split(key)
-                xq = jnp.reshape(d._sample_jax(kq, ()), ())
-                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                xq = jnp.reshape(d._sample_jax(kq, ()), ev)
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ev)
                 value = jnp.where(mask, xq, xp)
                 plp = jnp.sum(d.log_prob(value))
             else:
-                value = jnp.reshape(d._sample_jax(key, ()), ())
+                value = jnp.reshape(d._sample_jax(key, ()), ev)
                 plp = jnp.sum(d.log_prob(value))
             return value, plp
 

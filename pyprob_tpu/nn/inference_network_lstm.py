@@ -31,6 +31,7 @@ from .layers import (
 )
 from .proposals import (
     head_kind_for,
+    event_dim_for,
     head_init,
     head_apply,
     prior_param_arrays,
@@ -150,6 +151,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
                         self._lstm_dim,
                         mixture_components=self._proposal_mixture_components,
                         num_categories=num_categories,
+                        event_dim=event_dim_for(distribution),
                     )
                     value_shape = tuple(np.shape(variable.value)) or (1,)
                     self._params["sample_embedding"][address] = mlp_init(
@@ -215,6 +217,26 @@ class InferenceNetworkLSTM(InferenceNetwork):
             v.distribution.name for v in example.variables_controlled
         )
         return self._make_loss_for(addrs, dist_names)
+
+    def _loss_params_subset(self, addrs, dist_names):
+        # only the keys the LSTM loss reads — polymorphing a new address
+        # elsewhere must not retrace this trace type's compiled loss
+        p = self._params
+        return {
+            "observe": p["observe"],
+            "observe_final": p["observe_final"],
+            "lstm": p["lstm"],
+            "proposal": {a: p["proposal"][a] for a in set(addrs)},
+            "sample_embedding": {
+                a: p["sample_embedding"][a] for a in set(addrs)
+            },
+            "address_embedding": {
+                a: p["address_embedding"][a] for a in set(addrs)
+            },
+            "dist_type_embedding": {
+                n: p["dist_type_embedding"][n] for n in set(dist_names)
+            },
+        }
 
     def _make_loss_for(self, addrs, dist_names):
         for addr in addrs:
@@ -344,24 +366,47 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 return distribution
         cur_addr_emb = params["address_embedding"][address]
         cur_dist_emb = params["dist_type_embedding"][distribution.name]
-        x = jnp.concatenate(
-            [
-                self._infer_observe_embedding[0],
-                prev_sample_emb[0],
-                prev_dist_emb,
-                prev_addr_emb,
-                cur_dist_emb,
-                cur_addr_emb,
-            ]
-        ).reshape(1, -1)
-        out, self._infer_lstm_state = lstm_step(
-            params["lstm"], x, self._infer_lstm_state
-        )
         prior = {
-            k: jnp.asarray(np.asarray(v, util.dtype()).reshape(1))
+            k: np.asarray(v, util.dtype()).reshape(1, -1)
             for k, v in prior_param_arrays(distribution).items()
         }
-        return head_apply(params["proposal"][address], out, prior)
+        # the whole per-site step (concat + LSTM cell + head) is ONE jitted
+        # dispatch; the proposal comes back as a numpy-leaved pytree so the
+        # interpreter samples/scores in the numpy backend (dozens of
+        # per-op jnp dispatches per site otherwise)
+        fn = getattr(self, "_infer_step_jit", None)
+        if fn is None:
+
+            def _site_step(lstm_p, head_p, obs_emb, prev_sample_emb,
+                           prev_dist_emb, prev_addr_emb, cur_dist_emb,
+                           cur_addr_emb, lstm_state, prior):
+                x = jnp.concatenate(
+                    [
+                        obs_emb[0],
+                        prev_sample_emb[0],
+                        prev_dist_emb,
+                        prev_addr_emb,
+                        cur_dist_emb,
+                        cur_addr_emb,
+                    ]
+                ).reshape(1, -1)
+                out, new_state = lstm_step(lstm_p, x, lstm_state)
+                return head_apply(head_p, out, prior), new_state
+
+            fn = self._infer_step_jit = jax.jit(_site_step)
+        d, self._infer_lstm_state = fn(
+            params["lstm"],
+            params["proposal"][address],
+            self._infer_observe_embedding,
+            prev_sample_emb,
+            prev_dist_emb,
+            prev_addr_emb,
+            cur_dist_emb,
+            cur_addr_emb,
+            self._infer_lstm_state,
+            prior,
+        )
+        return jax.tree_util.tree_map(np.asarray, d)
 
     # ------------------------------------------------------------------
     # compiled-tier guided inference: whole trace in one XLA program
@@ -443,17 +488,18 @@ class InferenceNetworkLSTM(InferenceNetwork):
             ).reshape(1, -1)
             out, state["lstm"] = lstm_step(params["lstm"], x, state["lstm"])
             prior = {
-                k: jnp.reshape(jnp.asarray(v, util.dtype()), (1,))
+                k: jnp.reshape(jnp.asarray(v, util.dtype()), (1, -1))
                 for k, v in prior_param_arrays(distribution).items()
             }
+            ev = tuple(getattr(distribution, "event_shape", ()))
             d = head_apply(params["proposal"][addr], out, prior)
             if forced_value is not None:
-                value = jnp.reshape(forced_value, ())
+                value = jnp.reshape(forced_value, ev)
                 plp = jnp.sum(d.log_prob(value))
             elif defensive is not None:
                 kq, kp, ku = jax.random.split(key, 3)
-                xq = jnp.reshape(d._sample_jax(kq, ()), ())
-                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                xq = jnp.reshape(d._sample_jax(kq, ()), ev)
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ev)
                 value = jnp.where(
                     jax.random.bernoulli(ku, defensive), xq, xp
                 )
@@ -468,12 +514,12 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 # draws); the caller zeroes their weight correction.  The
                 # recurrent state still advances with the chosen value.
                 kq, kp = jax.random.split(key)
-                xq = jnp.reshape(d._sample_jax(kq, ()), ())
-                xp = jnp.reshape(distribution._sample_jax(kp, ()), ())
+                xq = jnp.reshape(d._sample_jax(kq, ()), ev)
+                xp = jnp.reshape(distribution._sample_jax(kp, ()), ev)
                 value = jnp.where(mask, xq, xp)
                 plp = jnp.sum(d.log_prob(value))
             else:
-                value = jnp.reshape(d._sample_jax(key, ()), ())
+                value = jnp.reshape(d._sample_jax(key, ()), ev)
                 plp = jnp.sum(d.log_prob(value))
             state["prev"] = (addr, value, distribution.name)
             return value, plp

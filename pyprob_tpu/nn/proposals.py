@@ -27,6 +27,17 @@ Cauchy/Logistic/Gumbel -> StudentT mixture with learned per-component
 df >= 0.5, so the head can match or exceed any such prior's tail
 heaviness), Beta and VonMises (TruncatedNormal mixture over their
 bounded support).
+
+Event-shaped heads (values carry a trailing event dimension):
+
+* MultivariateNormal -> full-covariance Gaussian: the net emits a
+  residual mean (scaled through the PRIOR's Cholesky factor) and a
+  lower-triangular factor M with positive diagonal; the proposal scale
+  is ``L_prior @ M`` — zero net output means exactly the prior, and the
+  learned factor is always a valid Cholesky.
+* Dirichlet -> Dirichlet with multiplicative log-residual concentration
+  (``alpha = alpha_prior * exp(raw)``): zero output is the prior, and
+  the head can sharpen or flatten any corner of the simplex.
 """
 
 from __future__ import annotations
@@ -61,6 +72,8 @@ from ..distributions import (
     VonMises,
     InverseGamma,
     Pareto,
+    MultivariateNormal,
+    Dirichlet,
 )
 from .. import backend
 from .layers import Static, mlp_init, mlp_apply
@@ -102,6 +115,18 @@ def head_kind_for(distribution):
         return "positive_lognormal_mixture"
     if isinstance(distribution, _STUDENTT_PRIORS):
         return "studentt_mixture"
+    if isinstance(distribution, MultivariateNormal):
+        return "mvn"
+    if isinstance(distribution, Dirichlet):
+        return "dirichlet"
+    return None
+
+
+def event_dim_for(distribution):
+    """Trailing event dimension an event-shaped head needs at init time
+    (None for scalar heads)."""
+    if isinstance(distribution, (MultivariateNormal, Dirichlet)):
+        return int(distribution.event_shape[0])
     return None
 
 
@@ -192,10 +217,15 @@ def prior_param_arrays(distribution):
     if isinstance(distribution, _STUDENTT_PRIORS):
         loc, scale = _location_scale_ref(distribution)
         return {"loc": loc, "scale": scale}
+    if isinstance(distribution, MultivariateNormal):
+        return {"loc": distribution.loc, "scale_tril": distribution.scale_tril}
+    if isinstance(distribution, Dirichlet):
+        return {"concentration": distribution.concentration}
     return {}
 
 
-def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
+def head_init(key, kind, input_dim, mixture_components=10, num_categories=None,
+              event_dim=None):
     if kind in (
         "normal_mixture",
         "uniform_truncated_normal_mixture",
@@ -218,6 +248,13 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
         out_dim = num_categories
     elif kind == "bernoulli":
         out_dim = 1
+    elif kind == "mvn":
+        # residual mean [D] + Cholesky diag [D] + strict lower tri D(D-1)/2
+        assert event_dim is not None
+        out_dim = event_dim + event_dim * (event_dim + 1) // 2
+    elif kind == "dirichlet":
+        assert event_dim is not None
+        out_dim = event_dim
     else:
         raise ValueError(f"Unknown proposal head kind: {kind}")
     return {
@@ -227,6 +264,7 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None):
                 "kind": kind,
                 "mixture_components": mixture_components,
                 "num_categories": num_categories,
+                "event_dim": event_dim,
                 # recorded so checkpoints decode df with the floor they
                 # were trained under (older nets used 1.0)
                 "df_floor": 0.5,
@@ -340,6 +378,34 @@ def head_apply(params, x, prior_params):
             Beta(c1s[:, i], c0s[:, i], low=low, high=high) for i in range(K)
         ]
         return Mixture(comps, probs=coeffs)
+
+    if kind == "mvn":
+        # mean = loc + L_prior @ raw_mu; scale = L_prior @ M with M lower
+        # triangular, positive diagonal: zero net output (raw_mu=0, M=I up
+        # to exp(0)) proposes exactly the prior, and L_prior @ M is always
+        # a valid Cholesky factor
+        D = meta["event_dim"]
+        raw_mu = out[:, :D]
+        raw_diag = out[:, D : 2 * D]
+        raw_off = out[:, 2 * D :]
+        loc = jnp.reshape(prior_params["loc"], (B, D))
+        L_prior = jnp.reshape(prior_params["scale_tril"], (B, D, D))
+        mean = loc + jnp.einsum("bij,bj->bi", L_prior, raw_mu)
+        M = jnp.zeros((B, D, D), util.dtype())
+        if D > 1:
+            rows, cols = jnp.tril_indices(D, k=-1)
+            M = M.at[:, rows, cols].set(raw_off)
+        diag_idx = jnp.arange(D)
+        diag = jnp.exp(jnp.clip(raw_diag, -10.0, 10.0))
+        M = M.at[:, diag_idx, diag_idx].set(diag)
+        scale_tril = jnp.matmul(L_prior, M)
+        return MultivariateNormal(mean, scale_tril=scale_tril)
+
+    if kind == "dirichlet":
+        D = meta["event_dim"]
+        conc = jnp.reshape(prior_params["concentration"], (B, D))
+        alpha = conc * jnp.exp(jnp.clip(out[:, :D], -10.0, 10.0))
+        return Dirichlet(alpha + _EPSILON)
 
     if kind == "categorical":
         probs = jax.nn.softmax(out, axis=1) + _EPSILON

@@ -379,7 +379,8 @@ def sample(distribution, name=None, address=None, control=True, mask=None):
                     # state already advanced through the site
                     value = distribution.sample(rng)
                     value = np.asarray(value).reshape(
-                        distribution.batch_shape or ()
+                        tuple(distribution.batch_shape)
+                        + tuple(getattr(distribution, "event_shape", ()))
                     )
                     log_prob = distribution.log_prob(value, sum=True)
                     proposal_log_prob = None
@@ -395,7 +396,8 @@ def sample(distribution, name=None, address=None, control=True, mask=None):
                     else:
                         value = distribution.sample(rng)
                     value = np.asarray(value).reshape(
-                        distribution.batch_shape or ()
+                        tuple(distribution.batch_shape)
+                        + tuple(getattr(distribution, "event_shape", ()))
                     )
                     log_prob = distribution.log_prob(value, sum=True)
                     proposal_log_prob = np.logaddexp(
@@ -405,7 +407,8 @@ def sample(distribution, name=None, address=None, control=True, mask=None):
                 else:
                     value = proposal.sample(rng)
                     value = np.asarray(value).reshape(
-                        distribution.batch_shape or ()
+                        tuple(distribution.batch_shape)
+                        + tuple(getattr(distribution, "event_shape", ()))
                     )
                     log_prob = distribution.log_prob(value, sum=True)
                     proposal_log_prob = proposal.log_prob(value, sum=True)

@@ -345,6 +345,50 @@ def progress_end():
         sys.stdout.flush()
 
 
+def compile_pressure():
+    """Current memory-map count of this process (0 where /proc is
+    unavailable).  XLA:CPU's LLVM JIT leaks several mmaps per compiled
+    executable against the kernel's per-process cap
+    (vm.max_map_count, 65530 default); a long-lived process that
+    compiles thousands of distinct programs — e.g. per-trace-type IC
+    losses on a variable-structure model — eventually makes mmap fail
+    inside LLVM and SEGFAULTS.  ``jax.clear_caches()`` releases the
+    executables (measured: 1091 -> 490 maps after 200 compiles)."""
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def relieve_compile_pressure(threshold=None):
+    """Drop every cached compiled program when the process's memory-map
+    count crosses ``threshold`` (default env PYPROB_TPU_MMAP_GUARD or
+    45000; <=0 disables).  Returns True when caches were cleared.
+    Call sites are jit-cache misses — the only moments map count grows —
+    so the check costs one /proc read per *new* program, not per step.
+    Cleared programs recompile on their next use."""
+    if threshold is None:
+        import os
+
+        threshold = int(os.environ.get("PYPROB_TPU_MMAP_GUARD", "45000"))
+    if threshold <= 0:
+        return False
+    n = compile_pressure()
+    if n < threshold:
+        return False
+    import warnings
+
+    warnings.warn(
+        f"process holds {n} memory maps (cap "
+        f"{threshold}; kernel limit is vm.max_map_count): clearing JAX "
+        "compilation caches to avoid the XLA:CPU LLVM mmap-exhaustion "
+        "segfault; subsequent calls recompile"
+    )
+    jax.clear_caches()
+    return True
+
+
 class profile:
     """Optional JAX profiler hook (SURVEY.md §5): wrap any inference or
     training call to capture a device trace viewable in TensorBoard /

@@ -1069,6 +1069,7 @@ def _get_jitted_run(
             sites_box.append(handler.sites)
         return outputs
 
+    util.relieve_compile_pressure()
     run = jax.jit(jax.vmap(single, in_axes=(0, None)))
     entry = (run, sites_box, model)
     if cacheable:

@@ -25,3 +25,14 @@ def _seed_everything():
     # Global determinism fixture (reference: tests/conftest.py:6-8)
     pyprob_tpu.seed(123)
     yield
+
+
+@pytest.fixture(autouse=True)
+def _mmap_guard():
+    # XLA:CPU's LLVM JIT leaks mmaps per compiled executable; a long
+    # single-process run eventually hits vm.max_map_count (65530) and
+    # SEGFAULTS inside backend_compile_and_load.  Shed compiled programs
+    # between tests well before the cliff (pyprob_tpu.util docs; the
+    # library guards its own jit-cache misses at 45000).
+    yield
+    pyprob_tpu.util.relieve_compile_pressure(threshold=25000)

@@ -225,3 +225,130 @@ def test_ic_training_laplace_prior():
         inference_engine=pp.InferenceEngine.IMPORTANCE_SAMPLING,
     )
     assert post.effective_sample_size > is_post.effective_sample_size
+
+
+# ---------------------------------------------------------------------------
+# event-shaped heads: MultivariateNormal and Dirichlet
+# (the reference raises "Distribution currently unsupported" for both,
+#  reference: pyprob/nn/inference_network_lstm.py:52)
+# ---------------------------------------------------------------------------
+
+
+class _MVNLatentModel(pp.Model):
+    """z ~ N(0, I_2); obs ~ N(z0+z1, 0.2).  For obs=4 the posterior is
+    N((1.961, 1.961), [[26,-25],[-25,26]]/51): strongly anti-correlated —
+    a diagonal proposal cannot track it, the full-covariance head can."""
+
+    def forward(self):
+        from pyprob_tpu.distributions import MultivariateNormal
+
+        z = pp.sample(
+            MultivariateNormal(np.zeros(2), covariance_matrix=np.eye(2))
+        )
+        pp.observe(Normal(z[0] + z[1], 0.2), name="obs")
+        return z
+
+
+class _DirichletLatentModel(pp.Model):
+    """p ~ Dir(2,2,2); obs ~ Categorical(p).  Posterior for obs=2 is
+    Dir(2,2,3) with mean (2/7, 2/7, 3/7)."""
+
+    def forward(self):
+        from pyprob_tpu.distributions import Dirichlet, Categorical
+
+        p = pp.sample(Dirichlet(np.ones(3) * 2.0))
+        pp.observe(Categorical(probs=p), name="obs")
+        return p
+
+
+def test_mvn_head_shapes_and_residual_identity():
+    from pyprob_tpu.distributions import MultivariateNormal
+    from pyprob_tpu.nn.proposals import head_init, head_apply
+
+    params = head_init(
+        jax.random.PRNGKey(0), "mvn", 16, event_dim=3
+    )
+    # zero the net: the residual parameterization must give the prior
+    params["ff"] = jax.tree_util.tree_map(jnp.zeros_like, params["ff"])
+    loc = jnp.asarray([1.0, -2.0, 0.5])
+    L = jnp.asarray([[1.0, 0, 0], [0.3, 0.8, 0], [-0.2, 0.1, 1.5]])
+    prior = {
+        "loc": jnp.reshape(loc, (1, -1)),
+        "scale_tril": jnp.reshape(L, (1, -1)),
+    }
+    x = jnp.ones((1, 16))
+    d = head_apply(params, x, prior)
+    assert isinstance(d, MultivariateNormal)
+    np.testing.assert_allclose(np.asarray(d.loc)[0], loc, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d.scale_tril)[0], L, rtol=1e-6)
+
+
+def test_dirichlet_head_residual_identity():
+    from pyprob_tpu.distributions import Dirichlet
+    from pyprob_tpu.nn.proposals import head_init, head_apply
+
+    params = head_init(jax.random.PRNGKey(0), "dirichlet", 16, event_dim=4)
+    params["ff"] = jax.tree_util.tree_map(jnp.zeros_like, params["ff"])
+    conc = jnp.asarray([2.0, 0.5, 1.0, 3.0])
+    d = head_apply(
+        params, jnp.ones((2, 16)), {"concentration": jnp.tile(conc, (2, 1))}
+    )
+    assert isinstance(d, Dirichlet)
+    np.testing.assert_allclose(
+        np.asarray(d.concentration), np.tile(conc, (2, 1)), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("network", ["FEEDFORWARD", "LSTM"])
+def test_ic_training_mvn_latent(network):
+    pp.seed(7)
+    m = _MVNLatentModel()
+    base = m.posterior_results(1024, observe={"obs": 4.0}, vectorized=True)
+    m.learn_inference_network(
+        num_traces=4096,
+        observe_embeddings={"obs": {"dim": 16}},
+        inference_network=getattr(pp.InferenceNetwork, network),
+        batch_size=256,
+        learning_rate_init=0.003,
+    )
+    # exact posterior: mean 2*obs/(2+0.04)/2 per coordinate
+    target = 4.0 * 2 / 2.04 / 2
+    for vectorized in (False, True):
+        post = m.posterior_results(
+            1024,
+            observe={"obs": 4.0},
+            vectorized=vectorized,
+            inference_engine=(
+                pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            ),
+        )
+        mean = np.asarray(post.mean)
+        np.testing.assert_allclose(mean, [target, target], atol=0.3)
+        # the trained full-covariance head must clearly beat prior
+        # proposals on this far-tail, strongly-correlated posterior
+        assert post.effective_sample_size > 3 * base.effective_sample_size
+
+
+@pytest.mark.parametrize("network", ["FEEDFORWARD", "LSTM"])
+def test_ic_training_dirichlet_latent(network):
+    pp.seed(7)
+    m = _DirichletLatentModel()
+    m.learn_inference_network(
+        num_traces=3072,
+        observe_embeddings={"obs": {"dim": 16}},
+        inference_network=getattr(pp.InferenceNetwork, network),
+        batch_size=256,
+        learning_rate_init=0.003,
+    )
+    for vectorized in (False, True):
+        post = m.posterior_results(
+            1024,
+            observe={"obs": 2},
+            vectorized=vectorized,
+            inference_engine=(
+                pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            ),
+        )
+        mean = np.asarray(post.mean)
+        np.testing.assert_allclose(mean, [2 / 7, 2 / 7, 3 / 7], atol=0.08)
+        assert post.effective_sample_size > 0.3 * 1024
