@@ -61,6 +61,13 @@ from .layers import (
 )
 from .optimizer_larc import larc_scale
 
+
+def _next_pow2(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
 _CHECKPOINT_MEMBER = "pyprob_tpu_inference_network"
 
 
@@ -655,6 +662,16 @@ class InferenceNetwork:
         for sub_batch in batch.sub_batches:
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
             packed = self._pack_sub_batch(sub_batch)
+            # pad rows to a power of two (edge replication + 0-mask): a
+            # trace type's sub-batch size varies every batch, and without
+            # bounding the shape set each bucket's loss RECOMPILES nearly
+            # every step (measured: 13 XLA compiles per 4-step Marsaglia
+            # continuation, ~8 s each — the entire training cost)
+            target = _next_pow2(len(sub_batch))
+            if self._dp_mesh is not None:
+                ndev = self._dp_mesh.size
+                target = ((target + ndev - 1) // ndev) * ndev
+            packed = self._pad_packed(packed, target)
             sb_addrs = tuple(
                 v.address for v in sub_batch[0].variables_controlled
             )
@@ -664,9 +681,6 @@ class InferenceNetwork:
             )
             subset = self._loss_params_subset(sb_addrs, sb_dists)
             if self._dp_mesh is not None:
-                ndev = self._dp_mesh.size
-                target = ((len(sub_batch) + ndev - 1) // ndev) * ndev
-                packed = self._pad_packed(packed, target)
                 packed = self._globalize_packed(packed)
                 dp_key = ("dp",) + key
                 if dp_key not in self._loss_grad_cache:
@@ -710,6 +724,7 @@ class InferenceNetwork:
         for sub_batch in batch.sub_batches:
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
             packed = self._pack_sub_batch(sub_batch)
+            packed = self._pad_packed(packed, _next_pow2(len(sub_batch)))
             example = sub_batch[0]
             subset = self._loss_params_subset(
                 tuple(v.address for v in example.variables_controlled),
@@ -985,11 +1000,15 @@ class InferenceNetwork:
         )
 
         trace_count = first.size
-        # scan depth trades compile time for dispatch round-trips; measured
-        # on this setup the K-times-larger program's compile cost outweighs
-        # the saved round-trips, so default to 1 (PYPROB_TPU_FUSED_STEPS to
-        # override on hardware where dispatch latency dominates)
-        steps_per_dispatch = int(os.environ.get("PYPROB_TPU_FUSED_STEPS", "1"))
+        # scan depth: K optimizer steps per device dispatch.  Measured on
+        # the real chip (tests/extra/chip_train.py, GUM+LSTM bench config):
+        # K=1 -> 3,815 warm traces/s, K=4 -> 9,494, K=16 -> 15,746 — the
+        # tunnel round-trip dominates, so scan deep by default on
+        # accelerators.  On CPU compile cost dominates and K=1 wins.
+        default_k = "1" if jax.default_backend() == "cpu" else "16"
+        steps_per_dispatch = int(
+            os.environ.get("PYPROB_TPU_FUSED_STEPS", default_k)
+        )
         loss_dev = None
         last_print = time_start
         last_auto_save_time = time_start
