@@ -187,16 +187,17 @@ def test_marsaglia_importance_sampling():
 
 def test_marsaglia_ic_ff():
     """Interpreter-tier Marsaglia IC-FF: the canonical universal-PPL IC
-    benchmark — ESS floor 0.8% (reference: tests/test_inference.py:315)."""
+    benchmark — ESS floor 0.8% at the reference's training budget and
+    embedding size (reference: tests/test_inference.py:17-37,310-338)."""
     m = GUMMarsaglia()
     m.learn_inference_network(
-        num_traces=IC_TRAIN,
-        observe_embeddings={"obs0": {"dim": 32, "depth": 2},
-                            "obs1": {"dim": 32, "depth": 2}},
+        num_traces=51200,  # reference: 50,000
+        observe_embeddings={"obs0": {"dim": 128, "depth": 6},
+                            "obs1": {"dim": 128, "depth": 6}},
         inference_network=pp.InferenceNetwork.FEEDFORWARD,
         prior_inflation=pp.PriorInflation.ENABLED,
         batch_size=256,
-        learning_rate_init=0.005,
+        learning_rate_init=0.002,
     )
     t0 = time.time()
     post = m.posterior_results(
@@ -210,18 +211,19 @@ def test_marsaglia_ic_ff():
 
 
 def test_marsaglia_ic_lstm():
-    """Interpreter-tier Marsaglia IC-LSTM — ESS floor 1.6%
-    (reference: tests/test_inference.py:344)."""
+    """Interpreter-tier Marsaglia IC-LSTM — ESS floor 1.6% at the
+    reference's training budget and embedding size
+    (reference: tests/test_inference.py:27-31,340-365)."""
     m = GUMMarsaglia()
     m.learn_inference_network(
-        num_traces=IC_TRAIN,
-        observe_embeddings={"obs0": {"dim": 32, "depth": 2},
-                            "obs1": {"dim": 32, "depth": 2}},
+        num_traces=51200,  # reference: 50,000
+        observe_embeddings={"obs0": {"dim": 128, "depth": 6},
+                            "obs1": {"dim": 128, "depth": 6}},
         inference_network=pp.InferenceNetwork.LSTM,
         prior_inflation=pp.PriorInflation.ENABLED,
         batch_size=256,
-        learning_rate_init=0.005,
-        lstm_dim=128,
+        learning_rate_init=0.002,
+        lstm_dim=256,
     )
     t0 = time.time()
     post = m.posterior_results(
