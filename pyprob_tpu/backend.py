@@ -56,6 +56,7 @@ class _NumpyBackend:
     tan = _np.tan
     arctan = _np.arctan
     tanh = _np.tanh
+    arctanh = _np.arctanh
     sign = _np.sign
     isnan = _np.isnan
     isinf = _np.isinf
@@ -161,6 +162,7 @@ class _JaxBackend:
     tan = staticmethod(_jnp.tan)
     arctan = staticmethod(_jnp.arctan)
     tanh = staticmethod(_jnp.tanh)
+    arctanh = staticmethod(_jnp.arctanh)
     sign = staticmethod(_jnp.sign)
     isnan = staticmethod(_jnp.isnan)
     isinf = staticmethod(_jnp.isinf)

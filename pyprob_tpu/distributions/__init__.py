@@ -27,7 +27,7 @@ from .inverse_gamma import InverseGamma
 from .pareto import Pareto
 from .negative_binomial import NegativeBinomial
 from .multinomial import Multinomial
-from .lkj import LKJCholesky
+from .lkj import LKJCholesky, LKJCholeskyCPCNormal
 from .censored import Censored
 from .zero_inflated import ZeroInflated
 from .mixture import Mixture
@@ -65,6 +65,7 @@ __all__ = [
     "NegativeBinomial",
     "Multinomial",
     "LKJCholesky",
+    "LKJCholeskyCPCNormal",
     "Censored",
     "ZeroInflated",
     "Mixture",

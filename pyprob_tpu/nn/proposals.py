@@ -74,6 +74,8 @@ from ..distributions import (
     Pareto,
     MultivariateNormal,
     Dirichlet,
+    LKJCholesky,
+    LKJCholeskyCPCNormal,
 )
 from .. import backend
 from .layers import Static, mlp_init, mlp_apply
@@ -119,6 +121,8 @@ def head_kind_for(distribution):
         return "mvn"
     if isinstance(distribution, Dirichlet):
         return "dirichlet"
+    if isinstance(distribution, LKJCholesky):
+        return "lkj_cpc_normal"
     return None
 
 
@@ -127,6 +131,8 @@ def event_dim_for(distribution):
     (None for scalar heads)."""
     if isinstance(distribution, (MultivariateNormal, Dirichlet)):
         return int(distribution.event_shape[0])
+    if isinstance(distribution, LKJCholesky):
+        return int(distribution.dim)
     return None
 
 
@@ -221,7 +227,7 @@ def prior_param_arrays(distribution):
         return {"loc": distribution.loc, "scale_tril": distribution.scale_tril}
     if isinstance(distribution, Dirichlet):
         return {"concentration": distribution.concentration}
-    return {}
+    return {}  # LKJCholesky: the CPC-normal head needs no prior params
 
 
 def head_init(key, kind, input_dim, mixture_components=10, num_categories=None,
@@ -255,6 +261,10 @@ def head_init(key, kind, input_dim, mixture_components=10, num_categories=None,
     elif kind == "dirichlet":
         assert event_dim is not None
         out_dim = event_dim
+    elif kind == "lkj_cpc_normal":
+        # means + log-scales over the d(d-1)/2 partial correlations
+        assert event_dim is not None
+        out_dim = event_dim * (event_dim - 1)
     else:
         raise ValueError(f"Unknown proposal head kind: {kind}")
     return {
@@ -406,6 +416,16 @@ def head_apply(params, x, prior_params):
         conc = jnp.reshape(prior_params["concentration"], (B, D))
         alpha = conc * jnp.exp(jnp.clip(out[:, :D], -10.0, 10.0))
         return Dirichlet(alpha + _EPSILON)
+
+    if kind == "lkj_cpc_normal":
+        # zero output -> z ~ N(0, 1) on the partial-correlation chart: a
+        # broad full-support base over correlation matrices (the same
+        # chart the gradient engines use, inference/hmc.py)
+        D = meta["event_dim"]
+        K2 = D * (D - 1) // 2
+        loc = out[:, :K2]
+        log_scale = jnp.clip(out[:, K2:], -8.0, 4.0)
+        return LKJCholeskyCPCNormal(loc, log_scale, dim=D)
 
     if kind == "categorical":
         probs = jax.nn.softmax(out, axis=1) + _EPSILON
