@@ -29,6 +29,12 @@ import math
 import sys, os
 sys.path.insert(0, os.path.abspath(os.path.join(os.getcwd(), "..")))
 
+import jax
+if os.environ.get("PYPROB_TPU_NB_PLATFORM"):
+    # interpreter-heavy notebooks execute on CPU (a tunneled remote
+    # device pays a dispatch round-trip per interpreter site)
+    jax.config.update("jax_platforms", os.environ["PYPROB_TPU_NB_PLATFORM"])
+
 import numpy as np
 import matplotlib.pyplot as plt
 %matplotlib inline
@@ -399,17 +405,36 @@ print("compiled-rejection mean", posterior.mean, "(true", pm, ")",
 
 def main():
     execute = "--no-execute" not in sys.argv
+    only = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):
+            only = arg.split("=", 1)[1]
     here = sys.path[0] or "."
+    # The GUM notebook is compiled-tier throughout and executes nicely
+    # against the real chip; the Marsaglia one is interpreter-dominated
+    # (per-site host work), so it executes on CPU — over a tunneled
+    # remote device every interpreter site would pay a dispatch RTT.
     out = {
-        "gaussian_unknown_mean.ipynb": _nb(gum_cells()),
-        "gaussian_unknown_mean_marsaglia.ipynb": _nb(marsaglia_cells()),
+        "gaussian_unknown_mean.ipynb": (_nb(gum_cells()), None),
+        "gaussian_unknown_mean_marsaglia.ipynb": (
+            _nb(marsaglia_cells()),
+            "cpu",
+        ),
     }
-    for name, nb in out.items():
+    for name, (nb, platform) in out.items():
+        if only is not None and only not in name:
+            continue
         path = f"{here}/{name}"
         if execute:
+            import os
+
             from nbclient import NotebookClient
 
-            client = NotebookClient(nb, timeout=1200, kernel_name="python3")
+            env = dict(os.environ)
+            if platform is not None:
+                env["PYPROB_TPU_NB_PLATFORM"] = platform
+            os.environ.update(env)
+            client = NotebookClient(nb, timeout=1800, kernel_name="python3")
             client.execute()
         nbf.write(nb, path)
         print("wrote", path)
