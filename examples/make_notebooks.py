@@ -378,7 +378,7 @@ class MarsagliaRejection(pp.Model):
             y = pp.sample(Uniform(-1.0, 1.0))
             s = x * x + y * y
             ok = (s > 0.0) & (s < 1.0)
-            return ok, (x, s)
+            return (x, s), ok  # (output, accept)
 
         x, s = pp.rejection_sample(attempt)
         s = jnp.clip(s, 1e-12, 1.0 - 1e-12)

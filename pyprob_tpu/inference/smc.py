@@ -215,15 +215,20 @@ def vectorized_smc_posterior(
     results_only = getattr(map_func, "__name__", "") == "trace_result"
 
     # Scan-structured models get the O(T) lax.scan filter instead of the
-    # O(T^2) staged replay — results-only (no Trace materialization) and
-    # prior-proposal only; Trace/map_func/guided callers stay on staged.
+    # O(T^2) staged replay — results-only (no Trace materialization);
+    # Trace/map_func callers stay on staged.  Guided filtering requires a
+    # TIED-instance network (the scan program sees one static address per
+    # step site; see InferenceNetwork tie_address_instances) — untied
+    # networks fall back to staged replay.
     from ..markov import MarkovModel
 
-    if (
-        isinstance(model, MarkovModel)
-        and proposal_step is None
-        and results_only
-    ):
+    scan_ok = isinstance(model, MarkovModel) and results_only
+    if scan_ok and proposal_step is not None:
+        net = getattr(model, "_inference_network", None)
+        scan_ok = net is not None and getattr(
+            net, "_tie_address_instances", False
+        )
+    if scan_ok:
         from .smc_scan import scan_smc_posterior
 
         emp = scan_smc_posterior(
@@ -235,6 +240,7 @@ def vectorized_smc_posterior(
             resampling=resampling,
             likelihood_importance=likelihood_importance,
             mesh=mesh,
+            proposal_step=proposal_step,
             args=args,
             kwargs=kwargs,
         )

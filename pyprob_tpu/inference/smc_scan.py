@@ -44,25 +44,43 @@ from ..parallel.collectives import (
 _scan_smc_cache = {}
 
 
-def _handler_run(fn, key, observed, likelihood_importance, fn_args):
+def _handler_run(fn, key, observed, likelihood_importance, fn_args,
+                 proposal_step=None, ps_state=None, ps_emb=None):
     """Execute one protocol hook under a fresh VectorizedHandler; returns
-    (hook result, accumulated log importance weight)."""
+    (hook result, accumulated log importance weight, handler,
+    proposal dynamic state)."""
     from ..vectorized import VectorizedHandler
 
     handler = VectorizedHandler(
         key=key,
         trace_mode=TraceMode.POSTERIOR,
-        inference_engine=InferenceEngine.IMPORTANCE_SAMPLING,
+        inference_engine=(
+            InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            if proposal_step is not None
+            else InferenceEngine.IMPORTANCE_SAMPLING
+        ),
         observed=observed,
         root_function_name=fn.__code__.co_name,
         likelihood_importance=likelihood_importance,
+        proposal_step=proposal_step,
     )
+    if proposal_step is not None:
+        # the handler's __init__ reset the network closure; restore the
+        # precomputed whole-sequence embedding (step handlers only see
+        # per-step observation slices) and the carried recurrent state
+        if ps_emb is not None:
+            proposal_step.set_embedding(ps_emb)
+        if ps_state is not None:
+            proposal_step.set_state(ps_state)
     prev = state._set_handler(handler)
     try:
         out = fn(*fn_args)
     finally:
         state._set_handler(prev)
-    return out, handler.log_importance_weight, handler
+    new_ps = (
+        proposal_step.get_state() if proposal_step is not None else None
+    )
+    return out, handler.log_importance_weight, handler, new_ps
 
 
 def _probe_step_names(model, obs_arrays, likelihood_importance,
@@ -73,14 +91,14 @@ def _probe_step_names(model, obs_arrays, likelihood_importance,
 
     def probe(key, obs):
         k_init, k_step = jax.random.split(key)
-        carry, _, _ = _handler_run(
+        carry, _, _, _ = _handler_run(
             lambda: model.markov_init(*tuple(args), **(kwargs or {})),
             k_init, obs, likelihood_importance, (),
         )
         from ..markov import _StepObserves
 
         step_obs = _StepObserves(obs, 0)
-        _, _, handler = _handler_run(
+        _, _, handler, _ = _handler_run(
             model.markov_step, k_step, step_obs, likelihood_importance,
             (carry, jnp.zeros((), jnp.int32)),
         )
@@ -99,12 +117,22 @@ def _probe_step_names(model, obs_arrays, likelihood_importance,
 
 
 def _build_scan_smc(model, obs_arrays, likelihood_importance,
-                    resample_threshold, resampling, args, kwargs):
+                    resample_threshold, resampling, args, kwargs,
+                    proposal_step=None):
     """Build (jitted program, step_names).  The program takes
     (init_keys [N], step_keys [T,N], resample_keys [T], obs_init dict,
-    obs_step dict of [T,...]) and returns
+    obs_step dict of [T,...], obs_all dict) and returns
     (results [N,...], final log-weights [N], log_evidence,
-    (ess history [T], resampled flags [T]))."""
+    (ess history [T], resampled flags [T])).
+
+    With ``proposal_step`` (a TIED-instance IC network's vectorized
+    step, see InferenceNetwork tie_address_instances), every stage
+    proposes from the network: the whole-sequence observe embedding is
+    computed ONCE at the top of the program, the network's recurrent
+    state rides the scan carry via get_state/set_state (and is gathered
+    with the particles on resampling), and each stage's incremental
+    weight carries its sites' prior-proposal deltas — the O(T)
+    amortized particle filter."""
     T = int(model.num_steps)
     if T < 1:
         raise RuntimeError("MarkovModel.num_steps must be >= 1 for SMC")
@@ -113,35 +141,64 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
     )
     fn_args = tuple(args)
     fn_kwargs = kwargs or {}
+    guided = proposal_step is not None
+    # static parts of the proposal state, captured at trace time (the
+    # python loop below executes during jit tracing, so the boxes fill
+    # before the code that reads them traces)
+    statics_box = {}
 
-    def run_init(key, obs_init):
-        carry, w, _ = _handler_run(
+    def run_init(key, obs_init, emb):
+        carry, w, _, ps = _handler_run(
             lambda: model.markov_init(*fn_args, **fn_kwargs),
             key, obs_init, likelihood_importance, (),
+            proposal_step=proposal_step, ps_emb=emb,
         )
-        return carry, w
+        if guided:
+            dyn, static = ps
+            statics_box.setdefault("init", static)
+            return carry, w, dyn
+        return carry, w, ()
 
-    def run_step(key, carry, t, obs_t):
-        new_carry, w, _ = _handler_run(
-            model.markov_step, key, obs_t, likelihood_importance, (carry, t)
-        )
-        return new_carry, w
+    def run_step_with(static_key):
+        def run_step(key, carry, ps_dyn, t, obs_t, emb):
+            ps_state = (
+                (ps_dyn, statics_box[static_key]) if guided else None
+            )
+            new_carry, w, _, ps = _handler_run(
+                model.markov_step, key, obs_t, likelihood_importance,
+                (carry, t),
+                proposal_step=proposal_step, ps_state=ps_state,
+                ps_emb=emb,
+            )
+            if guided:
+                dyn, static = ps
+                statics_box.setdefault("step", static)
+                return new_carry, w, dyn
+            return new_carry, w, ()
+        return run_step
 
-    vinit = jax.vmap(run_init, in_axes=(0, None))
-    vstep = jax.vmap(run_step, in_axes=(0, 0, None, None))
+    vinit = jax.vmap(run_init, in_axes=(0, None, None))
+    vstep0 = jax.vmap(
+        run_step_with("init"), in_axes=(0, 0, 0, None, None, None)
+    )
+    vstep = jax.vmap(
+        run_step_with("step"), in_axes=(0, 0, 0, None, None, None)
+    )
 
-    def program(init_keys, step_keys, resample_keys, obs_init, obs_step):
+    def program(init_keys, step_keys, resample_keys, obs_init, obs_step,
+                obs_all):
         n = init_keys.shape[0]
         log_n = jnp.log(jnp.asarray(n, util.dtype()))
-        carry0, w0 = vinit(init_keys, obs_init)
+        emb = (
+            proposal_step.compute_embedding(obs_all) if guided else None
+        )
+        carry0, w0, ps0 = vinit(init_keys, obs_init, emb)
 
-        # body built fresh per program trace: lax.scan caches jaxprs by
-        # body identity (CLAUDE.md invariant)
-        def body(sc, xs):
-            carry, w, log_z = sc
-            key_t, rkey_t, t = xs[:3]
-            obs_t = xs[3]
-            new_carry, incr = vstep(key_t, carry, t, obs_t)
+        def stage(vstep_fn, carry, w, log_z, ps_dyn, key_t, rkey_t, t,
+                  obs_t):
+            new_carry, incr, new_ps = vstep_fn(
+                key_t, carry, ps_dyn, t, obs_t, emb
+            )
             w = w + incr
             ess = sharded_effective_sample_size(w)
             do_resample = jnp.logical_and(
@@ -155,21 +212,56 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
             log_z = log_z + jnp.where(
                 do_resample, jax.scipy.special.logsumexp(w) - log_n, 0.0
             )
-            new_carry = jax.tree_util.tree_map(
-                lambda x: x[idx], new_carry
-            )
+            gather = lambda x: x[idx]
+            new_carry = jax.tree_util.tree_map(gather, new_carry)
+            new_ps = jax.tree_util.tree_map(gather, new_ps)
             w = jnp.where(do_resample, jnp.zeros_like(w), w)
-            return (new_carry, w, log_z), (ess, do_resample)
+            return new_carry, w, log_z, new_ps, ess, do_resample
 
-        xs = (
-            step_keys,
-            resample_keys,
-            jnp.arange(T, dtype=jnp.int32),
-            obs_step,
-        )
-        (carry_f, w, log_z), (ess_hist, resampled) = jax.lax.scan(
-            body, (carry0, w0, jnp.zeros((), util.dtype())), xs
-        )
+        log_z0 = jnp.zeros((), util.dtype())
+        if guided:
+            # step 0 unrolled: the proposal state after markov_init may
+            # differ structurally from the steady per-step state (e.g.
+            # the LSTM's previous-site record), so the scan carries the
+            # post-step-0 structure
+            carry0, w0, log_z0, ps0, ess0, res0 = stage(
+                vstep0, carry0, w0, log_z0, ps0,
+                step_keys[0], resample_keys[0],
+                jnp.zeros((), jnp.int32),
+                jax.tree_util.tree_map(lambda x: x[0], obs_step),
+            )
+            scan_lo = 1
+        else:
+            scan_lo = 0
+
+        # body built fresh per program trace: lax.scan caches jaxprs by
+        # body identity (CLAUDE.md invariant)
+        def body(sc, xs):
+            carry, w, log_z, ps_dyn = sc
+            key_t, rkey_t, t = xs[:3]
+            obs_t = xs[3]
+            carry, w, log_z, ps_dyn, ess, res = stage(
+                vstep, carry, w, log_z, ps_dyn, key_t, rkey_t, t, obs_t
+            )
+            return (carry, w, log_z, ps_dyn), (ess, res)
+
+        if T - scan_lo > 0:
+            xs = (
+                step_keys[scan_lo:],
+                resample_keys[scan_lo:],
+                jnp.arange(scan_lo, T, dtype=jnp.int32),
+                jax.tree_util.tree_map(lambda x: x[scan_lo:], obs_step),
+            )
+            (carry_f, w, log_z, _), (ess_hist, resampled) = jax.lax.scan(
+                body, (carry0, w0, log_z0, ps0), xs
+            )
+        else:
+            carry_f, w, log_z = carry0, w0, log_z0
+            ess_hist = jnp.zeros((0,), util.dtype())
+            resampled = jnp.zeros((0,), jnp.bool_)
+        if guided:
+            ess_hist = jnp.concatenate([ess0[None], ess_hist])
+            resampled = jnp.concatenate([res0[None], resampled])
         log_z = log_z + jax.scipy.special.logsumexp(w) - log_n
         results = jax.vmap(model.markov_finalize)(carry_f)
         return results, w, log_z, (ess_hist, resampled)
@@ -186,6 +278,7 @@ def scan_smc_posterior(
     resampling="systematic",
     likelihood_importance=1.0,
     mesh=None,
+    proposal_step=None,
     args=(),
     kwargs=None,
 ):
@@ -227,13 +320,16 @@ def scan_smc_posterior(
         str(resampling),
         T,
     )
+    # proposal_step identity is a freshness check, not part of the key
+    # (retraining creates a new closure; see inference/smc.py)
+    ps_id = id(proposal_step) if proposal_step is not None else None
     try:
         obs_arrays = {
             k: jnp.asarray(v, util.dtype()) for k, v in observe.items()
         }
         cached = _scan_smc_cache.get(cache_key) if cacheable else None
-        if cached is not None:
-            program, step_names = cached
+        if cached is not None and cached[0] == ps_id:
+            _, program, step_names = cached
         else:
             program, step_names = _build_scan_smc(
                 model,
@@ -243,9 +339,10 @@ def scan_smc_posterior(
                 resampling,
                 args,
                 kwargs,
+                proposal_step=proposal_step,
             )
             if cacheable:
-                _scan_smc_cache[cache_key] = program, step_names
+                _scan_smc_cache[cache_key] = ps_id, program, step_names
         obs_step = {k: obs_arrays[k] for k in step_names if k in obs_arrays}
         obs_init = {
             k: v for k, v in obs_arrays.items() if k not in step_names
@@ -278,8 +375,10 @@ def scan_smc_posterior(
             obs_step = {
                 k: jax.device_put(v, repl) for k, v in obs_step.items()
             }
+        obs_all = {**obs_init, **obs_step}
         results, w, log_z, stats = program(
-            init_keys, step_keys, resample_keys, obs_init, obs_step
+            init_keys, step_keys, resample_keys, obs_init, obs_step,
+            obs_all
         )
         results_host = jax.device_get(results)
         log_weights = np.asarray(jax.device_get(w), dtype=np.float64)
@@ -328,14 +427,19 @@ def scan_smc_posterior(
 
     duration = time.time() - t0
     emp.log_evidence = log_evidence
+    kind = "guided SMC" if proposal_step is not None else "SMC"
     emp.rename(
-        f"Posterior, SMC (scan, {T} steps), particles: {emp.length:,}, "
+        f"Posterior, {kind} (scan, {T} steps), particles: {emp.length:,}, "
         f"ESS: {emp.effective_sample_size:,.2f}"
     )
     emp.add_metadata(
         op="posterior",
         num_traces=num_traces,
-        inference_engine="InferenceEngine.SEQUENTIAL_MONTE_CARLO",
+        inference_engine=(
+            "InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK"
+            if proposal_step is not None
+            else "InferenceEngine.SEQUENTIAL_MONTE_CARLO"
+        ),
         effective_sample_size=emp.effective_sample_size,
         log_evidence=log_evidence,
         resample_threshold=resample_threshold,

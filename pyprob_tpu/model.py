@@ -739,13 +739,26 @@ class Model:
         lstm_dim=512,
         lstm_depth=1,
         proposal_mixture_components=10,
+        tie_address_instances=None,
     ):
+        """``tie_address_instances``: key proposal heads (and per-address
+        embeddings) on the address base instead of the full
+        instance-numbered address, sharing ONE set of weights across
+        every occurrence of a repeated site — amortization across time,
+        and the requirement for guided scan-SMC.  Default: automatic
+        (enabled for MarkovModel subclasses, whose step sites repeat by
+        construction; disabled otherwise)."""
         from .nn import (
             InferenceNetworkFeedForward,
             InferenceNetworkLSTM,
             OnlineDataset,
             OfflineDataset,
         )
+
+        if tie_address_instances is None:
+            from .markov import MarkovModel
+
+            tie_address_instances = isinstance(self, MarkovModel)
 
         if dataset_dir is None:
             dataset = OnlineDataset(model=self, prior_inflation=prior_inflation)
@@ -763,6 +776,7 @@ class Model:
                     model=self,
                     observe_embeddings=observe_embeddings,
                     proposal_mixture_components=proposal_mixture_components,
+                    tie_address_instances=tie_address_instances,
                 )
             elif inference_network == InferenceNetwork.LSTM:
                 self._inference_network = InferenceNetworkLSTM(
@@ -771,6 +785,7 @@ class Model:
                     lstm_dim=lstm_dim,
                     lstm_depth=lstm_depth,
                     proposal_mixture_components=proposal_mixture_components,
+                    tie_address_instances=tie_address_instances,
                 )
             else:
                 raise ValueError(f"Unknown inference_network: {inference_network}")

@@ -72,7 +72,8 @@ _CHECKPOINT_MEMBER = "pyprob_tpu_inference_network"
 
 
 class InferenceNetwork:
-    def __init__(self, model, observe_embeddings={}, network_type=""):
+    def __init__(self, model, observe_embeddings={}, network_type="",
+                 tie_address_instances=False):
         self._model = model
         self._network_type = network_type
         self._observe_embeddings_spec = observe_embeddings
@@ -82,6 +83,14 @@ class InferenceNetwork:
         self._layers_initialized = False
         self._layers_pre_generated = False
         self._head_train_iterations = {}  # address -> int
+        # tie_address_instances: key proposal heads (and per-address
+        # embeddings) on the address BASE instead of the full
+        # instance-numbered address, so every occurrence of a repeated
+        # site (x__1..x__T in a MarkovModel's unrolled forward) shares
+        # ONE set of weights — amortization across time.  Required for
+        # guided scan-SMC, whose lax.scan program sees one static
+        # address per step site.
+        self._tie_address_instances = bool(tie_address_instances)
         # per-trace inference state is thread-local so concurrent workers
         # (RemoteModelPool) can run guided traces independently
         import threading as _threading
@@ -134,11 +143,16 @@ class InferenceNetwork:
             observe_embeddings = {o: {} for o in observe_embeddings}
         total_dim = 0
         for name, spec in observe_embeddings.items():
-            variable = example_trace.named_variables[name]
+            if name not in example_trace.named_variables:
+                raise ValueError(
+                    f"No observed variable named {name!r} in the example "
+                    "trace"
+                )
+            value = example_trace.named_value(name)
             if "reshape" in spec:
                 input_shape = tuple(spec["reshape"])
             else:
-                input_shape = tuple(np.shape(variable.value))
+                input_shape = tuple(np.shape(value))
                 if input_shape == ():
                     input_shape = (1,)
             output_dim = int(spec.get("dim", 256))
@@ -219,11 +233,14 @@ class InferenceNetwork:
     def _pack_observes(self, traces):
         obs = {}
         for name in self._params["observe"].keys():
+            # named_value stacks repeated-name observes (per-step sites of
+            # a MarkovModel) so training sees the SAME [T]-sequence the
+            # user passes at inference time
             obs[name] = jnp.asarray(
                 np.stack(
                     [
                         np.asarray(
-                            t.named_variables[name].value, dtype=util.dtype()
+                            t.named_value(name), dtype=util.dtype()
                         ).reshape(-1)
                         for t in traces
                     ]
@@ -470,15 +487,23 @@ class InferenceNetwork:
         from .proposals import prior_param_arrays
 
         controlled = [s for s in sites if s.control]
-        name_to_address = {
-            s.name: s.address for s in sites if s.name is not None
-        }
+        name_addresses = {}
+        for s in sites:
+            if s.name is not None:
+                name_addresses.setdefault(s.name, []).append(s.address)
         obs = {}
         for name in self._params["observe"].keys():
-            addr = name_to_address[name]
-            obs[name] = jnp.reshape(
-                jnp.asarray(outputs["values"][addr]), (batch_size, -1)
-            )
+            addrs_n = name_addresses[name]
+            if len(addrs_n) == 1:
+                arr = jnp.asarray(outputs["values"][addrs_n[0]])
+            else:
+                # repeated-name observes (MarkovModel per-step sites):
+                # stack the sequence, matching Trace.named_value
+                arr = jnp.stack(
+                    [jnp.asarray(outputs["values"][a]) for a in addrs_n],
+                    axis=1,
+                )
+            obs[name] = jnp.reshape(arr, (batch_size, -1))
         steps = []
         for s in controlled:
             values = jnp.asarray(outputs["values"][s.address])
@@ -574,8 +599,9 @@ class InferenceNetwork:
         optimizer steps (not loss construction or validation), so
         proposal_min_train_iterations gating reflects real training."""
         for addr in addrs:
-            self._head_train_iterations[addr] = (
-                self._head_train_iterations.get(addr, 0) + 1
+            key = self._head_key(addr)
+            self._head_train_iterations[key] = (
+                self._head_train_iterations.get(key, 0) + 1
             )
 
     def _loss_params_subset(self, addrs, dist_names):
@@ -851,8 +877,18 @@ class InferenceNetwork:
             "history_num_params_trace": self._history_num_params_trace,
             "modified": self._modified,
             "updates": self._updates,
+            "tie_address_instances": self._tie_address_instances,
             "subclass_state": self._subclass_state(),
         }
+
+    def _head_key(self, address):
+        """The key per-address layers are stored under: the full
+        instance-numbered address normally; its base (instance stripped)
+        under tie_address_instances."""
+        if not self._tie_address_instances:
+            return address
+        base, _, inst = address.rpartition("__")
+        return base if inst.isdigit() else address
 
     def _subclass_state(self):
         return {}
@@ -937,6 +973,7 @@ class InferenceNetwork:
         net._history_num_params_trace = data["history_num_params_trace"]
         net._modified = data["modified"]
         net._updates = data["updates"]
+        net._tie_address_instances = data.get("tie_address_instances", False)
         net._load_subclass_state(data["subclass_state"])
         if net._optimizer_type is not None:
             net._create_optimizer(net._opt_state)

@@ -48,7 +48,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         for sub_batch in batch.sub_batches:
             example_trace = sub_batch[0]
             for variable in example_trace.variables_controlled:
-                address = variable.address
+                address = self._head_key(variable.address)
                 if address in self._params["proposal"]:
                     continue
                 distribution = variable.distribution
@@ -126,12 +126,14 @@ class InferenceNetworkFeedForward(InferenceNetwork):
             "observe": self._params["observe"],
             "observe_final": self._params["observe_final"],
             "proposal": {
-                a: self._params["proposal"][a] for a in set(addrs)
+                k: self._params["proposal"][k]
+                for k in {self._head_key(a) for a in addrs}
             },
         }
 
     def _make_loss_for(self, addrs, dist_names):
-        for addr in addrs:
+        keys = tuple(self._head_key(a) for a in addrs)
+        for addr in keys:
             if addr not in self._params["proposal"]:
                 raise RuntimeError(
                     f"Address unknown by inference network: {addr}"
@@ -142,7 +144,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
             emb = embed(params, packed["obs"])
             mask = packed.get("mask")
             total = jnp.zeros((), util.dtype())
-            for t, addr in enumerate(addrs):
+            for t, addr in enumerate(keys):
                 d = head_apply(
                     params["proposal"][addr], emb, packed["steps"][t]["prior"]
                 )
@@ -161,7 +163,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
     # ------------------------------------------------------------------
     def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
         """(reference: inference_network_feedforward.py:53-66)"""
-        address = variable.address
+        address = self._head_key(variable.address)
         distribution = variable.distribution
         if address not in self._params["proposal"]:
             warnings.warn(f"Using prior. No proposal for address: {address}")
@@ -201,6 +203,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         observations."""
         params = self._params
         head_meta = self._head_meta
+        head_key = self._head_key
         embed = self._embed_observe_pure
         state = {"emb": None}
 
@@ -224,7 +227,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
             # defensive=π: mixture π·q + (1−π)·prior for rejection retries
             # (caps a rejected attempt's weight factor at 1/(1−π); see the
             # LSTM counterpart)
-            addr = site.address
+            addr = head_key(site.address)
             if addr not in head_meta:
                 if forced_value is not None:
                     return forced_value, distribution.log_prob(
@@ -264,7 +267,24 @@ class InferenceNetworkFeedForward(InferenceNetwork):
                 plp = jnp.sum(d.log_prob(value))
             return value, plp
 
+        def compute_embedding(observed):
+            # pure: the embedding from a FULL observed dict (guided
+            # scan-SMC computes it once outside the scan, where step
+            # handlers only see per-step slices)
+            obs = {
+                name: jnp.reshape(
+                    jnp.asarray(observed[name], util.dtype()), (1, -1)
+                )
+                for name in params["observe"].keys()
+            }
+            return embed(params, obs)
+
+        def set_embedding(e):
+            state["emb"] = e
+
         proposal_step.reset = reset
+        proposal_step.compute_embedding = compute_embedding
+        proposal_step.set_embedding = set_embedding
         # stateless per site (the observe embedding is a per-trace
         # constant): trivial snapshot hooks let rejection_sample retries
         # propose from the network with nothing to thread through the carry

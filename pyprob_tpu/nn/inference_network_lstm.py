@@ -114,7 +114,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
         for sub_batch in batch.sub_batches:
             example_trace = sub_batch[0]
             for variable in example_trace.variables_controlled:
-                address = variable.address
+                address = self._head_key(variable.address)
                 distribution = variable.distribution
                 if address not in self._params["address_embedding"]:
                     self._params["address_embedding"][address] = (
@@ -222,16 +222,17 @@ class InferenceNetworkLSTM(InferenceNetwork):
         # only the keys the LSTM loss reads — polymorphing a new address
         # elsewhere must not retrace this trace type's compiled loss
         p = self._params
+        keys = {self._head_key(a) for a in addrs}
         return {
             "observe": p["observe"],
             "observe_final": p["observe_final"],
             "lstm": p["lstm"],
-            "proposal": {a: p["proposal"][a] for a in set(addrs)},
+            "proposal": {a: p["proposal"][a] for a in keys},
             "sample_embedding": {
-                a: p["sample_embedding"][a] for a in set(addrs)
+                a: p["sample_embedding"][a] for a in keys
             },
             "address_embedding": {
-                a: p["address_embedding"][a] for a in set(addrs)
+                a: p["address_embedding"][a] for a in keys
             },
             "dist_type_embedding": {
                 n: p["dist_type_embedding"][n] for n in set(dist_names)
@@ -239,6 +240,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
         }
 
     def _make_loss_for(self, addrs, dist_names):
+        addrs = tuple(self._head_key(a) for a in addrs)
         for addr in addrs:
             if addr not in self._params["proposal"]:
                 raise RuntimeError(
@@ -320,7 +322,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
         self._infer_lstm_state = None
 
     def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
-        address = variable.address
+        address = self._head_key(variable.address)
         distribution = variable.distribution
         params = self._params
         S, A, D = (
@@ -334,7 +336,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
             prev_addr_emb = jnp.zeros((A,), util.dtype())
             prev_dist_emb = jnp.zeros((D,), util.dtype())
         else:
-            prev_address = prev_variable.address
+            prev_address = self._head_key(prev_variable.address)
             if prev_address not in params["address_embedding"]:
                 warnings.warn(
                     f"Address of previous variable unknown by inference "
@@ -414,6 +416,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
     def make_vectorized_proposal_step(self, observe=None):
         params = self._params
         head_meta = self._head_meta
+        head_key = self._head_key
         embed = self._embed_observe_pure
         S, A, D = (
             self._sample_embedding_dim,
@@ -449,7 +452,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
             # REJECTED attempt's p/q correction enters the weight with no
             # compensating likelihood term; the mixture caps that factor at
             # 1/(1−π) (defensive importance sampling, Hesterberg 1995)
-            addr = site.address
+            addr = head_key(site.address)
             if addr not in head_meta:
                 if forced_value is not None:
                     return forced_value, distribution.log_prob(
@@ -539,7 +542,21 @@ class InferenceNetworkLSTM(InferenceNetwork):
             state["lstm"] = lstm_state
             state["prev"] = None if addr is None else (addr, value, dist_name)
 
+        def compute_embedding(observed):
+            obs = {
+                name: jnp.reshape(
+                    jnp.asarray(observed[name], util.dtype()), (1, -1)
+                )
+                for name in params["observe"].keys()
+            }
+            return embed(params, obs)
+
+        def set_embedding(e):
+            state["emb"] = e
+
         proposal_step.reset = reset
+        proposal_step.compute_embedding = compute_embedding
+        proposal_step.set_embedding = set_embedding
         proposal_step.get_state = get_state
         proposal_step.set_state = set_state
         proposal_step.supports_defensive = True

@@ -103,7 +103,7 @@ class _BatchedProposer:
         self._prev[sim_idx] = None
 
     def knows(self, address):
-        return address in self._net._head_meta
+        return self._net._head_key(address) in self._net._head_meta
 
     # ------------------------------------------------------------------
     def _make_step_fn(self, addr, dist_name, prev_addr, prev_dist_name):
@@ -239,6 +239,11 @@ class _BatchedProposer:
             else:
                 prev_values = jnp.zeros((Bp, 1), util.dtype())
 
+            address = self._net._head_key(address)
+            prev_addr = (
+                None if prev_addr is None
+                else self._net._head_key(prev_addr)
+            )
             sig = (address, dist_name, prev_addr, prev_dist_name, Bp)
             fn = self._jit_cache.get(sig)
             if fn is None:

@@ -220,6 +220,23 @@ class Trace:
     def __eq__(self, other):
         return hash(self) == hash(other)
 
+    def named_value(self, name):
+        """The value(s) recorded under ``name``: the single variable's
+        value normally; when a name repeats (a MarkovModel's per-step
+        observe, one site per t) the STACKED sequence of all its values
+        in execution order — what the observe embedding must see, and
+        the shape the user passes at inference ([T, ...])."""
+        vs = [v for v in self.variables if v.name == name]
+        if not vs:
+            raise RuntimeError(
+                f"Trace does not include variable with name: {name}"
+            )
+        if len(vs) == 1:
+            return vs[0].value
+        import numpy as _np
+
+        return _np.stack([_np.asarray(v.value) for v in vs])
+
     def __getitem__(self, variable_name):
         if variable_name in self.named_variables:
             return self.named_variables[variable_name].value

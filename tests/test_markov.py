@@ -179,3 +179,66 @@ def test_interpreter_smc_variable_observe_count():
     post_is = m.posterior_results(4000, observe=obs)
     assert abs(float(post_smc.mean) - float(post_is.mean)) < 0.25
     assert abs(float(post_smc.stddev) - float(post_is.stddev)) < 0.25
+
+
+def test_tied_instance_training_and_guided_scan_smc():
+    """MarkovModels train with TIED per-step heads by default
+    (tie_address_instances: one head per site kind, shared across t) and
+    guided SMC then runs on the O(T) scan path with the proposal
+    network's recurrent state riding the scan carry."""
+    T = 12
+    pp.seed(3)
+    m = LinearGaussianStateSpaceMarkov(num_steps=T)
+    xs, ys = m.synthesize(rng=2)
+    obs = m.observes(ys)
+    fm, fv = m.kalman_filter(ys)
+    lz = m.kalman_log_evidence(ys)
+    m.learn_inference_network(
+        num_traces=4096,
+        observe_embeddings={"y": {"dim": 32}},
+        inference_network=pp.InferenceNetwork.LSTM,
+        batch_size=256,
+        learning_rate_init=0.003,
+        lstm_dim=64,
+    )
+    net = m._inference_network
+    assert net._tie_address_instances
+    # exactly one head per distinct site, not one per (site, t)
+    assert set(net._params["proposal"].keys()) == {
+        "x0__Normal", "x__Normal"
+    }
+    post = m.posterior_results(
+        2048,
+        observe=obs,
+        inference_engine=(
+            pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+        ),
+        resample_threshold=0.7,
+    )
+    assert "guided SMC (scan" in post.name
+    assert abs(float(post.mean) - fm[-1]) < 0.15
+    assert abs(post.log_evidence - lz) < 0.6
+    assert post.effective_sample_size > 0.05 * 2048
+    # guided IS through the derived forward also works with tied heads
+    post_is = m.posterior_results(
+        1024,
+        observe=obs,
+        vectorized=True,
+        inference_engine=(
+            pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        ),
+    )
+    assert abs(float(post_is.mean) - fm[-1]) < 0.4
+
+
+def test_repeated_observe_name_packs_full_sequence():
+    """Training must see the SAME [T]-sequence the user passes at
+    inference: Trace.named_value stacks repeated-name observes and
+    prune_trace keeps every occurrence."""
+    from pyprob_tpu.nn.dataset import OnlineDataset, prune_trace
+
+    m = LinearGaussianStateSpaceMarkov(num_steps=5)
+    ds = OnlineDataset(m)
+    tr = ds[0]
+    v = np.asarray(tr.named_value("y"))
+    assert v.shape == (5,)
