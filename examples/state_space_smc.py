@@ -45,6 +45,25 @@ class StochasticVolatility(pp.Model):
         return x
 
 
+class StochasticVolatilityMarkov(pp.MarkovModel):
+    """The same model through the markov protocol: SMC then runs the
+    O(T) ``lax.scan`` filter (one vmapped step per stage) instead of the
+    O(T^2) staged replay, and scales to T in the hundreds.  The per-step
+    observation is a single [T] array named "y"."""
+
+    def markov_init(self):
+        return pp.sample(
+            Normal(0.0, SIGMA / math.sqrt(1 - PHI ** 2)), address="x0"
+        )
+
+    def markov_step(self, x, t):
+        import jax.numpy as jnp
+
+        x = pp.sample(Normal(PHI * x, SIGMA), address="x")
+        pp.observe(Normal(0.0, BETA * jnp.exp(0.5 * x)), name="y")
+        return x
+
+
 def main():
     pp.set_verbosity(0)
     pp.seed(7)
@@ -86,6 +105,23 @@ def main():
         f"({100 * post_smc.effective_sample_size / n:6.2f}%)  "
         f"final-state mean {float(post_smc.mean):+.3f}   {t_smc:.2f}s"
         f"   log Z = {post_smc.log_evidence:.3f}"
+    )
+
+    # the markov protocol: same filter as ONE lax.scan (O(T), scales to
+    # long horizons) — note the single [T]-array observation
+    mmodel = StochasticVolatilityMarkov(num_steps=T)
+    t0 = time.time()
+    post_scan = mmodel.posterior_results(
+        num_traces=n,
+        observe={"y": np.asarray(ys)},
+        inference_engine=pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+    )
+    t_scan = time.time() - t0
+    print(
+        f"  SMC (markov/scan): ESS {post_scan.effective_sample_size:10,.1f} "
+        f"({100 * post_scan.effective_sample_size / n:6.2f}%)  "
+        f"final-state mean {float(post_scan.mean):+.3f}   {t_scan:.2f}s"
+        f"   log Z = {post_scan.log_evidence:.3f}"
     )
 
 
