@@ -148,6 +148,157 @@ def _chol_solve_kernel(cov_ref, diff_ref, out_ref, l_ref, z_ref, *, n):
     out_ref[0, 1] = logdet
 
 
+def _chol_solve_stacked_kernel(cov_ref, diff_ref, out_ref, l_ref, z_ref,
+                               *, n, p):
+    """P particles per grid cell: cov [P,N,N], diff [P,N] ->
+    out [P,2] = (z^T z, logdet).  The stacked variant amortizes the
+    factorization's sequential chain (2x128 dependent column steps)
+    across the in-cell particles — the single-particle kernel measured
+    latency-bound at 33 GFLOP/s (BASELINE.md round-2 GP study)."""
+    # every intermediate stays >= 2-D ([P, 1] for per-particle scalars):
+    # Mosaic rejects 1-D vector layouts (bisected on chip, BASELINE.md)
+    nb = n // _BLOCK
+    quad = jnp.zeros((p, 1), jnp.float32)
+    logdet = jnp.zeros((p, 1), jnp.float32)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
+    z_ref[:] = diff_ref[:]
+
+    for j in range(nb):
+        lo = j * _BLOCK
+        rows = n - lo
+        panel = cov_ref[:, lo:, lo : lo + _BLOCK]  # [P, rows, b]
+        if j > 0:
+            panel = panel - jax.lax.dot_general(
+                l_ref[:, lo:, 0:lo],
+                l_ref[:, lo : lo + _BLOCK, 0:lo],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (p, rows, _BLOCK), 1
+        )
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (p, rows, _BLOCK), 2
+        )
+
+        def col_step(k, pm):
+            rowk = jnp.sum(
+                jnp.where(row_ids[:, :_BLOCK] == k, pm[:, :_BLOCK], 0.0),
+                axis=1,
+            )  # [P, b] = each particle's L[k, :] so far
+            w = jnp.where(lane2 < k, rowk, 0.0)
+            colk = jnp.sum(jnp.where(col_ids == k, pm, 0.0), axis=2)
+            c = colk - jnp.sum(pm * w[:, None, :], axis=2)  # [P, rows]
+            ck = jnp.sum(
+                jnp.where(row_ids[:, :, 0] == k, c, 0.0),
+                axis=1,
+                keepdims=True,
+            )  # [P, 1]
+            d = jax.lax.rsqrt(ck)
+            newcol = jnp.where(row_ids[:, :, 0] >= k, c * d, 0.0)
+            return jnp.where(col_ids == k, newcol[:, :, None], pm)
+
+        panel = jax.lax.fori_loop(0, _BLOCK, col_step, panel)
+        l_ref[:, lo:, lo : lo + _BLOCK] = panel
+
+        di = jax.lax.broadcasted_iota(jnp.int32, (p, _BLOCK, _BLOCK), 1)
+        dj = jax.lax.broadcasted_iota(jnp.int32, (p, _BLOCK, _BLOCK), 2)
+        logdet = logdet + jnp.sum(
+            jnp.sum(
+                jnp.where(di == dj, jnp.log(panel[:, :_BLOCK]), 0.0),
+                axis=2,
+            ),
+            axis=1,
+            keepdims=True,
+        )
+
+        r = z_ref[:, lo : lo + _BLOCK]  # [P, b]
+        ljj = panel[:, :_BLOCK]
+
+        def sub_step(k, z):
+            lrow = jnp.sum(
+                jnp.where(di[:, :, 0:1] == k, ljj, 0.0), axis=1
+            )  # [P, b]
+            acc = jnp.sum(
+                jnp.where(lane2 < k, lrow * z, 0.0), axis=1, keepdims=True
+            )
+            rk = jnp.sum(
+                jnp.where(lane2 == k, r, 0.0), axis=1, keepdims=True
+            )
+            lkk = jnp.sum(
+                jnp.where(lane2 == k, lrow, 0.0), axis=1, keepdims=True
+            )
+            zk = (rk - acc) / lkk  # [P, 1]
+            return jnp.where(lane2 == k, zk, z)
+
+        z_j = jax.lax.fori_loop(
+            0, _BLOCK, sub_step, jnp.zeros((p, _BLOCK), jnp.float32)
+        )
+        quad = quad + jnp.sum(z_j * z_j, axis=1, keepdims=True)
+        if j + 1 < nb:
+            upd = jax.lax.dot_general(
+                panel[:, _BLOCK:, :],
+                z_j[:, None, :],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, :, 0]  # [P, rows - b]
+            z_ref[:, lo + _BLOCK :] = z_ref[:, lo + _BLOCK :] - upd
+
+    out_ref[:, 0:1] = quad
+    out_ref[:, 1:2] = logdet
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "particles_per_cell")
+)
+def _quad_logdet_stacked(cov, diff, interpret=False, particles_per_cell=8):
+    """cov [B,N,N] (N a multiple of 128, B a multiple of P), diff [B,N]
+    -> (quad [B], logdet [B]) with P particles per grid cell."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = cov.shape[0], cov.shape[-1]
+    p = particles_per_cell
+
+    def kernel(cov_ref, diff_ref, out_ref, l_ref, z_ref):
+        _chol_solve_stacked_kernel(
+            cov_ref, diff_ref, out_ref, l_ref, z_ref, n=n, p=p
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 2), jnp.float32),
+        grid=(b // p,),
+        in_specs=[
+            pl.BlockSpec(
+                (p, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (p, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (p, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p, n, n), jnp.float32),
+            pltpu.VMEM((p, n), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n * n * n // 3,
+            bytes_accessed=4 * b * n * n,
+            transcendentals=b * n,
+        ),
+    )(cov.astype(jnp.float32), diff.astype(jnp.float32))
+    return out[:, 0], out[:, 1]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _quad_logdet_single(cov, diff, interpret=False):
     """cov [N,N] (N a multiple of 128), diff [N] -> (quad, logdet)."""
@@ -207,13 +358,37 @@ def _pad_cov_diff(cov, diff):
     return cov, diff
 
 
+_STACK_P = 16  # particles per grid cell (measured best on chip: P=16/32
+# plateau ~110 GFLOP/s vs 33 single-particle; VMEM-bound above)
+
+
 def _quad_logdet_impl(cov, diff, interpret):
     cov, diff = _pad_cov_diff(cov, diff)
-    fn = functools.partial(_quad_logdet_single, interpret=interpret)
     batch = cov.shape[:-2]
-    for _ in batch:
-        fn = jax.vmap(fn)
-    return fn(cov, diff)
+    if batch:
+        # explicit batch: the particle-stacked kernel amortizes the
+        # factorization's sequential chain across in-cell particles
+        n = cov.shape[-1]
+        b = int(np.prod(batch))
+        covf = jnp.reshape(cov, (b, n, n))
+        difff = jnp.reshape(diff, (b, n))
+        bp = _round_up(b, _STACK_P)
+        if bp != b:
+            covf = jnp.concatenate(
+                [covf, jnp.broadcast_to(covf[-1:], (bp - b, n, n))], 0
+            )
+            difff = jnp.concatenate(
+                [difff, jnp.broadcast_to(difff[-1:], (bp - b, n))], 0
+            )
+        q, ld = _quad_logdet_stacked(
+            covf, difff, interpret=interpret,
+            particles_per_cell=min(_STACK_P, bp),
+        )
+        return (
+            jnp.reshape(q[:b], batch),
+            jnp.reshape(ld[:b], batch),
+        )
+    return _quad_logdet_single(cov, diff, interpret=interpret)
 
 
 def _quad_logdet_reference(cov, diff):
