@@ -27,6 +27,12 @@ Protocol (all effect calls — ``pp.sample`` / ``pp.observe`` /
   the model's return value (default: the carry itself).
 * ``self.num_steps`` — the (static) number of steps.
 
+The carry is an arbitrary pytree, and SMC resampling gathers WHOLE
+carries: carrying the accumulated trajectory
+(``path.at[t + 1].set(x)``) yields genealogy-correct SMOOTHED paths —
+validated against the exact RTS smoother in tests/test_markov.py
+(subject to the usual path-degeneracy caveat for long horizons).
+
 ``forward()`` is derived from the hooks (a plain Python loop with the
 same per-step observation slicing), so a MarkovModel works unchanged
 with every other engine — IS, IC, MCMC, HMC/NUTS, VI — on both tiers;

@@ -242,3 +242,39 @@ def test_repeated_observe_name_packs_full_sequence():
     tr = ds[0]
     v = np.asarray(tr.named_value("y"))
     assert v.shape == (5,)
+
+
+def test_scan_smc_path_smoothing_via_carry():
+    """The carry is an arbitrary pytree: carrying the accumulated path
+    gives genealogy-correct SMOOTHED trajectories (resampling gathers
+    whole paths), validated against the exact RTS smoother."""
+    import jax.numpy as jnp
+
+    T = 12
+    ex = LinearGaussianStateSpaceMarkov(num_steps=T)
+    xs, ys = ex.synthesize(rng=1)
+
+    class LGSSPath(pp.MarkovModel):
+        def markov_init(self):
+            x0 = pp.sample(Normal(0.0, 1.0), address="x0")
+            return (x0, jnp.zeros(T + 1).at[0].set(x0))
+
+        def markov_step(self, carry, t):
+            x, path = carry
+            x = pp.sample(Normal(x, math.sqrt(0.5)), address="x")
+            pp.observe(Normal(x, math.sqrt(0.3)), name="y")
+            return (x, path.at[t + 1].set(x))
+
+        def markov_finalize(self, carry):
+            return carry[1]
+
+    pp.seed(0)
+    m = LGSSPath(num_steps=T)
+    post = m.posterior_results(
+        8192,
+        observe={"y": np.asarray(ys)},
+        inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+        resample_threshold=0.7,
+    )
+    sm, sv = ex.kalman_smoother(ys)
+    np.testing.assert_allclose(np.asarray(post.mean), sm, atol=0.12)
