@@ -278,3 +278,33 @@ def test_scan_smc_path_smoothing_via_carry():
     )
     sm, sv = ex.kalman_smoother(ys)
     np.testing.assert_allclose(np.asarray(post.mean), sm, atol=0.12)
+
+
+def test_tied_network_save_load_roundtrip(tmp_path):
+    """tie_address_instances survives checkpointing; a reloaded network
+    still drives guided scan-SMC."""
+    T = 6
+    pp.seed(5)
+    m = LinearGaussianStateSpaceMarkov(num_steps=T)
+    xs, ys = m.synthesize(rng=4)
+    obs = m.observes(ys)
+    m.learn_inference_network(
+        num_traces=1024,
+        observe_embeddings={"y": {"dim": 16}},
+        batch_size=256,
+    )
+    f = str(tmp_path / "tied.network")
+    m.save_inference_network(f)
+    m2 = LinearGaussianStateSpaceMarkov(num_steps=T)
+    m2.load_inference_network(f)
+    assert m2._inference_network._tie_address_instances
+    post = m2.posterior_results(
+        512,
+        observe=obs,
+        inference_engine=(
+            pp.InferenceEngine.SEQUENTIAL_MONTE_CARLO_WITH_INFERENCE_NETWORK
+        ),
+    )
+    assert "guided SMC (scan" in post.name
+    fm, _ = m.kalman_filter(ys)
+    assert abs(float(post.mean) - fm[-1]) < 0.4
