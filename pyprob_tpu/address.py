@@ -77,13 +77,21 @@ def extract_address(root_function_name):
     var_name = _extract_target_of_assignment(filename, lineno)
     names.append(var_name if var_name is not None else "?")
     while frame is not None:
+        n = frame.f_code.co_name
         # framework-internal frames interleaved with user code (the
         # rejection_sample combinator, its compiled while-loop body) must
         # not enter the chain: addresses stay identical across tiers
         if _is_internal_frame(frame.f_code.co_filename):
+            if n == root_function_name:
+                # a framework-owned root (the markov-derived forward(),
+                # smc_scan's per-hook lambdas): the model's code ends
+                # here.  Walking past it would append the CALLER's stack
+                # (test harness, script, REPL) — addresses would then
+                # depend on where inference was invoked from, breaking
+                # address stability across contexts/tiers.
+                break
             frame = frame.f_back
             continue
-        n = frame.f_code.co_name
         if n.startswith("<") and n != "<listcomp>":
             break
         names.append(n)

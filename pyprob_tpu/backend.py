@@ -213,10 +213,35 @@ class _JaxBackend:
     def one_hot(idx, n, dtype=_jnp.float32):
         return jax.nn.one_hot(idx, n, dtype=dtype)
 
-    cholesky = staticmethod(_jnp.linalg.cholesky)
+    @staticmethod
+    def _use_blocked_linalg(n):
+        # XLA:TPU's cholesky/triangular-solve expanders run an unblocked
+        # masked column loop whose VPU traffic dominates at large N
+        # (BASELINE.md GP studies).  ops/blocked_linalg recasts ~all the
+        # FLOPs as batched MXU GEMMs; LAPACK wins on CPU, so gate to TPU
+        # and large event sizes.  PYPROB_TPU_BLOCKED_CHOL=0 disables.
+        import os
+
+        if os.environ.get("PYPROB_TPU_BLOCKED_CHOL", "1") == "0":
+            return False
+        return n >= 128 and jax.default_backend() == "tpu"
+
+    @staticmethod
+    def cholesky(a):
+        n = _jnp.shape(a)[-1] if _jnp.ndim(a) >= 2 else 0
+        if _JaxBackend._use_blocked_linalg(n):
+            from .ops.blocked_linalg import blocked_cholesky
+
+            return blocked_cholesky(a)
+        return _jnp.linalg.cholesky(a)
 
     @staticmethod
     def tri_solve_lower(L, b):
+        n = _jnp.shape(L)[-1] if _jnp.ndim(L) >= 2 else 0
+        if _JaxBackend._use_blocked_linalg(n):
+            from .ops.blocked_linalg import solve_lower_vec
+
+            return solve_lower_vec(L, b)
         import jax.scipy.linalg as _jsl
 
         return _jsl.solve_triangular(L, b[..., None], lower=True)[..., 0]

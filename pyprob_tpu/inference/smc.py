@@ -215,14 +215,15 @@ def vectorized_smc_posterior(
     results_only = getattr(map_func, "__name__", "") == "trace_result"
 
     # Scan-structured models get the O(T) lax.scan filter instead of the
-    # O(T^2) staged replay — results-only (no Trace materialization);
-    # Trace/map_func callers stay on staged.  Guided filtering requires a
-    # TIED-instance network (the scan program sees one static address per
-    # step site; see InferenceNetwork tie_address_instances) — untied
-    # networks fall back to staged replay.
+    # O(T^2) staged replay — results-only callers get finalize outputs,
+    # Trace/map_func callers get genealogy-reconstructed Traces (stacked
+    # scan records + host ancestor walk; see smc_scan).  Guided filtering
+    # requires a TIED-instance network (the scan program sees one static
+    # address per step site; see InferenceNetwork tie_address_instances)
+    # — untied networks fall back to staged replay.
     from ..markov import MarkovModel
 
-    scan_ok = isinstance(model, MarkovModel) and results_only
+    scan_ok = isinstance(model, MarkovModel)
     if scan_ok and proposal_step is not None:
         net = getattr(model, "_inference_network", None)
         scan_ok = net is not None and getattr(
@@ -235,6 +236,7 @@ def vectorized_smc_posterior(
             model,
             num_traces,
             observe=observe,
+            map_func=map_func,
             file_name=file_name,
             resample_threshold=resample_threshold,
             resampling=resampling,

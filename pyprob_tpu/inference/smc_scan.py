@@ -11,11 +11,16 @@ transition, adaptive resampling, weight bookkeeping, and the
 marginal-likelihood estimate — compiles to a single XLA program and
 runs as one device dispatch.
 
-This path is results-only (the Empirical holds ``markov_finalize``
-outputs, not Trace objects): full-trace materialization would stack
-every step's sites to [T, N, ...] and negate the memory win.  Callers
-that need Traces (``posterior()`` / custom ``map_func``) fall back to
-staged replay automatically.
+Results-only callers get an Empirical of ``markov_finalize`` outputs
+with nothing materialized.  Trace callers (``posterior()`` / custom
+``map_func``) get full Trace objects too, still in O(T) program work:
+the scan additionally stacks each stage's site values/log-probs and the
+per-stage resampling indices as scan outputs ([T, N, ...] — the
+inherent size of a trace-mode answer), and the genealogy is
+reconstructed host-side by walking the ancestor indices backwards
+(O(T N) gathers, no re-execution).  Materialized Variables carry
+value/log_prob/address/name/observed; per-site distribution objects are
+not rebuilt on this path (staged replay keeps them).
 
 The reference has no SMC engine at all (its engines:
 reference: pyprob/util.py:49-53); within this repo the staged filter is
@@ -118,7 +123,7 @@ def _probe_step_names(model, obs_arrays, likelihood_importance,
 
 def _build_scan_smc(model, obs_arrays, likelihood_importance,
                     resample_threshold, resampling, args, kwargs,
-                    proposal_step=None):
+                    proposal_step=None, materialize=False):
     """Build (jitted program, step_names).  The program takes
     (init_keys [N], step_keys [T,N], resample_keys [T], obs_init dict,
     obs_step dict of [T,...], obs_all dict) and returns
@@ -142,39 +147,63 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
     fn_args = tuple(args)
     fn_kwargs = kwargs or {}
     guided = proposal_step is not None
-    # static parts of the proposal state, captured at trace time (the
-    # python loop below executes during jit tracing, so the boxes fill
-    # before the code that reads them traces)
+    # static parts of the proposal state (and, when materializing, the
+    # per-hook site metadata), captured at trace time (the python loop
+    # below executes during jit tracing, so the boxes fill before the
+    # code that reads them traces)
     statics_box = {}
+    sites_box = {}
+
+    def _rec(handler, sites_key):
+        """Per-stage trace record (traced arrays; metadata to the box)."""
+        if not materialize:
+            return ()
+        sites_box.setdefault(sites_key, list(handler.sites))
+        return {
+            "values": {
+                s.address: v
+                for s, v in zip(handler.sites, handler.values)
+                if v is not None
+            },
+            "log_probs": {
+                s.address: lp
+                for s, lp in zip(handler.sites, handler.log_probs)
+                if lp is not None
+            },
+            "lpt": handler.log_prob_total,
+            "lpo": handler.log_prob_observed,
+        }
 
     def run_init(key, obs_init, emb):
-        carry, w, _, ps = _handler_run(
+        carry, w, handler, ps = _handler_run(
             lambda: model.markov_init(*fn_args, **fn_kwargs),
             key, obs_init, likelihood_importance, (),
             proposal_step=proposal_step, ps_emb=emb,
         )
+        rec = _rec(handler, "init")
         if guided:
             dyn, static = ps
             statics_box.setdefault("init", static)
-            return carry, w, dyn
-        return carry, w, ()
+            return carry, w, dyn, rec
+        return carry, w, (), rec
 
     def run_step_with(static_key):
         def run_step(key, carry, ps_dyn, t, obs_t, emb):
             ps_state = (
                 (ps_dyn, statics_box[static_key]) if guided else None
             )
-            new_carry, w, _, ps = _handler_run(
+            new_carry, w, handler, ps = _handler_run(
                 model.markov_step, key, obs_t, likelihood_importance,
                 (carry, t),
                 proposal_step=proposal_step, ps_state=ps_state,
                 ps_emb=emb,
             )
+            rec = _rec(handler, "step")
             if guided:
                 dyn, static = ps
                 statics_box.setdefault("step", static)
-                return new_carry, w, dyn
-            return new_carry, w, ()
+                return new_carry, w, dyn, rec
+            return new_carry, w, (), rec
         return run_step
 
     vinit = jax.vmap(run_init, in_axes=(0, None, None))
@@ -192,11 +221,11 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
         emb = (
             proposal_step.compute_embedding(obs_all) if guided else None
         )
-        carry0, w0, ps0 = vinit(init_keys, obs_init, emb)
+        carry0, w0, ps0, init_rec = vinit(init_keys, obs_init, emb)
 
         def stage(vstep_fn, carry, w, log_z, ps_dyn, key_t, rkey_t, t,
                   obs_t):
-            new_carry, incr, new_ps = vstep_fn(
+            new_carry, incr, new_ps, rec = vstep_fn(
                 key_t, carry, ps_dyn, t, obs_t, emb
             )
             w = w + incr
@@ -215,8 +244,10 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
             gather = lambda x: x[idx]
             new_carry = jax.tree_util.tree_map(gather, new_carry)
             new_ps = jax.tree_util.tree_map(gather, new_ps)
+            # ``rec`` is NOT gathered: records stay in pre-resample
+            # order and the host walks ``idx`` genealogy backwards
             w = jnp.where(do_resample, jnp.zeros_like(w), w)
-            return new_carry, w, log_z, new_ps, ess, do_resample
+            return new_carry, w, log_z, new_ps, ess, do_resample, idx, rec
 
         log_z0 = jnp.zeros((), util.dtype())
         if guided:
@@ -224,7 +255,7 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
             # differ structurally from the steady per-step state (e.g.
             # the LSTM's previous-site record), so the scan carries the
             # post-step-0 structure
-            carry0, w0, log_z0, ps0, ess0, res0 = stage(
+            carry0, w0, log_z0, ps0, ess0, res0, idx0, rec0 = stage(
                 vstep0, carry0, w0, log_z0, ps0,
                 step_keys[0], resample_keys[0],
                 jnp.zeros((), jnp.int32),
@@ -240,10 +271,10 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
             carry, w, log_z, ps_dyn = sc
             key_t, rkey_t, t = xs[:3]
             obs_t = xs[3]
-            carry, w, log_z, ps_dyn, ess, res = stage(
+            carry, w, log_z, ps_dyn, ess, res, idx, rec = stage(
                 vstep, carry, w, log_z, ps_dyn, key_t, rkey_t, t, obs_t
             )
-            return (carry, w, log_z, ps_dyn), (ess, res)
+            return (carry, w, log_z, ps_dyn), (ess, res, idx, rec)
 
         if T - scan_lo > 0:
             xs = (
@@ -252,27 +283,155 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
                 jnp.arange(scan_lo, T, dtype=jnp.int32),
                 jax.tree_util.tree_map(lambda x: x[scan_lo:], obs_step),
             )
-            (carry_f, w, log_z, _), (ess_hist, resampled) = jax.lax.scan(
-                body, (carry0, w0, log_z0, ps0), xs
-            )
+            (carry_f, w, log_z, _), (
+                ess_hist, resampled, idx_hist, rec_hist
+            ) = jax.lax.scan(body, (carry0, w0, log_z0, ps0), xs)
         else:
             carry_f, w, log_z = carry0, w0, log_z0
             ess_hist = jnp.zeros((0,), util.dtype())
             resampled = jnp.zeros((0,), jnp.bool_)
+            idx_hist = jnp.zeros((0, n), jnp.int32)
+            rec_hist = ()
         if guided:
             ess_hist = jnp.concatenate([ess0[None], ess_hist])
             resampled = jnp.concatenate([res0[None], resampled])
         log_z = log_z + jax.scipy.special.logsumexp(w) - log_n
         results = jax.vmap(model.markov_finalize)(carry_f)
-        return results, w, log_z, (ess_hist, resampled)
+        if materialize:
+            head = (
+                (idx0, rec0) if guided else None
+            )
+            extras = (init_rec, head, idx_hist, rec_hist)
+        else:
+            extras = ()
+        return results, w, log_z, (ess_hist, resampled), extras
 
-    return jax.jit(program), step_names
+    return jax.jit(program), step_names, sites_box
+
+
+def _materialize_scan_traces(sites_box, extras_host, results_host,
+                             log_weights, num, T, guided):
+    """Rebuild per-particle Trace objects from the scan's stacked site
+    records + resampling indices.
+
+    Records are stored PRE-resample per stage; a particle's trajectory is
+    reconstructed by walking the ancestor indices backwards (standard
+    genealogy tracing — O(T N) gathers, no re-execution).  Instances are
+    renumbered per address base in execution order so addresses match the
+    interpreter tier's sequential numbering (same invariant the staged
+    replay keeps).  Per-site distribution objects are not rebuilt on this
+    path (``Variable.distribution=None``)."""
+    from ..trace import Trace, Variable
+
+    init_rec, head, idx_hist, rec_hist = extras_host
+    idx_hist = np.asarray(idx_hist)
+    scan_lo = 1 if guided else 0
+    if guided:
+        idx0, rec0 = head
+        idx_all = np.concatenate([np.asarray(idx0)[None], idx_hist], 0)
+    else:
+        rec0 = None
+        idx_all = idx_hist
+    # lineage matrix: B[t, j] = index of final-slot j's ancestor in the
+    # PRE-resample records of stage t
+    B = np.zeros((T, num), np.int64)
+    B[T - 1] = idx_all[T - 1]
+    for t in range(T - 1, 0, -1):
+        B[t - 1] = idx_all[t - 1][B[t]]
+
+    def stage_rec(t):
+        if guided and t == 0:
+            return rec0, None  # already [N, ...]
+        return rec_hist, t - scan_lo  # stacked [Ts, N, ...]
+
+    def rows(arr, t, lineage):
+        a = np.asarray(arr)
+        if t is None:
+            return a[lineage]
+        return a[t][lineage]
+
+    # per-particle scalar aggregates summed over the lineage
+    lpt = rows(init_rec["lpt"], None, B[0]).astype(np.float64)
+    lpo = rows(init_rec["lpo"], None, B[0]).astype(np.float64)
+    for t in range(T):
+        rec, trow = stage_rec(t)
+        lpt += rows(rec["lpt"], trow, B[t])
+        lpo += rows(rec["lpo"], trow, B[t])
+
+    # pre-gather every site array along its lineage once (vectorized),
+    # then the per-trace loop only indexes rows
+    init_sites = sites_box.get("init", [])
+    step_sites = sites_box.get("step", [])
+    init_vals = {
+        a: rows(v, None, B[0]) for a, v in init_rec["values"].items()
+    }
+    init_lps = {
+        a: rows(v, None, B[0]) for a, v in init_rec["log_probs"].items()
+    }
+    stage_vals, stage_lps = [], []
+    for t in range(T):
+        rec, trow = stage_rec(t)
+        stage_vals.append(
+            {a: rows(v, trow, B[t]) for a, v in rec["values"].items()}
+        )
+        stage_lps.append(
+            {a: rows(v, trow, B[t]) for a, v in rec["log_probs"].items()}
+        )
+
+    result_leaves, result_treedef = jax.tree_util.tree_flatten(
+        results_host
+    )
+    result_leaves = [np.asarray(l) for l in result_leaves]
+
+    traces = []
+    for i in range(num):
+        tr = Trace()
+        counters = {}
+
+        def add_site(s, vals, lps):
+            inst = counters.get(s.address_base, 0) + 1
+            counters[s.address_base] = inst
+            v = vals.get(s.address)
+            lp = lps.get(s.address)
+            tr.add(
+                Variable(
+                    distribution=None,
+                    value=None if v is None else v[i],
+                    address_base=s.address_base,
+                    address=s.address_base + "__" + str(inst),
+                    instance=inst,
+                    log_prob=None if lp is None else lp[i],
+                    log_importance_weight=None,
+                    control=s.control,
+                    name=s.name,
+                    observed=s.observed,
+                    tagged=s.tagged,
+                )
+            )
+
+        for s in init_sites:
+            add_site(s, init_vals, init_lps)
+        for t in range(T):
+            for s in step_sites:
+                add_site(s, stage_vals[t], stage_lps[t])
+        tr.end(
+            jax.tree_util.tree_unflatten(
+                result_treedef, [l[i] for l in result_leaves]
+            ),
+            None,
+        )
+        tr.log_importance_weight = float(log_weights[i])
+        tr.log_prob_observed = float(lpo[i])
+        tr.log_prob = float(lpt[i])
+        traces.append(tr)
+    return traces
 
 
 def scan_smc_posterior(
     model,
     num_traces,
     observe=None,
+    map_func=None,
     file_name=None,
     resample_threshold=0.5,
     resampling="systematic",
@@ -282,9 +441,12 @@ def scan_smc_posterior(
     args=(),
     kwargs=None,
 ):
-    """O(T) particle filter over a MarkovModel; returns a results-only
-    Empirical (with ``log_evidence``), or None when the model is not
-    jax-traceable (the caller falls back to staged replay)."""
+    """O(T) particle filter over a MarkovModel; returns an Empirical
+    (with ``log_evidence``) of results (``map_func`` named
+    ``trace_result``), of full genealogy-correct Trace objects
+    (``map_func=None``), or of ``map_func(trace)`` values — or None when
+    the model is not jax-traceable (the caller falls back to staged
+    replay)."""
     from ..vectorized import _TraceabilityCache
 
     if _TraceabilityCache.known_untraceable(model):
@@ -311,6 +473,11 @@ def scan_smc_posterior(
 
     t0 = time.time()
     T = int(model.num_steps)
+    results_only = (
+        map_func is not None
+        and getattr(map_func, "__name__", "") == "trace_result"
+    )
+    materialize = not results_only
     cacheable = not args and not kwargs
     cache_key = (
         id(model),
@@ -319,6 +486,7 @@ def scan_smc_posterior(
         float(resample_threshold),
         str(resampling),
         T,
+        materialize,
     )
     # proposal_step identity is a freshness check, not part of the key
     # (retraining creates a new closure; see inference/smc.py)
@@ -329,9 +497,9 @@ def scan_smc_posterior(
         }
         cached = _scan_smc_cache.get(cache_key) if cacheable else None
         if cached is not None and cached[0] == ps_id:
-            _, program, step_names = cached
+            _, program, step_names, sites_box = cached
         else:
-            program, step_names = _build_scan_smc(
+            program, step_names, sites_box = _build_scan_smc(
                 model,
                 obs_arrays,
                 likelihood_importance,
@@ -340,9 +508,12 @@ def scan_smc_posterior(
                 args,
                 kwargs,
                 proposal_step=proposal_step,
+                materialize=materialize,
             )
             if cacheable:
-                _scan_smc_cache[cache_key] = ps_id, program, step_names
+                _scan_smc_cache[cache_key] = (
+                    ps_id, program, step_names, sites_box
+                )
         obs_step = {k: obs_arrays[k] for k in step_names if k in obs_arrays}
         obs_init = {
             k: v for k, v in obs_arrays.items() if k not in step_names
@@ -376,11 +547,12 @@ def scan_smc_posterior(
                 k: jax.device_put(v, repl) for k, v in obs_step.items()
             }
         obs_all = {**obs_init, **obs_step}
-        results, w, log_z, stats = program(
+        results, w, log_z, stats, extras = program(
             init_keys, step_keys, resample_keys, obs_init, obs_step,
             obs_all
         )
         results_host = jax.device_get(results)
+        extras_host = jax.device_get(extras) if materialize else None
         log_weights = np.asarray(jax.device_get(w), dtype=np.float64)
         log_evidence = float(jax.device_get(log_z))
         stage_ess = [float(e) for e in jax.device_get(stats[0])]
@@ -407,7 +579,19 @@ def scan_smc_posterior(
         log_weights[bad] = -np.inf
 
     keep = np.isfinite(log_weights)
-    if file_name is None and isinstance(results_host, np.ndarray):
+    if materialize:
+        values = _materialize_scan_traces(
+            sites_box, extras_host, results_host, log_weights,
+            num_traces, T, proposal_step is not None,
+        )
+        if map_func is not None:
+            values = [map_func(t) for t in values]
+        emp = Empirical(file_name=file_name)
+        for v, lw in zip(values, log_weights):
+            if np.isfinite(lw):
+                emp.add(v, log_weight=float(lw))
+        emp.finalize()
+    elif file_name is None and isinstance(results_host, np.ndarray):
         emp = Empirical.from_arrays(
             np.asarray(results_host)[keep], log_weights[keep]
         )

@@ -96,18 +96,50 @@ def test_markov_forward_derivation_other_engines():
     assert abs(float(post.mean) - fm[-1]) < 0.3
 
 
-def test_markov_trace_posterior_falls_back_to_staged():
-    """posterior() materializes Traces, which the scan path cannot —
-    staged replay serves those calls (and still matches the evidence)."""
-    m, ys, obs = _setup(T=8)
+def test_markov_trace_posterior_on_scan_path():
+    """posterior() (Trace mode) rides the O(T) scan path too: stacked
+    scan records + host genealogy walk rebuild full Trace objects.
+    Validated on addresses (vs the derived forward's compiled-IS traces),
+    genealogy consistency (smoothed marginals vs exact RTS smoother),
+    and evidence (vs exact Kalman)."""
+    T = 8
+    m, ys, obs = _setup(T=T)
     post = m.posterior(
-        2048,
+        4096,
         observe=obs,
         inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+        resample_threshold=0.7,
     )
-    assert "scan" not in post.name
+    assert "scan" in post.name
     t = post.sample()
     assert hasattr(t, "variables")  # a real Trace
+    assert len(t.variables) == 1 + 2 * T  # x0 + T * (x, y)
+    # addresses/instances must match the derived forward's numbering
+    is_post = m.posterior(512, observe=obs, vectorized=True)
+    is_addrs = [v.address for v in is_post.sample().variables]
+    assert [v.address for v in t.variables] == is_addrs
+    # observed sites carry the conditioning values in order
+    ys_in_trace = [
+        float(v.value) for v in t.variables if v.name == "y"
+    ]
+    np.testing.assert_allclose(ys_in_trace, ys, rtol=1e-5)
+    assert np.isfinite(t.log_prob)
+    # genealogy correctness: the weighted trajectory marginals match the
+    # exact RTS smoother (resampled ancestries must stay coherent)
+    sm, sv = m.kalman_smoother(ys)
+    lat = np.array(
+        [
+            [float(v.value) for v in tr.variables if not v.observed]
+            for tr in post.get_values()
+        ]
+    )  # [n, T+1]
+    w = np.exp(post.log_weights - np.max(post.log_weights))
+    w = w / w.sum()
+    est = (w[:, None] * lat).sum(0)  # smoothed x_0..x_T
+    sm = np.asarray(sm)[-est.size :]
+    assert np.max(np.abs(est[-sm.size :] - sm)) < 4.0 * np.sqrt(
+        np.max(sv)
+    )
     assert abs(post.log_evidence - m.kalman_log_evidence(ys)) < 0.5
 
 
