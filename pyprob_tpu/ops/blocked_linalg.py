@@ -13,9 +13,11 @@ recursive right-looking Cholesky
     A = [[A11, .], [A21, A22]]
     L11 = chol(A11);  L21 = A21 @ L11^-T;  L22 = chol(A22 - L21 @ L21^T)
 
-halved until the base case (default 32) where the expander's unblocked
-loop touches only [B, 32, 32] tiles.  Everything else — the panel solves
-and the trailing updates, i.e. ~all of the N^3/3 FLOPs — is batched
+halved down to scalar-unrolled [<=8, <=8] leaves (every leaf op is on a
+dense [batch] vector — no lane padding), with the panel solve a GEMM
+against the recursively-inverted diagonal factor (``tri_inv_lower``,
+~12% extra FLOPs, all MXU).  Everything else — the panel solves and the
+trailing updates, i.e. ~all of the N^3/3 FLOPs — is batched
 ``jnp.matmul`` on the MXU.  Triangular solves recurse the same way.  No
 Pallas: pure jnp, differentiable, vmappable, works on any backend
 (gated to TPU+large-N in ``backend.py`` because LAPACK wins on CPU).
@@ -39,13 +41,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BASE = 32  # base-case panel factored by the stock expander
+_BASE = 32  # leaf size for the expander-based solves
+_UNROLL = 8  # scalar-unrolled tile size (ops on dense [batch] vectors)
 
 
-def _split(n, base):
-    """Split point: smallest multiple of ``base`` >= n/2 (so the second
-    half is never larger than the first and both are nonempty)."""
-    h = base * ((n + 2 * base - 1) // (2 * base))
+def _split(n, base=_UNROLL):
+    """Split point: smallest multiple of the unrolled tile size >= n/2
+    (so the second half is never larger than the first, both are
+    nonempty, and the recursion bottoms out exactly on [<=8,<=8]
+    leaves)."""
+    h = _UNROLL * ((n + 2 * _UNROLL - 1) // (2 * _UNROLL))
     return min(h, n - 1) if h >= n else h
 
 
@@ -57,29 +62,123 @@ def _mT(a):
     return jnp.swapaxes(a, -1, -2)
 
 
-def blocked_cholesky(a, base=_BASE, precision=lax.Precision.HIGHEST):
-    """Lower-Cholesky of a batched SPD matrix ``a`` [..., N, N].
 
-    Recursive right-looking blocking: the trailing update and panel
-    solve are batched GEMMs (MXU); only [<=base, <=base] diagonal tiles
-    hit the stock expander's sequential column loop."""
-    n = a.shape[-1]
-    if n <= base:
-        return jnp.linalg.cholesky(a)
+
+def _chol_unrolled(a):
+    """Cholesky of ``a`` [..., m, m] for m <= _UNROLL, fully unrolled at
+    the scalar level: every op is on a dense [batch] vector, so nothing
+    pays the [.., m] lane padding that makes the stock expander's masked
+    column loop the bottleneck at these batch sizes."""
+    if a.shape[-1] == 0:
+        return a
+    m = a.shape[-1]
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        d = jnp.sqrt(
+            a[..., j, j] - sum(L[j][k] * L[j][k] for k in range(j))
+        )
+        L[j][j] = d
+        for i in range(j + 1, m):
+            s = a[..., i, j] - sum(L[i][k] * L[j][k] for k in range(j))
+            L[i][j] = s / d
+    zero = jnp.zeros_like(a[..., 0, 0])
+    rows = [
+        jnp.stack(
+            [L[i][j] if j <= i else zero for j in range(m)], axis=-1
+        )
+        for i in range(m)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _tri_inv_unrolled(l):
+    """Inverse of lower-triangular ``l`` [..., m, m] for m <= _UNROLL,
+    scalar-unrolled forward substitution (same layout rationale as
+    :func:`_chol_unrolled`)."""
+    m = l.shape[-1]
+    inv_d = [1.0 / l[..., i, i] for i in range(m)]
+    M = [[None] * m for _ in range(m)]
+    for j in range(m):
+        for i in range(j, m):
+            if i == j:
+                M[i][j] = inv_d[i]
+            else:
+                s = sum(
+                    l[..., i, k] * M[k][j] for k in range(j, i)
+                )
+                M[i][j] = -s * inv_d[i]
+    zero = jnp.zeros_like(l[..., 0, 0])
+    rows = [
+        jnp.stack(
+            [M[i][j] if j <= i else zero for j in range(m)], axis=-1
+        )
+        for i in range(m)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def tri_inv_lower(l, base=_UNROLL, precision=lax.Precision.HIGHEST):
+    """Inverse of a batched lower-triangular ``l`` [..., N, N]:
+    ``inv([[A,0],[B,C]]) = [[iA,0],[-iC B iA, iC]]`` — the off-diagonal
+    blocks are batched GEMMs, the [<=8,<=8] leaves scalar-unrolled."""
+    n = l.shape[-1]
+    if n <= _UNROLL:
+        return _tri_inv_unrolled(l)
     h = _split(n, base)
-    a11 = a[..., :h, :h]
-    a21 = a[..., h:, :h]
-    a22 = a[..., h:, h:]
-    l11 = blocked_cholesky(a11, base, precision)
-    l21 = solve_right_lower_t(a21, l11, base, precision)
-    l22 = blocked_cholesky(
-        a22 - _mm(l21, _mT(l21), precision), base, precision
-    )
+    i11 = tri_inv_lower(l[..., :h, :h], base, precision)
+    i22 = tri_inv_lower(l[..., h:, h:], base, precision)
+    i21 = -_mm(_mm(i22, l[..., h:, :h], precision), i11, precision)
     top = jnp.concatenate(
-        [l11, jnp.zeros(a.shape[:-2] + (h, n - h), a.dtype)], axis=-1
+        [i11, jnp.zeros(l.shape[:-2] + (h, n - h), l.dtype)], axis=-1
     )
-    bot = jnp.concatenate([l21, l22], axis=-1)
+    bot = jnp.concatenate([i21, i22], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
+
+
+def _assemble(b11, b21, b22, shape, dtype):
+    h, rest = b11.shape[-1], b22.shape[-1]
+    top = jnp.concatenate(
+        [b11, jnp.zeros(shape[:-2] + (h, rest), dtype)], axis=-1
+    )
+    return jnp.concatenate(
+        [top, jnp.concatenate([b21, b22], axis=-1)], axis=-2
+    )
+
+
+def chol_inv_lower(a, precision=lax.Precision.HIGHEST):
+    """Joint ``(L, inv(L))`` of a batched SPD ``a`` [..., N, N].
+
+    One recursion computes both: the panel solve needs exactly the
+    inverse of the leading factor (``L21 = A21 @ inv(L11)^T``), so
+    factor and inverse share every leaf — nothing is inverted twice,
+    and callers that drop the inverse pay nothing extra (XLA DCE prunes
+    the unused top-level off-diagonal inverse blocks).  All panel work
+    is batched GEMM; the [<=8,<=8] leaves are scalar-unrolled
+    ([batch]-vector ops, no lane padding — the stock expander's
+    lane-padded masked column loop is never touched)."""
+    n = a.shape[-1]
+    if n <= _UNROLL:
+        l = _chol_unrolled(a)
+        return l, _tri_inv_unrolled(l)
+    h = _split(n)
+    l11, m11 = chol_inv_lower(a[..., :h, :h], precision)
+    l21 = _mm(a[..., h:, :h], _mT(m11), precision)
+    l22, m22 = chol_inv_lower(
+        a[..., h:, h:] - _mm(l21, _mT(l21), precision), precision
+    )
+    m21 = -_mm(m22, _mm(l21, m11, precision), precision)
+    return (
+        _assemble(l11, l21, l22, a.shape, a.dtype),
+        _assemble(m11, m21, m22, a.shape, a.dtype),
+    )
+
+
+def blocked_cholesky(a, base=_BASE, precision=lax.Precision.HIGHEST):
+    """Lower-Cholesky of a batched SPD matrix ``a`` [..., N, N] — the
+    factor half of :func:`chol_inv_lower` (``base`` kept for API
+    stability; the recursion always bottoms out on scalar-unrolled
+    [<=8,<=8] leaves)."""
+    return chol_inv_lower(a, precision)[0]
 
 
 def solve_right_lower_t(b, l, base=_BASE, precision=lax.Precision.HIGHEST):
@@ -121,8 +220,8 @@ def mvn_quad_logdet_blocked(cov, diff, base=_BASE):
     """Batched ``(quad, half_logdet)`` = ``(diff^T K^-1 diff,
     0.5 log|K|)`` via the blocked factorization — same contract as
     ops.mvn_logpdf.mvn_quad_logdet, stock-XLA-composable."""
-    l = blocked_cholesky(cov, base)
-    z = solve_lower_vec(l, diff, base)
+    l, m = chol_inv_lower(cov)
+    z = _mm(m, diff[..., None], lax.Precision.HIGHEST)[..., 0]
     quad = jnp.sum(z * z, axis=-1)
     half_logdet = jnp.sum(
         jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1

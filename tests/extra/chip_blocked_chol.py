@@ -78,7 +78,10 @@ def _time(fn, cov, diff, reps=3):
 
 def main():
     xla = jax.jit(_quad_logdet_reference)
-    cases = [(256, 8192), (512, 2048)]
+    cases = [
+        tuple(int(x) for x in c.split("x"))
+        for c in os.environ.get("CASES", "256x8192,512x2048").split(",")
+    ]
     import itertools
 
     bases = tuple(
