@@ -102,7 +102,7 @@ def _probe_step_names(model, obs_arrays, likelihood_importance,
         )
         from ..markov import _StepObserves
 
-        step_obs = _StepObserves(obs, 0)
+        step_obs = _StepObserves(obs, 0, int(model.num_steps))
         _, _, handler, _ = _handler_run(
             model.markov_step, k_step, step_obs, likelihood_importance,
             (carry, jnp.zeros((), jnp.int32)),

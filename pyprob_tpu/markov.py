@@ -51,19 +51,43 @@ from . import state
 class _StepObserves:
     """Read-only view of the observed dict that slices row ``t`` of every
     value on access — installed while ``markov_step`` runs so per-step
-    observations keep a single static address across steps."""
+    observations keep a single static address across steps.
 
-    __slots__ = ("_base", "_t")
+    When ``num_steps`` is given, every access validates that the
+    underlying array really has one row per step — otherwise a
+    mismatched observation surfaces as an opaque indexing/scan error
+    deep inside tracing."""
 
-    def __init__(self, base, t):
+    __slots__ = ("_base", "_t", "_num_steps")
+
+    def __init__(self, base, t, num_steps=None):
         self._base = base
         self._t = t
+        self._num_steps = num_steps
 
     def __contains__(self, name):
         return name in self._base
 
     def __getitem__(self, name):
-        return self._base[name][self._t]
+        v = self._base[name]
+        if self._num_steps is not None:
+            try:
+                shape = tuple(v.shape)
+            except AttributeError:
+                import numpy as _np
+
+                shape = _np.shape(v)
+            if not shape or int(shape[0]) != self._num_steps:
+                raise RuntimeError(
+                    f"MarkovModel per-step observation {name!r} is read "
+                    f"inside markov_step, so it must have leading "
+                    f"dimension num_steps={self._num_steps} (one row per "
+                    f"step); got shape {shape}.  Pass "
+                    f"observe={{{name!r}: array of shape "
+                    f"[num_steps, ...]}}, or move the observe to "
+                    f"markov_init if it is not per-step."
+                )
+        return v[self._t]
 
     def get(self, name, default=None):
         if name in self._base:
@@ -87,13 +111,13 @@ class _StepObserves:
 
 
 @contextlib.contextmanager
-def _sliced_observes(t):
+def _sliced_observes(t, num_steps=None):
     """Slice row ``t`` of every observed value for the active tier's
     handler while the body runs."""
     handler = state._get_handler()
     if handler is not None:  # compiled tier (vmap tracing)
         base = handler.observed
-        handler.observed = _StepObserves(base, t)
+        handler.observed = _StepObserves(base, t, num_steps)
         try:
             yield
         finally:
@@ -101,7 +125,7 @@ def _sliced_observes(t):
     else:  # interpreter tier
         ctx = state._ctx_local.value
         base = ctx.observed_variables
-        ctx.observed_variables = _StepObserves(base, t)
+        ctx.observed_variables = _StepObserves(base, t, num_steps)
         try:
             yield
         finally:
@@ -135,8 +159,15 @@ class MarkovModel(Model):
 
     # -- derived forward: every non-SMC engine sees a normal model -----
     def forward(self):
+        num_steps = getattr(self, "num_steps", None)
+        if not isinstance(num_steps, int) or num_steps < 1:
+            raise RuntimeError(
+                f"{type(self).__name__}.num_steps must be a positive int "
+                f"(set it as a constructor argument or attribute); got "
+                f"{num_steps!r}"
+            )
         carry = self.markov_init()
-        for t in range(self.num_steps):
-            with _sliced_observes(t):
+        for t in range(num_steps):
+            with _sliced_observes(t, num_steps):
                 carry = self.markov_step(carry, t)
         return self.markov_finalize(carry)

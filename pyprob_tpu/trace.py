@@ -90,7 +90,25 @@ class Variable:
         )
 
     def __eq__(self, other):
-        return hash(self) == hash(other)
+        if not isinstance(other, Variable):
+            return NotImplemented
+        if (
+            (self.address or "") != (other.address or "")
+            or self.control != other.control
+            or self.observed != other.observed
+            or self.tagged != other.tagged
+        ):
+            return False
+        try:
+            a = np.asarray(self.value)
+            b = np.asarray(other.value)
+            return (
+                a.shape == b.shape
+                and a.dtype == b.dtype
+                and bool(np.array_equal(a, b))
+            )
+        except Exception:
+            return str(self.value) == str(other.value)
 
 
 class Trace:
@@ -215,10 +233,18 @@ class Trace:
         return self.length
 
     def __hash__(self):
-        return hash(sum(hash(v) for v in self.variables))
+        # Order-sensitive: hashing the TUPLE of variable hashes (not their
+        # sum) so permutations of the same variable set don't collide —
+        # a collision here would let value-level dedup silently merge two
+        # distinct traces.
+        return hash(tuple(hash(v) for v in self.variables))
 
     def __eq__(self, other):
-        return hash(self) == hash(other)
+        if not isinstance(other, Trace):
+            return NotImplemented
+        if len(self.variables) != len(other.variables):
+            return False
+        return all(a == b for a, b in zip(self.variables, other.variables))
 
     def named_value(self, name):
         """The value(s) recorded under ``name``: the single variable's

@@ -26,7 +26,10 @@ from pyprob_tpu.distributions import (
 
 IS_SAMPLES = 4000
 IC_SAMPLES = 4000
-IC_TRAIN = 25600
+# Reference trains 50,000 traces before asserting the 15% IC ESS floor
+# (reference: tests/test_inference.py:149,178); 51,200 = nearest multiple
+# of the 256 batch size, matching the Marsaglia combos below.
+IC_TRAIN = 51200
 MCMC_SAMPLES = 7000
 
 _scoreboard = []

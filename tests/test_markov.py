@@ -340,3 +340,41 @@ def test_tied_network_save_load_roundtrip(tmp_path):
     assert "guided SMC (scan" in post.name
     fm, _ = m.kalman_filter(ys)
     assert abs(float(post.mean) - fm[-1]) < 0.4
+
+
+def test_markov_shape_mismatch_clear_error():
+    """Error path (VERDICT r2 weak #7): num_steps disagreeing with the
+    observation array's leading dim must raise a clear error naming the
+    offending observe, not an opaque scan/indexing failure."""
+    m, ys, obs = _setup(T=16)
+    short = {k: np.asarray(v)[:10] for k, v in obs.items()}
+    name = next(iter(obs))
+    # scan-SMC path
+    with pytest.raises(RuntimeError, match=name):
+        m.posterior_results(
+            64,
+            observe=short,
+            inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+        )
+    # derived-forward path (every other engine)
+    with pytest.raises(RuntimeError, match=name):
+        m.posterior_results(64, observe=short)
+    # scalar observation where a per-step row is expected
+    with pytest.raises(RuntimeError, match=name):
+        m.posterior_results(
+            64,
+            observe={k: 1.0 for k in obs},
+            inference_engine=InferenceEngine.SEQUENTIAL_MONTE_CARLO,
+        )
+
+
+def test_markov_num_steps_missing_clear_error():
+    class NoSteps(MarkovModel):
+        def markov_init(self):
+            return 0.0
+
+        def markov_step(self, carry, t):
+            return carry
+
+    with pytest.raises(RuntimeError, match="num_steps"):
+        NoSteps().sample()

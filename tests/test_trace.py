@@ -96,3 +96,44 @@ def test_trace_hash_groups_by_structure():
     m = TwoPathModel()
     hashes = {m.sample().trace_hash() for _ in range(50)}
     assert len(hashes) == 2
+
+
+def test_trace_equality_is_not_hash_equality():
+    """Regression (VERDICT r2 weak #6): Trace.__eq__ used to be hash
+    equality with an order-insensitive SUM of variable hashes, so a
+    permutation of the same variable set compared equal and value-level
+    dedup could silently merge distinct traces."""
+    from pyprob_tpu.trace import Trace, Variable
+
+    def var(addr, value):
+        return Variable(
+            value=np.float64(value),
+            address_base=addr,
+            address=addr + "__1",
+            instance=1,
+            log_prob=0.0,
+            control=True,
+        )
+
+    a, b = var("site_a", 1.5), var("site_b", -2.0)
+    t1, t2 = Trace(), Trace()
+    t1.add(var("site_a", 1.5))
+    t1.add(var("site_b", -2.0))
+    t2.add(var("site_b", -2.0))
+    t2.add(var("site_a", 1.5))
+    # Under the old scheme: hash(t1) == hash(t2) (sum commutes) and
+    # __eq__ delegated to the hash -> t1 == t2.  Must be unequal now.
+    assert t1 != t2
+    assert hash(t1) != hash(t2)
+
+    # Identical variable sequences still compare (and hash) equal.
+    t3 = Trace()
+    t3.add(var("site_a", 1.5))
+    t3.add(var("site_b", -2.0))
+    assert t1 == t3
+    assert hash(t1) == hash(t3)
+
+    # Variable equality is content equality, not hash equality.
+    assert var("site_a", 1.5) == var("site_a", 1.5)
+    assert var("site_a", 1.5) != var("site_a", 1.5000001)
+    assert a != b
