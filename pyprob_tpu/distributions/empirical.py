@@ -447,10 +447,22 @@ class Empirical(Distribution):
         for i in range(lo, hi):
             trace = self._get_value(i)
             new_trace = Trace()
+            # A repeated name (a MarkovModel's per-step observe) transports
+            # as ONE stacked [T, ...] array (Trace.named_value semantics):
+            # each occurrence rescoreds against its own row.
+            name_counts = {}
+            for v in trace.variables:
+                if v.observable and v.name is not None:
+                    name_counts[v.name] = name_counts.get(v.name, 0) + 1
+            occ = {}
             for v in trace.variables:
                 if v.observable:
                     if v.name in observe:
                         value, observed = observe[v.name], True
+                        if name_counts.get(v.name, 0) > 1:
+                            k = occ.get(v.name, 0)
+                            occ[v.name] = k + 1
+                            value = np.asarray(value)[k]
                     elif v.observed:
                         value, observed = v.value, True
                     else:

@@ -14,13 +14,17 @@ runs as one device dispatch.
 Results-only callers get an Empirical of ``markov_finalize`` outputs
 with nothing materialized.  Trace callers (``posterior()`` / custom
 ``map_func``) get full Trace objects too, still in O(T) program work:
-the scan additionally stacks each stage's site values/log-probs and the
-per-stage resampling indices as scan outputs ([T, N, ...] — the
-inherent size of a trace-mode answer), and the genealogy is
-reconstructed host-side by walking the ancestor indices backwards
-(O(T N) gathers, no re-execution).  Materialized Variables carry
-value/log_prob/address/name/observed; per-site distribution objects are
-not rebuilt on this path (staged replay keeps them).
+the scan additionally stacks each stage's site values/log-probs AND the
+flattened per-site distribution parameters plus the per-stage resampling
+indices as scan outputs ([T, N, ...] — the inherent size of a
+trace-mode answer), and the genealogy is reconstructed host-side by
+walking the ancestor indices backwards (O(T N) gathers, no
+re-execution).  Materialized Variables carry value/log_prob/address/
+name/observed and a REBUILT per-particle distribution object
+(pytree-unflattened from the stacked parameters), so
+``Empirical.reobserve`` (reference: pyprob/distributions/empirical.py:469-544)
+and distribution-dependent diagnostics work identically on scan and
+staged-replay posteriors.
 
 The reference has no SMC engine at all (its engines:
 reference: pyprob/util.py:49-53); within this repo the staged filter is
@@ -169,6 +173,15 @@ def _build_scan_smc(model, obs_arrays, likelihood_importance,
                 s.address: lp
                 for s, lp in zip(handler.sites, handler.log_probs)
                 if lp is not None
+            },
+            # flattened distribution params (leaf lists are pytrees, so
+            # they ride the scan as stacked [T, N, ...] outputs); the
+            # static treedef lives on the SiteRecord — together they
+            # rebuild per-particle distribution objects on the host
+            "dist_leaves": {
+                s.address: list(leaves)
+                for s, leaves in zip(handler.sites, handler.dist_leaves)
+                if leaves is not None
             },
             "lpt": handler.log_prob_total,
             "lpo": handler.log_prob_observed,
@@ -319,8 +332,9 @@ def _materialize_scan_traces(sites_box, extras_host, results_host,
     genealogy tracing — O(T N) gathers, no re-execution).  Instances are
     renumbered per address base in execution order so addresses match the
     interpreter tier's sequential numbering (same invariant the staged
-    replay keeps).  Per-site distribution objects are not rebuilt on this
-    path (``Variable.distribution=None``)."""
+    replay keeps).  Per-site distribution objects are rebuilt from the
+    stacked parameter leaves + each site's static treedef — the same
+    per-particle distributions the staged-replay path records."""
     from ..trace import Trace, Variable
 
     init_rec, head, idx_hist, rec_hist = extras_host
@@ -368,7 +382,11 @@ def _materialize_scan_traces(sites_box, extras_host, results_host,
     init_lps = {
         a: rows(v, None, B[0]) for a, v in init_rec["log_probs"].items()
     }
-    stage_vals, stage_lps = [], []
+    init_dls = {
+        a: [rows(l, None, B[0]) for l in ls]
+        for a, ls in init_rec.get("dist_leaves", {}).items()
+    }
+    stage_vals, stage_lps, stage_dls = [], [], []
     for t in range(T):
         rec, trow = stage_rec(t)
         stage_vals.append(
@@ -376,6 +394,12 @@ def _materialize_scan_traces(sites_box, extras_host, results_host,
         )
         stage_lps.append(
             {a: rows(v, trow, B[t]) for a, v in rec["log_probs"].items()}
+        )
+        stage_dls.append(
+            {
+                a: [rows(l, trow, B[t]) for l in ls]
+                for a, ls in rec.get("dist_leaves", {}).items()
+            }
         )
 
     result_leaves, result_treedef = jax.tree_util.tree_flatten(
@@ -388,14 +412,20 @@ def _materialize_scan_traces(sites_box, extras_host, results_host,
         tr = Trace()
         counters = {}
 
-        def add_site(s, vals, lps):
+        def add_site(s, vals, lps, dls):
             inst = counters.get(s.address_base, 0) + 1
             counters[s.address_base] = inst
             v = vals.get(s.address)
             lp = lps.get(s.address)
+            ls = dls.get(s.address)
+            dist = None
+            if ls is not None and s.dist_treedef is not None:
+                dist = jax.tree_util.tree_unflatten(
+                    s.dist_treedef, [l[i] for l in ls]
+                )
             tr.add(
                 Variable(
-                    distribution=None,
+                    distribution=dist,
                     value=None if v is None else v[i],
                     address_base=s.address_base,
                     address=s.address_base + "__" + str(inst),
@@ -410,10 +440,10 @@ def _materialize_scan_traces(sites_box, extras_host, results_host,
             )
 
         for s in init_sites:
-            add_site(s, init_vals, init_lps)
+            add_site(s, init_vals, init_lps, init_dls)
         for t in range(T):
             for s in step_sites:
-                add_site(s, stage_vals[t], stage_lps[t])
+                add_site(s, stage_vals[t], stage_lps[t], stage_dls[t])
         tr.end(
             jax.tree_util.tree_unflatten(
                 result_treedef, [l[i] for l in result_leaves]
