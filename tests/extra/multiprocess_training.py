@@ -18,12 +18,14 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 WORKER = r"""
 import os, sys
 pid = int(sys.argv[1])
+port = int(sys.argv[2])
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 sys.path.insert(0, %(repo)r)
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="127.0.0.1:39215", num_processes=2, process_id=pid
+    coordinator_address="127.0.0.1:%%d" %% port, num_processes=2,
+    process_id=pid,
 )
 import numpy as np
 import pyprob_tpu as pp
@@ -65,10 +67,23 @@ if pid == 0:
 """ % {"repo": REPO}
 
 
-def main():
+def _free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def main(timeout=600):
+    """Run the 2-rank training; returns (checksums, rank0 output).
+    Raises on worker failure or rank divergence.  Called by
+    tests/test_multiprocess_training.py (default suite) and as a manual
+    script."""
+    port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(i)],
+            [sys.executable, "-c", WORKER, str(i), str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -76,12 +91,19 @@ def main():
         for i in range(2)
     ]
     outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outputs.append(out)
-        print(out.strip())
-        if p.returncode != 0:
-            raise SystemExit(f"worker failed (exit {p.returncode})")
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outputs.append(out)
+            print(out.strip())
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker failed (exit {p.returncode}):\n{out}"
+                )
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     checksums = []
     for out in outputs:
         for line in out.splitlines():
@@ -91,6 +113,7 @@ def main():
         f"ranks diverged: {checksums}"
     )
     print("multiprocess DP training OK: ranks in sync, posterior correct")
+    return checksums, outputs[0]
 
 
 if __name__ == "__main__":
