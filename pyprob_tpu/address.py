@@ -40,7 +40,10 @@ _INTERNAL_MARKERS = (
 _USER_MARKERS = ("pyprob_tpu/models",)
 
 
+@lru_cache(maxsize=4096)
 def _is_internal_frame(filename):
+    # cached per filename: the substring scans run for every frame of
+    # every site of every trace on the interpreter tier
     filename = filename or ""
     if any(m in filename for m in _USER_MARKERS):
         return False

@@ -43,6 +43,24 @@ class Normal(Distribution):
         return self._loc + self._scale * eps
 
     def log_prob(self, value, sum=False):
+        # scalar host fast path: per-site log-pdfs run once per trace on
+        # the interpreter tier, where the generic backend path's ~8 numpy
+        # dispatches cost ~30us vs ~2us here
+        loc, scale = self._loc, self._scale
+        if (
+            isinstance(loc, np.ndarray)
+            and loc.ndim == 0
+            and isinstance(scale, np.ndarray)
+            and scale.ndim == 0
+            and (
+                type(value) is float
+                or (isinstance(value, np.ndarray) and value.ndim == 0)
+            )
+        ):
+            z = (float(value) - float(loc)) / float(scale)
+            return np.float64(
+                -0.5 * z * z - math.log(float(scale)) - _LOG_SQRT_2PI
+            )
         B = backend.of(value, self._loc, self._scale)
         value = B.asarray(value, util.dtype())
         z = (value - self._loc) / self._scale

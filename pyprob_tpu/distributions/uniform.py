@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 
@@ -37,6 +39,22 @@ class Uniform(Distribution):
         return self._low + u * (self._high - self._low)
 
     def log_prob(self, value, sum=False):
+        # scalar host fast path (interpreter-tier per-site hot spot)
+        low, high = self._low, self._high
+        if (
+            isinstance(low, np.ndarray)
+            and low.ndim == 0
+            and isinstance(high, np.ndarray)
+            and high.ndim == 0
+            and (
+                type(value) is float
+                or (isinstance(value, np.ndarray) and value.ndim == 0)
+            )
+        ):
+            v, lo, hi = float(value), float(low), float(high)
+            if lo <= v <= hi:
+                return np.float64(-math.log(hi - lo))
+            return np.float64(-np.inf)
         B = backend.of(value, self._low, self._high)
         value = B.asarray(value, util.dtype())
         inside = (value >= self._low) & (value <= self._high)

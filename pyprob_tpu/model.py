@@ -267,6 +267,7 @@ class Model:
         svgd_particles=None,
         map_steps=None,
         num_starts=None,
+        lockstep=None,
         *args,
         **kwargs,
     ):
@@ -424,18 +425,62 @@ class Model:
                     "No inference network available. Use learn_inference_network "
                     "or load_inference_network first."
                 )
-            posterior = self._traces(
-                num_traces=num_traces,
-                trace_mode=TraceMode.POSTERIOR,
-                inference_engine=inference_engine,
-                inference_network=self._inference_network,
-                map_func=map_func,
-                observe=observe,
-                file_name=file_name,
-                likelihood_importance=likelihood_importance,
-                *args,
-                **kwargs,
+            # interpreter-tier guided IS defaults to the lockstep thread
+            # pool: K particles in flight, one batched network dispatch
+            # per (site, structure) bucket instead of one per particle —
+            # the local analogue of LockstepRemoteModel
+            # (pyprob_tpu.interpreter_lockstep).  lockstep=False forces
+            # the sequential reference-style loop; an int sets the pool
+            # size.  Subclasses whose forward is not thread-safe
+            # (RemoteModel sockets, ConditionalModel wrappers) opt out
+            # via _local_lockstep_ok.
+            use_lockstep = (
+                lockstep is not False
+                and getattr(self, "_local_lockstep_ok", True)
+                and num_traces >= 8
+                # duck-typed stand-in networks (tests, user experiments)
+                # lack the param tables the batched step gathers from —
+                # they keep the sequential per-site path
+                and hasattr(self._inference_network, "_params")
+                and hasattr(
+                    self._inference_network, "_embed_observe_pure"
+                )
             )
+            if use_lockstep:
+                from .interpreter_lockstep import (
+                    lockstep_interpreter_traces,
+                )
+
+                posterior = lockstep_interpreter_traces(
+                    self,
+                    num_traces=num_traces,
+                    inference_network=self._inference_network,
+                    observe=observe,
+                    map_func=map_func,
+                    file_name=file_name,
+                    likelihood_importance=likelihood_importance,
+                    num_workers=(
+                        lockstep
+                        if isinstance(lockstep, int)
+                        and not isinstance(lockstep, bool)
+                        else None
+                    ),
+                    args=args,
+                    kwargs=kwargs,
+                )
+            else:
+                posterior = self._traces(
+                    num_traces=num_traces,
+                    trace_mode=TraceMode.POSTERIOR,
+                    inference_engine=inference_engine,
+                    inference_network=self._inference_network,
+                    map_func=map_func,
+                    observe=observe,
+                    file_name=file_name,
+                    likelihood_importance=likelihood_importance,
+                    *args,
+                    **kwargs,
+                )
             posterior.rename(
                 f"Posterior, IC, traces: {posterior.length:,}, "
                 f"train. traces: {self._inference_network._total_train_traces:,}, "
@@ -875,6 +920,9 @@ class RemoteModel(Model):
     ZMQ REQ/REP exchange mid-protocol and desynchronize the simulator."""
 
     _never_vectorize = True
+    # one socket, strictly sequential protocol: the local lockstep thread
+    # pool cannot run this forward concurrently (use LockstepRemoteModel)
+    _local_lockstep_ok = False
 
     def __init__(
         self,
@@ -933,6 +981,7 @@ class RemoteModelPool(Model):
     """
 
     _never_vectorize = True
+    _local_lockstep_ok = False  # owns its own per-connection threading
 
     def __init__(self, server_addresses, timeout_sec=None, *args, **kwargs):
         self._server_addresses = list(server_addresses)
@@ -1019,6 +1068,7 @@ class ConditionalModel(Model):
     criterion consumes whole host-side traces)."""
 
     _never_vectorize = True
+    _local_lockstep_ok = False  # wraps the base model's trace generator
 
     def __init__(self, base_model, criterion, criterion_timeout=1e6):
         self._base_model = base_model
@@ -1051,6 +1101,18 @@ class ConditionalModel(Model):
                 yield trace
 
 
+def _parallel_worker_init():
+    """Pool initializer (runs in the spawned child BEFORE any task
+    unpickles): pin the jax backend to host CPU so K children never
+    contend for a remote accelerator over its tunnel."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+
 class _ParallelModelWorker:
     def __init__(self, model, kwargs):
         self._model = model
@@ -1058,10 +1120,47 @@ class _ParallelModelWorker:
 
     def run(self, args):
         seed, num_traces, file_name = args
+        # spawned child: force the CPU backend before first jax use (the
+        # parent may hold the chip; K children contending for it over the
+        # tunnel would serialize, and the interpreter tier's batched
+        # steps are latency-bound host work)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (in-process pool reuse)
         util.seed(seed)
         kwargs = dict(self._kwargs)
         kwargs.update(file_name=file_name, num_traces=num_traces, silent=True)
-        traces = self._model._traces(**kwargs)
+        net = kwargs.get("inference_network")
+        if net is not None and getattr(net, "_model", None) is None:
+            net._model = self._model  # back-reference dropped by pickling
+        if (
+            net is not None
+            and kwargs.get("inference_engine")
+            == InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+            and getattr(self._model, "_local_lockstep_ok", True)
+        ):
+            # guided IC: run the thread-lockstep pool inside this process
+            # (one batched network dispatch per site round) — processes
+            # multiply what a single GIL can do
+            from .interpreter_lockstep import lockstep_interpreter_traces
+
+            traces = lockstep_interpreter_traces(
+                self._model,
+                num_traces=num_traces,
+                inference_network=net,
+                observe=kwargs.get("observe"),
+                map_func=kwargs.get("map_func"),
+                file_name=file_name,
+                likelihood_importance=kwargs.get(
+                    "likelihood_importance", 1.0
+                ),
+                silent=True,
+            )
+        else:
+            traces = self._model._traces(**kwargs)
         log_weights = traces.log_weights_numpy()
         traces.close()
         return log_weights
@@ -1076,6 +1175,10 @@ class ParallelModel(Model):
     models that cannot be vectorized.
     """
 
+    # processes are this class's parallelism; the thread-lockstep runs
+    # INSIDE each worker process for IC (see _ParallelModelWorker.run)
+    _local_lockstep_ok = False
+
     def __init__(self, base_model, num_workers=None):
         self._base_model = base_model
         self._num_workers = num_workers or multiprocessing.cpu_count()
@@ -1083,6 +1186,20 @@ class ParallelModel(Model):
 
     def __repr__(self):
         return f"ParallelModel({self._base_model})"
+
+    @property
+    def _inference_network(self):
+        # the trained proposal network lives on the base model; sharing it
+        # lets posterior(..., IC) fan guided traces across the pool (the
+        # reference's ParallelModel cannot run IC at all)
+        return self._base_model._inference_network
+
+    @_inference_network.setter
+    def _inference_network(self, v):
+        # Model.__init__ assigns None before meaning it; the network
+        # lives on the base model, so only real assignments pass through
+        if v is not None:
+            self._base_model._inference_network = v
 
     def posterior(
         self,
@@ -1134,7 +1251,9 @@ class ParallelModel(Model):
         # spawn (not fork): a forked child of a JAX-initialized process is
         # unsafe even if the child only uses the host numpy path.
         ctx = multiprocessing.get_context("spawn")
-        with ctx.Pool(self._num_workers) as pool:
+        with ctx.Pool(
+            self._num_workers, initializer=_parallel_worker_init
+        ) as pool:
             worker = _ParallelModelWorker(self._base_model, kwargs)
             for j, lw in enumerate(pool.imap(worker.run, chunks)):
                 chunk_len = chunks[j][1]

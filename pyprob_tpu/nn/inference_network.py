@@ -130,6 +130,57 @@ class InferenceNetwork:
         self._base_optimizer = None
         self._dp_mesh = None  # jax Mesh for data-parallel training
 
+    # -- pickling (ParallelModel ships the trained network to spawned
+    # -- worker processes): drop thread-locals / jit caches / mesh
+    # -- handles, recreate them empty on load
+    _UNPICKLABLE = (
+        "_infer_tls",
+        "_loss_grad_cache",
+        "_loss_cache",
+        "_update_fn",
+        "_base_optimizer",
+        "_dp_mesh",
+        "_infer_step_jit",
+        "_lockstep_jit_cache",
+        "_lockstep_local_jit",
+        "_infer_emb_cache",
+        "_fused_step_cache",
+        "_update_fn_raw",
+        # the back-reference to the owning model (training-time dataset
+        # plumbing) would recurse; the unpickling side re-links it
+        "_model",
+    )
+
+    def __getstate__(self):
+        state = {
+            k: v
+            for k, v in self.__dict__.items()
+            if k not in self._UNPICKLABLE
+        }
+        import jax
+
+        # device arrays -> host numpy so the pickle is backend-agnostic
+        # (unpickling a jax.Array in a spawned child would initialize
+        # whatever backend that process resolves — possibly a remote TPU)
+        to_np = lambda x: np.asarray(x) if hasattr(x, "shape") else x
+        for k in ("_params", "_opt_state"):
+            if state.get(k) is not None:
+                state[k] = jax.tree_util.tree_map(to_np, state[k])
+        return state
+
+    def __setstate__(self, state):
+        import threading as _threading
+
+        self.__dict__.update(state)
+        self._infer_tls = _threading.local()
+        self._loss_grad_cache = {}
+        self._loss_cache = {}
+        self._update_fn = None
+        self._update_fn_raw = None
+        self._base_optimizer = None
+        self._dp_mesh = None
+        self._model = None  # re-linked by the unpickling owner if needed
+
     # ------------------------------------------------------------------
     # observe embeddings (reference: inference_network.py:80-148)
     # ------------------------------------------------------------------

@@ -280,6 +280,9 @@ class LockstepRemoteModel(Model):
     (as the reference's ParallelModel also refuses, model.py:332-333)."""
 
     _never_vectorize = True
+    # this class IS a lockstep pool (over ZMQ simulators); the local
+    # thread-lockstep path must not intercept its posterior calls
+    _local_lockstep_ok = False
 
     def __init__(self, server_addresses, timeout_sec=None, *args, **kwargs):
         self._server_addresses = list(server_addresses)

@@ -410,8 +410,20 @@ def sample(distribution, name=None, address=None, control=True, mask=None):
                         tuple(distribution.batch_shape)
                         + tuple(getattr(distribution, "event_shape", ()))
                     )
-                    log_prob = distribution.log_prob(value, sum=True)
-                    proposal_log_prob = proposal.log_prob(value, sum=True)
+                    # lockstep proposals precompute BOTH log-pdfs of the
+                    # sampled value in the same batched device step
+                    # (pyprob_tpu.interpreter_lockstep._ProposalShim);
+                    # host per-site numpy log-pdfs are the interpreter
+                    # tier's hot spot
+                    pre = getattr(proposal, "pair_of", None)
+                    pair = pre(value) if pre is not None else None
+                    if pair is not None:
+                        log_prob, proposal_log_prob = pair
+                    else:
+                        log_prob = distribution.log_prob(value, sum=True)
+                        proposal_log_prob = proposal.log_prob(
+                            value, sum=True
+                        )
                 if util.has_nan_or_inf(log_prob):
                     warnings.warn(
                         f"Prior log_prob has NaN/inf. dist: {distribution} value: {value}"

@@ -248,11 +248,20 @@ def to_scalar(value):
 
 
 def has_nan_or_inf(value):
+    # scalar fast path: this guard runs per site per trace on the
+    # interpreter tier, and np.asarray+isnan+isinf costs ~16us vs <1us
+    if type(value) is float:
+        return value != value or value == math.inf or value == -math.inf
     a = np.asarray(value, dtype=np.float64)
     return bool(np.isnan(a).any() or np.isinf(a).any())
 
 
 def safe_log(value):
+    if type(value) is float or np.ndim(value) == 0:
+        v = float(value)
+        if v > 0.0:
+            return np.float64(math.log(v))
+        return np.float64(-math.inf) if v == 0.0 else np.float64(math.nan)
     ns = np.asarray(value, dtype=np.float64)
     with np.errstate(divide="ignore"):
         return np.log(ns)

@@ -1,0 +1,98 @@
+"""Measure the reference pyprob (torch, CPU) at an explicit architecture.
+
+Arch-matched baselines (VERDICT r2 weak #1): the guided-IS/training
+baseline must be measured at the SAME proposal-network architecture the
+TPU bench runs — both at LSTM-128/batch-256 (our bench default) and at
+the reference's own LSTM-512/batch-512 default
+(reference: pyprob/nn/inference_network_lstm.py:11-33,
+reference: pyprob/model.py:186).  Embedding spec is identical on both
+sides ({'dim': 16} feedforward observe embeddings, default depth).
+
+Usage:
+    python tests/extra/reference_baseline.py [lstm_dim] [batch] [train_traces]
+
+Prints one JSON line:
+    {"arch": "lstm<D>/batch<B>", "train_traces_per_s": ...,
+     "guided_is_traces_per_s": ..., "ess_fraction": ...,
+     "posterior_mean": ...}
+"""
+
+import json
+import math
+import sys
+import time
+import types
+
+# the image lacks sqlitedict/pyzmq; the measured paths never touch them
+sys.modules.setdefault("sqlitedict", types.ModuleType("sqlitedict"))
+sys.modules["sqlitedict"].SqliteDict = dict
+_zmq = types.ModuleType("zmq")
+_zmq.Context = object
+_zmq.REQ = 3
+sys.modules.setdefault("zmq", _zmq)
+sys.path.insert(0, "/root/reference")
+
+import torch
+
+torch.set_num_threads(8)
+
+import pyprob
+from pyprob import InferenceEngine, InferenceNetwork
+from pyprob.distributions import Normal
+
+
+class GUM(pyprob.Model):
+    def forward(self):
+        mu = pyprob.sample(Normal(1.0, math.sqrt(5.0)))
+        likelihood = Normal(mu, math.sqrt(2.0))
+        pyprob.observe(likelihood, name="obs0")
+        pyprob.observe(likelihood, name="obs1")
+        return mu
+
+
+def main(lstm_dim=512, batch_size=512, train_traces=5120,
+         posterior_traces=2000):
+    pyprob.set_verbosity(0)
+    pyprob.seed(123)
+    model = GUM()
+    observe = {"obs0": 8, "obs1": 9}
+
+    t0 = time.time()
+    model.learn_inference_network(
+        num_traces=train_traces,
+        observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
+        inference_network=InferenceNetwork.LSTM,
+        batch_size=batch_size,
+        learning_rate_init=0.01,
+        lstm_dim=lstm_dim,
+    )
+    train_s = train_traces / (time.time() - t0)
+
+    t0 = time.time()
+    post = model.posterior_results(
+        num_traces=posterior_traces,
+        observe=observe,
+        inference_engine=(
+            InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        ),
+    )
+    is_s = posterior_traces / (time.time() - t0)
+    ess = float(post.effective_sample_size) / posterior_traces
+    print(
+        json.dumps(
+            {
+                "arch": f"lstm{lstm_dim}/batch{batch_size}",
+                "train_traces": train_traces,
+                "train_traces_per_s": round(train_s, 1),
+                "guided_is_traces_per_s": round(is_s, 1),
+                "ess_fraction": round(ess, 3),
+                "posterior_mean": round(float(post.mean), 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
