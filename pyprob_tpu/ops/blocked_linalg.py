@@ -91,6 +91,59 @@ def _chol_unrolled(a):
     return jnp.stack(rows, axis=-2)
 
 
+def _chol_inv_unrolled_T(a):
+    """Joint (L, inv L) of ``a`` [..., m, m], m <= _UNROLL, with the
+    scalar chain run in TRANSPOSED layout.
+
+    The B-major layout pays a TPU relayout for every ``a[..., i, j]``
+    gather and every result stack: a [B, m, m] array is tiled with the
+    tiny m on the 128-wide lane axis (16x padding at m=8), so each of
+    the ~136 chain ops shuffles sublanes/lanes.  One transpose in and
+    one per output move the batch onto lanes ([m, m, B]); every scalar
+    of the chain is then a dense [B] lane row, and the chip A/B measures
+    the pair ~1.6x faster including the transposes (BASELINE.md r3)."""
+    m = a.shape[-1]
+    bshape = a.shape[:-2]
+    # [..., m, m] -> [m, m, ...flat batch]
+    aT = jnp.reshape(
+        jnp.moveaxis(a, (-2, -1), (0, 1)), (m, m, -1)
+    )
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        d = jnp.sqrt(
+            aT[j, j] - sum(L[j][k] * L[j][k] for k in range(j))
+        )
+        L[j][j] = d
+        for i in range(j + 1, m):
+            s = aT[i, j] - sum(L[i][k] * L[j][k] for k in range(j))
+            L[i][j] = s / d
+    inv_d = [1.0 / L[i][i] for i in range(m)]
+    M = [[None] * m for _ in range(m)]
+    for j in range(m):
+        for i in range(j, m):
+            if i == j:
+                M[i][j] = inv_d[i]
+            else:
+                s = sum(L[i][k] * M[k][j] for k in range(j, i))
+                M[i][j] = -s * inv_d[i]
+    zero = jnp.zeros_like(aT[0, 0])
+
+    def _back(T):
+        flat = jnp.stack(
+            [
+                jnp.stack(
+                    [T[i][j] if j <= i else zero for j in range(m)]
+                )
+                for i in range(m)
+            ]
+        )  # [m, m, B]
+        return jnp.reshape(
+            jnp.moveaxis(flat, (0, 1), (-2, -1)), bshape + (m, m)
+        )
+
+    return _back(L), _back(M)
+
+
 def _tri_inv_unrolled(l):
     """Inverse of lower-triangular ``l`` [..., m, m] for m <= _UNROLL,
     scalar-unrolled forward substitution (same layout rationale as
@@ -158,8 +211,7 @@ def chol_inv_lower(a, precision=lax.Precision.HIGHEST):
     lane-padded masked column loop is never touched)."""
     n = a.shape[-1]
     if n <= _UNROLL:
-        l = _chol_unrolled(a)
-        return l, _tri_inv_unrolled(l)
+        return _chol_inv_unrolled_T(a)
     h = _split(n)
     l11, m11 = chol_inv_lower(a[..., :h, :h], precision)
     l21 = _mm(a[..., h:, :h], _mT(m11), precision)
@@ -174,11 +226,10 @@ def chol_inv_lower(a, precision=lax.Precision.HIGHEST):
 
 
 def blocked_cholesky(a, base=_BASE, precision=lax.Precision.HIGHEST):
-    """Lower-Cholesky of a batched SPD matrix ``a`` [..., N, N] — the
-    factor half of :func:`chol_inv_lower` (``base`` kept for API
-    stability; the recursion always bottoms out on scalar-unrolled
-    [<=8,<=8] leaves)."""
-    return chol_inv_lower(a, precision)[0]
+    """Lower-Cholesky of a batched SPD matrix ``a`` [..., N, N] — routed
+    to the v3 iterative panel path (chip table, BASELINE.md r3; ``base``
+    kept for API stability)."""
+    return panel_cholesky(a, precision=precision)
 
 
 def solve_right_lower_t(b, l, base=_BASE, precision=lax.Precision.HIGHEST):
@@ -215,15 +266,133 @@ def solve_lower_vec(l, b, base=_BASE, precision=lax.Precision.HIGHEST):
     return jnp.concatenate([z1, z2], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# v3: ITERATIVE panel factorization (round-3 MXU push).
+#
+# The recursive chol_inv_lower pays two costs the flops meter never sees:
+# (1) it materializes the FULL inverse factor (the top-level
+#     m21 = -m22 @ (l21 @ m11) is another ~N^3/3 of GEMM work the quad
+#     path then uses only as a GEMV), and
+# (2) every recursion level reassembles [B, N, N] blocks with
+#     concatenates (log2(N/8) full-matrix copies of HBM traffic).
+#
+# The panel formulation is the classic right-looking blocked algorithm:
+# fixed panel width P, per panel one small recursive chol_inv on the
+# [P, P] diagonal tile, one [B, rest, P] panel-solve GEMM against
+# inv(Lkk), and one rank-P trailing update GEMM — which is where ~all of
+# the N^3/3 FLOPs land, in MXU-shaped [B, m, P] @ [B, P, m] products.
+# Nothing is assembled unless the caller wants L itself (one concat at
+# the end), and the MVN quad/logdet path never assembles at all: the
+# solve forward-substitutes panel by panel reusing the [P, P] inverses.
+# ---------------------------------------------------------------------------
+
+_PANEL = 64
+
+
+def chol_panels(a, panel=_PANEL, precision=lax.Precision.HIGHEST):
+    """Panel factorization of batched SPD ``a`` [..., N, N].
+
+    Returns ``(strips, minvs)``: ``strips[k]`` holds columns
+    ``[k*P, (k+1)*P)`` of L from the diagonal down
+    ([..., N - k*P, <=P]), ``minvs[k]`` the inverse of the [<=P, <=P]
+    diagonal tile (reused by the panel solves and by
+    :func:`solve_lower_vec_panels`)."""
+    n = a.shape[-1]
+    S = a
+    strips, minvs = [], []
+    for k0 in range(0, n, panel):
+        p = min(panel, n - k0)
+        lkk, mkk = chol_inv_lower(S[..., :p, :p], precision)
+        if S.shape[-1] > p:
+            l21 = _mm(S[..., p:, :p], _mT(mkk), precision)
+            S = S[..., p:, p:] - _mm(l21, _mT(l21), precision)
+            strips.append(jnp.concatenate([lkk, l21], axis=-2))
+        else:
+            strips.append(lkk)
+        minvs.append(mkk)
+    return strips, minvs
+
+
+def assemble_panels(strips, shape, dtype, panel=_PANEL):
+    """Stitch panel strips into the full lower-triangular L [..., N, N]
+    (the only full-matrix assembly in the v3 path)."""
+    n = shape[-1]
+    cols = []
+    k0 = 0
+    for strip in strips:
+        if k0:
+            pad = jnp.zeros(shape[:-2] + (k0, strip.shape[-1]), dtype)
+            strip = jnp.concatenate([pad, strip], axis=-2)
+        cols.append(strip)
+        k0 += strip.shape[-1]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _panel_for(n):
+    """Measured-best panel width per event size (chip table, BASELINE.md
+    r3): P=128 wins at N>=512 (fewer, larger trailing GEMMs), P=64 at
+    the GP family's N=256."""
+    return 128 if n >= 512 else _PANEL
+
+
+def panel_cholesky(a, panel=None, precision=lax.Precision.HIGHEST):
+    """Lower-Cholesky via the iterative panel path (v3)."""
+    if panel is None:
+        panel = _panel_for(a.shape[-1])
+    strips, _ = chol_panels(a, panel, precision)
+    return assemble_panels(strips, a.shape, a.dtype, panel)
+
+
+def solve_lower_vec_panels(strips, minvs, b,
+                           precision=lax.Precision.HIGHEST):
+    """Solve ``L z = b`` (single rhs [..., N]) from panel strips: per
+    panel one [P, P] GEMV against the stored inverse + one rank-P
+    residual update — no triangular-solve expander anywhere."""
+    zs = []
+    r = b
+    for strip, mkk in zip(strips, minvs):
+        p = mkk.shape[-1]
+        zk = _mm(mkk, r[..., :p, None], precision)[..., 0]
+        zs.append(zk)
+        if r.shape[-1] > p:
+            r = (
+                r[..., p:]
+                - _mm(strip[..., p:, :], zk[..., None], precision)[..., 0]
+            )
+        else:
+            r = r[..., :0]
+    return jnp.concatenate(zs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("panel",))
+def mvn_quad_logdet_panels(cov, diff, panel=None):
+    """Batched ``(quad, half_logdet)`` via the v3 panel path: the
+    factorization's trailing updates carry ~all the FLOPs as rank-P MXU
+    GEMMs, the solve reuses the per-panel diagonal inverses, and L is
+    never assembled."""
+    if panel is None:
+        panel = _panel_for(cov.shape[-1])
+    strips, minvs = chol_panels(cov, panel)
+    z = solve_lower_vec_panels(strips, minvs, diff)
+    quad = jnp.sum(z * z, axis=-1)
+    half_logdet = sum(
+        jnp.sum(
+            jnp.log(
+                jnp.diagonal(
+                    s[..., : m.shape[-1], :], axis1=-2, axis2=-1
+                )
+            ),
+            axis=-1,
+        )
+        for s, m in zip(strips, minvs)
+    )
+    return quad, half_logdet
+
+
 @functools.partial(jax.jit, static_argnames=("base",))
 def mvn_quad_logdet_blocked(cov, diff, base=_BASE):
     """Batched ``(quad, half_logdet)`` = ``(diff^T K^-1 diff,
-    0.5 log|K|)`` via the blocked factorization — same contract as
-    ops.mvn_logpdf.mvn_quad_logdet, stock-XLA-composable."""
-    l, m = chol_inv_lower(cov)
-    z = _mm(m, diff[..., None], lax.Precision.HIGHEST)[..., 0]
-    quad = jnp.sum(z * z, axis=-1)
-    half_logdet = jnp.sum(
-        jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1
-    )
-    return quad, half_logdet
+    0.5 log|K|)`` — same contract as ops.mvn_logpdf.mvn_quad_logdet,
+    stock-XLA-composable.  Routed to the v3 panel path (chip study in
+    BASELINE.md r3); ``base`` kept for API stability."""
+    return mvn_quad_logdet_panels(cov, diff)

@@ -131,6 +131,47 @@ def main():
                     f"  maxrelerr {err:.2e}",
                     flush=True,
                 )
+        panels = tuple(
+            int(x) for x in os.environ.get("PANELS", "64,128").split(",")
+        )
+        from pyprob_tpu.ops.blocked_linalg import (
+            chol_panels,
+            solve_lower_vec_panels,
+        )
+
+        for panel in panels:
+            for prec_name in prec_names:
+                prec = precs[prec_name]
+
+                def panel_fn(c, d, panel=panel, prec=prec):
+                    strips, minvs = chol_panels(c, panel, prec)
+                    z = solve_lower_vec_panels(strips, minvs, d, prec)
+                    hld = sum(
+                        jnp.sum(
+                            jnp.log(
+                                jnp.diagonal(
+                                    s[..., : m.shape[-1], :],
+                                    axis1=-2,
+                                    axis2=-1,
+                                )
+                            ),
+                            -1,
+                        )
+                        for s, m in zip(strips, minvs)
+                    )
+                    return jnp.sum(jnp.square(z), -1), hld
+
+                dt, out = _time(jax.jit(panel_fn), cov, diff)
+                err = max(
+                    float(np.max(np.abs(g - r) / (np.abs(r) + 1.0)))
+                    for g, r in zip(out, ref_out)
+                )
+                print(
+                    f"    panels P={panel:3d} {prec_name:8s}:"
+                    f" {dt*1e3:8.1f} ms  {flops/dt/1e9:8.1f} GFLOP/s"
+                    f"  maxrelerr {err:.2e}",
+                    flush=True,
+                )
         if supported_backend() and os.environ.get("PALLAS", "0") == "1":
             dt, out = _time(lambda c, d: mvn_quad_logdet(c, d), cov, diff)
             err = max(
