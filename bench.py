@@ -38,7 +38,7 @@ NUM_TRAIN_MEASURE_TRACES = 51200
 NUM_POSTERIOR_TRACES = 1000000
 
 
-def _bench_arch(pp, lstm_dim, batch_size, num_is_runs):
+def _bench_arch(pp, lstm_dim, batch_size, num_is_runs, learning_rate):
     from pyprob_tpu.distributions import Normal
 
     class GUM(pp.Model):
@@ -55,7 +55,7 @@ def _bench_arch(pp, lstm_dim, batch_size, num_is_runs):
         observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
         inference_network=pp.InferenceNetwork.LSTM,
         batch_size=batch_size,
-        learning_rate_init=0.01,
+        learning_rate_init=learning_rate,
         lstm_dim=lstm_dim,
     )
     t0 = time.time()
@@ -110,14 +110,24 @@ def main():
     # chip): at these layer sizes the guided-IS step is VPU/memory-bound and
     # the casts cost more than the MXU saves — stay f32 (BASELINE.md)
 
-    r128 = _bench_arch(pp, lstm_dim=128, batch_size=256, num_is_runs=6)
-    r512 = _bench_arch(pp, lstm_dim=512, batch_size=512, num_is_runs=3)
+    # lr per arch: 0.01 at 512d trained to ESS 0.78 (below the ref's
+    # 0.851 at equal budget); the chip lr sweep measured 0.005 -> 0.890
+    # and 0.0025 -> 0.991 at the same 64k-trace budget (BASELINE.md r3)
+    r128 = _bench_arch(
+        pp, lstm_dim=128, batch_size=256, num_is_runs=6,
+        learning_rate=0.01,
+    )
+    r512 = _bench_arch(
+        pp, lstm_dim=512, batch_size=512, num_is_runs=3,
+        learning_rate=0.005,
+    )
 
     ok = (
         abs(r128["mean"] - 7.25) < 0.5
         and abs(r128["stddev"] - math.sqrt(1 / 1.2)) < 0.5
         and r128["ess_fraction"] >= REF[128]["ess"]
         and abs(r512["mean"] - 7.25) < 0.5
+        and r512["ess_fraction"] >= REF[512]["ess"]
     )
     metric = (
         "GUM IC guided-IS traces/s (1 chip, arch-matched: "

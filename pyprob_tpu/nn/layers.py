@@ -84,6 +84,14 @@ def _dot(x, w):
 
 
 def linear_apply(params, x):
+    # single-row inputs avoid the degenerate batched dot (see _row_dot)
+    if x.ndim >= 2 and x.shape[-2] == 1:
+        return (
+            jnp.sum(x[..., 0, :, None] * params["w"], axis=-2)[
+                ..., None, :
+            ]
+            + params["b"]
+        )
     return _dot(x, params["w"]) + params["b"]
 
 
@@ -169,12 +177,22 @@ def lstm_init(key, input_dim, hidden_dim, depth=1):
     return {"layers": layers, "meta": Static({"hidden_dim": hidden_dim, "depth": depth})}
 
 
+def _row_dot(x, w):
+    """``x @ w`` for single-row ``x`` [..., 1, in] as broadcast-multiply
+    + reduce: the vmapped degenerate one-row matmul SIGILLs the TPU
+    compiler (libtpu crash, bisected on chip — BASELINE.md r3 guided
+    scan-SMC study).  Real batches keep the MXU dot."""
+    if x.ndim >= 2 and x.shape[-2] == 1:
+        return jnp.sum(x[..., 0, :, None] * w, axis=-2)[..., None, :]
+    return _dot(x, w)
+
+
 def lstm_cell(layer, x, h, c):
     """One fused LSTM cell step; gates in torch order (i, f, g, o)."""
     gates = (
-        _dot(x, layer["w_ih"])
+        _row_dot(x, layer["w_ih"])
         + layer["b_ih"]
-        + _dot(h, layer["w_hh"])
+        + _row_dot(h, layer["w_hh"])
         + layer["b_hh"]
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
