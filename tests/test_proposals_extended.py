@@ -303,9 +303,12 @@ def test_dirichlet_head_residual_identity():
 def test_ic_training_mvn_latent(network):
     pp.seed(7)
     m = _MVNLatentModel()
-    base = m.posterior_results(1024, observe={"obs": 4.0}, vectorized=True)
+    # 4096 draws: at 1,024 the ESS-ratio estimate on this far-tail
+    # posterior is noisy enough that fp-equivalent kernel rewrites
+    # (e.g. the r3 one-row-matmul lowering) flip the 3x floor
+    base = m.posterior_results(4096, observe={"obs": 4.0}, vectorized=True)
     m.learn_inference_network(
-        num_traces=4096,
+        num_traces=8192,
         observe_embeddings={"obs": {"dim": 16}},
         inference_network=getattr(pp.InferenceNetwork, network),
         batch_size=256,
@@ -314,8 +317,9 @@ def test_ic_training_mvn_latent(network):
     # exact posterior: mean 2*obs/(2+0.04)/2 per coordinate
     target = 4.0 * 2 / 2.04 / 2
     for vectorized in (False, True):
+        n = 1024 if not vectorized else 4096
         post = m.posterior_results(
-            1024,
+            n,
             observe={"obs": 4.0},
             vectorized=vectorized,
             inference_engine=(
@@ -326,7 +330,10 @@ def test_ic_training_mvn_latent(network):
         np.testing.assert_allclose(mean, [target, target], atol=0.3)
         # the trained full-covariance head must clearly beat prior
         # proposals on this far-tail, strongly-correlated posterior
-        assert post.effective_sample_size > 3 * base.effective_sample_size
+        assert (
+            post.effective_sample_size / n
+            > 3 * base.effective_sample_size / 4096
+        )
 
 
 @pytest.mark.parametrize("network", ["FEEDFORWARD", "LSTM"])
