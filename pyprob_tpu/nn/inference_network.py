@@ -146,6 +146,9 @@ class InferenceNetwork:
         "_infer_emb_cache",
         "_fused_step_cache",
         "_update_fn_raw",
+        # gather-loss registry holds jax treedefs (unpicklable); rebuilt
+        # lazily from params on first use
+        "_gather_reg",
         # the back-reference to the owning model (training-time dataset
         # plumbing) would recurse; the unpickling side re-links it
         "_model",
@@ -672,13 +675,21 @@ class InferenceNetwork:
         if sub_grads is None:
             return None
 
+        def zeros(v):
+            # host numpy zeros: a dispatched jnp.zeros_like per missing
+            # leaf costs ~0.3 ms each on the CPU backend; the jitted
+            # update transfers either kind identically
+            return jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), x.dtype), v
+            )
+
         def expand(full, sub):
             if isinstance(full, dict):
                 return {
                     k: (
                         expand(v, sub[k])
                         if isinstance(sub, dict) and k in sub
-                        else jax.tree_util.tree_map(jnp.zeros_like, v)
+                        else zeros(v)
                     )
                     for k, v in full.items()
                 }
@@ -725,6 +736,14 @@ class InferenceNetwork:
             if success:
                 self._bump_head_iterations(batch.addrs)
             return success, loss_value, grads
+
+        if self._dp_mesh is None:
+            # variable-structure models: the gather-table loss serves
+            # every trace type from ONE program per (pow2 length bucket,
+            # table structure) — see nn/gather_loss.py; None = ineligible
+            out = self._try_gather_loss_and_grad(batch)
+            if out is not None:
+                return out
 
         nprocs = self._dp_num_processes()
         if nprocs > 1 and len(batch.sub_batches) > 1:
@@ -795,8 +814,21 @@ class InferenceNetwork:
                 )
         return success, loss_value, grads
 
+    def _try_gather_loss_and_grad(self, batch):
+        """Subclass hook: gather-table loss+grad for mixed-trace-type
+        batches (nn/gather_loss.py), or None to use the per-type path."""
+        return None
+
+    def _try_gather_loss(self, batch):
+        """Subclass hook: gather-table validation loss, or None."""
+        return None
+
     def _loss(self, batch):
         """Loss only (validation)."""
+        if self._dp_mesh is None:
+            out = self._try_gather_loss(batch)
+            if out is not None:
+                return out
         total_loss = 0.0
         for sub_batch in batch.sub_batches:
             key, loss_fn = self._make_sub_batch_loss(sub_batch)
@@ -861,6 +893,10 @@ class InferenceNetwork:
 
         self._update_fn_raw = update
         self._update_fn = jax.jit(update)
+        # generation counter: fused gather updates (LSTM) key their
+        # compiled scatter+update programs on it so optimizer recreation
+        # (polymorph) invalidates them
+        self._optimizer_gen = getattr(self, "_optimizer_gen", 0) + 1
         if opt_state is not None:
             self._opt_state = opt_state
         else:
@@ -1073,10 +1109,11 @@ class InferenceNetwork:
             self._create_optimizer()
         success, loss, grads = self._loss_and_grad(first)
         if success:
-            lr = self._current_learning_rate()
-            self._params, self._opt_state = self._update_fn(
-                self._params, grads, self._opt_state, lr
-            )
+            if grads is not None:  # None = gather path already stepped
+                lr = self._current_learning_rate()
+                self._params, self._opt_state = self._update_fn(
+                    self._params, grads, self._opt_state, lr
+                )
             self._total_train_iterations += 1
             self._total_train_traces += first.size
         probe = dataset.next_device_batch(batch_size)
@@ -1414,9 +1451,10 @@ class InferenceNetwork:
                     continue
 
                 lr = self._current_learning_rate()
-                self._params, self._opt_state = self._update_fn(
-                    self._params, grads, self._opt_state, lr
-                )
+                if grads is not None:  # None = gather path already stepped
+                    self._params, self._opt_state = self._update_fn(
+                        self._params, grads, self._opt_state, lr
+                    )
 
                 if self._loss_init is None:
                     self._loss_init = loss

@@ -175,6 +175,10 @@ class InferenceNetworkLSTM(InferenceNetwork):
                         f"distribution: {distribution.name}"
                     )
         if layers_changed:
+            # stability marker: the fused gather update only compiles its
+            # (polymorph-invalidated) program once the layer set stops
+            # churning — early-training compiles were a measured net loss
+            self._last_layers_change_iter = self._total_train_iterations
             n = num_params(self._params)
             util.log_print(
                 f"Total addresses: {len(self._params['address_embedding']):,}, "
@@ -313,6 +317,280 @@ class InferenceNetworkLSTM(InferenceNetwork):
             return total
 
         return ("lstm", addrs), loss_fn
+
+    # ------------------------------------------------------------------
+    # gather-table loss: one program per (pow2 length bucket, table
+    # structure) serves every trace type (nn/gather_loss.py; the fix for
+    # variable-structure compile churn — reference counterpart being
+    # replaced: pyprob/nn/inference_network_lstm.py:136-220 +
+    # pyprob/nn/dataset.py:21-47)
+    # ------------------------------------------------------------------
+    def _gather_registry(self):
+        from .gather_loss import GatherRegistry
+
+        version = GatherRegistry.version_of(self._params)
+        cached = getattr(self, "_gather_reg", None)
+        if cached is not None and cached[0] == version:
+            return cached[1]
+        reg = GatherRegistry(self._params)
+        self._gather_reg = (version, reg)
+        return reg
+
+    def _prepare_gather(self, batch):
+        import os
+
+        if os.environ.get("PYPROB_TPU_GATHER_LOSS", "1") == "0":
+            return None
+        if not getattr(batch, "traces", None):
+            return None
+        # single-type batches keep the per-type path (fixed-structure
+        # models never need tables) until gather has been engaged once —
+        # after that, stay on it so one program family serves the run
+        if len(batch.sub_batches) <= 1 and not getattr(
+            self, "_gather_used", False
+        ):
+            return None
+        from . import gather_loss as gl
+
+        reg = self._gather_registry()
+        prep = gl.pack_batch(self, reg, batch)
+        if prep is None:
+            return None
+        self._gather_used = True
+        return (reg,) + prep
+
+    def _gather_loss_fn(self):
+        from . import gather_loss as gl
+
+        return gl.make_gather_loss(
+            self._embed_observe_pure,
+            self._address_embedding_dim,
+            self._distribution_type_embedding_dim,
+        )
+
+    def _make_gather_update(self, reg, head_gkey, semb_gkey):
+        """One jitted program: scatter table grads to the canonical
+        per-address structure (static-index slices, fused by XLA) and
+        apply the optimizer update.  Replaces a host-side scatter (one
+        dispatched slice per address x leaf) plus a 500-leaf grad
+        transfer into the update program — measured ~240 ms/step of pure
+        overhead on the Marsaglia run."""
+        update_raw = self._update_fn_raw
+        head_addrs = list(reg.head_groups[head_gkey])
+        semb_addrs = list(reg.semb_groups[semb_gkey])
+        a_addrs = list(reg.a_addrs)
+        d_names = list(reg.d_names)
+
+        def update(params, tgrads, opt_state, lr):
+            grads = {
+                "observe": tgrads["observe"],
+                "observe_final": tgrads["observe_final"],
+                "lstm": tgrads["lstm"],
+                "proposal": {
+                    a: jax.tree_util.tree_map(
+                        lambda t, i=i: t[i], tgrads["heads"]
+                    )
+                    for i, a in enumerate(head_addrs)
+                },
+                "sample_embedding": {
+                    a: jax.tree_util.tree_map(
+                        lambda t, i=i: t[i], tgrads["sembs"]
+                    )
+                    for i, a in enumerate(semb_addrs)
+                },
+                "address_embedding": {
+                    a: tgrads["aemb"][i] for i, a in enumerate(a_addrs)
+                },
+                "dist_type_embedding": {
+                    n: tgrads["demb"][i] for i, n in enumerate(d_names)
+                },
+            }
+
+            def expand(full, sub):
+                if isinstance(full, dict):
+                    return {
+                        k: (
+                            expand(v, sub[k])
+                            if isinstance(sub, dict) and k in sub
+                            else jax.tree_util.tree_map(
+                                jnp.zeros_like, v
+                            )
+                        )
+                        for k, v in full.items()
+                    }
+                return sub
+
+            grads = expand(params, grads)
+            return update_raw(params, grads, opt_state, lr)
+
+        return jax.jit(update)
+
+    def _speculate_gather_compile(self, sig, tables, packed, mean_length):
+        """Background-compile the one NEIGHBOR bucket a variable-structure
+        run will almost surely hit: the next pow2 bucket DOWN (a batch
+        whose longest trace is shorter than this one's — near-certain
+        when the mean length sits below half the bucket).  Upward
+        speculation is deliberately absent: rare giant traces would burn
+        a ~4.5 s compile that is usually never used, and on a small host
+        background compiles steal the same cores the training loop runs
+        on (measured: cascading speculation REGRESSED the 12.8k run)."""
+        import threading
+
+        from . import gather_loss as gl
+
+        T2 = sig[0] // 2
+        if T2 < 1 or T2 < gl._next_pow2(max(int(mean_length), 1)):
+            return
+        nkey = ("gather_lstm", T2) + sig[1:]
+        if nkey in self._loss_grad_cache:
+            return
+        entry = {"fn": None, "event": threading.Event()}
+        self._loss_grad_cache[nkey] = entry
+        tshapes = gl.table_shapes(tables)
+        pshapes = gl.packed_shapes_with_T(packed, T2)
+        fn = jax.jit(jax.value_and_grad(self._gather_loss_fn()))
+
+        def _bg():
+            try:
+                entry["fn"] = fn.lower(tshapes, pshapes).compile()
+            except Exception:
+                entry["fn"] = None  # waiter falls back to jit-on-call
+            finally:
+                entry["event"].set()
+
+        threading.Thread(target=_bg, daemon=True).start()
+
+    def _try_gather_loss_and_grad(self, batch):
+        import math
+
+        prep = self._prepare_gather(batch)
+        if prep is None:
+            return None
+        reg, sig, packed, head_gkey, semb_gkey, addrs_present = prep
+        from . import gather_loss as gl
+
+        tables = gl.stack_tables(self._params, reg, head_gkey, semb_gkey)
+        key = ("gather_lstm",) + sig
+        fn = self._loss_grad_cache.get(key)
+        if isinstance(fn, dict):  # speculative background compile
+            fn["event"].wait()
+            fn = fn["fn"]
+            if fn is None:
+                fn = jax.jit(jax.value_and_grad(self._gather_loss_fn()))
+            self._loss_grad_cache[key] = fn
+        elif fn is None:
+            util.relieve_compile_pressure()
+            fn = self._loss_grad_cache[key] = jax.jit(
+                jax.value_and_grad(self._gather_loss_fn())
+            )
+        # speculative prefetch: background-compile the NEXT pow2 length
+        # bucket's program (variable-structure models climb buckets as
+        # longer traces appear; a blocking mid-run compile was the bulk
+        # of the 12.8k-trace Marsaglia wall time)
+        self._speculate_gather_compile(
+            sig, tables, packed, getattr(batch, "mean_length_controlled", 1)
+        )
+        try:
+            loss, tgrads = fn(tables, packed)
+        except (TypeError, ValueError):
+            # AOT-compiled speculative program rejected the inputs (e.g.
+            # weak-type drift): fall back to jit-on-call permanently
+            fn = self._loss_grad_cache[key] = jax.jit(
+                jax.value_and_grad(self._gather_loss_fn())
+            )
+            loss, tgrads = fn(tables, packed)
+        # loss/grads leave the program per-trace-normalized (the norm is
+        # a traced scalar inside packed)
+        loss_value = float(loss)
+        success = not (math.isnan(loss_value) or math.isinf(loss_value))
+        if not success:
+            return success, loss_value, None  # caller skips the batch
+
+        # Fused scatter+update (one dispatch; grads=None tells optimize()
+        # the step is already taken).  The program retraces whenever
+        # polymorph grows the parameter tree, and those ~1.5 s compiles
+        # landed ~10x on the critical path of a Marsaglia run (measured:
+        # 471 -> 312 traces/s) — so it is compiled in a BACKGROUND thread
+        # while the host-scatter path keeps stepping, and swapped in when
+        # ready.  Requires a live optimizer (optimize() creates it before
+        # the loss call); tests set _gather_fused_update=False to get
+        # grads back directly.
+        if self._update_fn_raw is not None and getattr(
+            self, "_gather_fused_update", True
+        ):
+            gen = getattr(self, "_optimizer_gen", 0)
+            # key on optimizer generation + table structure only (NOT the
+            # T/B buckets — the update is bucket-independent)
+            ukey = ("gather_update", gen, sig[2], sig[3], sig[8], sig[9],
+                    sig[10], sig[11])
+            entry = self._loss_grad_cache.get(ukey)
+            if entry is not None and entry.get("fn") is not None:
+                # lr must be a traced ARRAY: AOT-lowering with a python
+                # float would bake it as a compile-time constant
+                lr = jnp.asarray(
+                    self._current_learning_rate(), util.dtype()
+                )
+                try:
+                    self._params, self._opt_state = entry["fn"](
+                        self._params, tgrads, self._opt_state, lr
+                    )
+                    self._bump_head_iterations(addrs_present)
+                    return success, loss_value, None
+                except (TypeError, ValueError):
+                    # AOT input mismatch: drop the entry, use the host
+                    # scatter below this step (a fresh compile restarts
+                    # once the layer set is stable again)
+                    del self._loss_grad_cache[ukey]
+            import os as _os
+
+            stable = (
+                self._total_train_iterations
+                - getattr(self, "_last_layers_change_iter", 0)
+                >= int(_os.environ.get("PYPROB_TPU_GATHER_FUSED_AFTER", "24"))
+            )
+            if entry is None and stable:
+                # kick off the compile off the critical path
+                import threading
+
+                entry = {"fn": None}
+                self._loss_grad_cache[ukey] = entry
+                fn = self._make_gather_update(reg, head_gkey, semb_gkey)
+                lr0 = jnp.asarray(
+                    self._current_learning_rate(), util.dtype()
+                )
+                args = (self._params, tgrads, self._opt_state, lr0)
+
+                def _bg_compile():
+                    try:
+                        compiled = fn.lower(*args).compile()
+                        entry["fn"] = compiled
+                    except Exception:
+                        entry["fn"] = fn  # fall back to jit-on-call
+
+                threading.Thread(target=_bg_compile, daemon=True).start()
+
+        sub = gl.scatter_table_grads(tgrads, reg, head_gkey, semb_gkey)
+        grads = self._expand_grads(sub, (), ())
+        self._bump_head_iterations(addrs_present)
+        return success, loss_value, grads
+
+    def _try_gather_loss(self, batch):
+        import math
+
+        prep = self._prepare_gather(batch)
+        if prep is None:
+            return None
+        reg, sig, packed, head_gkey, semb_gkey, _ = prep
+        from . import gather_loss as gl
+
+        tables = gl.stack_tables(self._params, reg, head_gkey, semb_gkey)
+        key = ("gather_lstm",) + sig
+        if key not in self._loss_cache:
+            util.relieve_compile_pressure()
+            self._loss_cache[key] = jax.jit(self._gather_loss_fn())
+        loss_value = float(self._loss_cache[key](tables, packed))
+        success = not (math.isnan(loss_value) or math.isinf(loss_value))
+        return success, loss_value
 
     # ------------------------------------------------------------------
     # stepwise inference, interpreter tier

@@ -36,6 +36,7 @@ the GP model family (models/models.py GaussianProcessRegression).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -289,6 +290,30 @@ def solve_lower_vec(l, b, base=_BASE, precision=lax.Precision.HIGHEST):
 _PANEL = 64
 
 
+def _tile_chol_inv(tile, precision):
+    """Joint (L, inv L) of a [..., P, P] diagonal tile.  On TPU at P=64
+    the batch-on-lanes Pallas kernel (ops/tile_chol.py) replaces the
+    recursive scalar-leaf path — the measured ~53 ms per-op-latency
+    floor of the N=256 factorization (BASELINE.md r3/r4);
+    ``PYPROB_TPU_TILE_KERNEL=0`` opts out."""
+    # gate on the PHYSICAL device platform (not jax.default_backend(),
+    # which tests monkeypatch to force the blocked path's numerics on
+    # CPU — Mosaic only compiles on a real TPU)
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if (
+        tile.shape[-1] == 64
+        and platform == "tpu"
+        and os.environ.get("PYPROB_TPU_TILE_KERNEL", "1") != "0"
+    ):
+        from .tile_chol import chol_inv_tile
+
+        return chol_inv_tile(tile)
+    return chol_inv_lower(tile, precision)
+
+
 def chol_panels(a, panel=_PANEL, precision=lax.Precision.HIGHEST):
     """Panel factorization of batched SPD ``a`` [..., N, N].
 
@@ -302,7 +327,7 @@ def chol_panels(a, panel=_PANEL, precision=lax.Precision.HIGHEST):
     strips, minvs = [], []
     for k0 in range(0, n, panel):
         p = min(panel, n - k0)
-        lkk, mkk = chol_inv_lower(S[..., :p, :p], precision)
+        lkk, mkk = _tile_chol_inv(S[..., :p, :p], precision)
         if S.shape[-1] > p:
             l21 = _mm(S[..., p:, :p], _mT(mkk), precision)
             S = S[..., p:, p:] - _mm(l21, _mT(l21), precision)

@@ -28,6 +28,44 @@ import jax.numpy as jnp
 __version__ = "0.1.0"
 
 
+def _init_compilation_cache():
+    """Persistent XLA compilation cache, on by default: every compiled
+    program (per shape bucket / trace type / engine) is paid once per
+    machine, not once per process — the production answer to
+    variable-structure compile cost (a cold Marsaglia IC-LSTM training
+    run spends ~10 s in XLA; warm-cache runs spend ~0).  Opt out with
+    ``PYPROB_TPU_COMPILE_CACHE=0`` or point elsewhere with
+    ``PYPROB_TPU_COMPILE_CACHE_DIR``."""
+    import os
+
+    if os.environ.get("PYPROB_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    path = os.environ.get(
+        "PYPROB_TPU_COMPILE_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "pyprob_tpu", "xla"
+        ),
+    )
+    # XLA:CPU's AOT loader logs a scary (cosmetic, same-machine) feature
+    # -mismatch ERROR per cached-executable load: the serialized feature
+    # string carries pseudo-features (+prefer-no-gather) the loader does
+    # not recognize as host features.  Silence C++ ERROR logs unless the
+    # user asked for them; real failures still raise Python exceptions.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every program XLA spends real time on (default threshold
+        # misses the ~1 s per-trace-type programs this library mints)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # unsupported backend/config: run uncached
+        pass
+
+
+_init_compilation_cache()
+
+
 class TraceMode(enum.Enum):
     NONE = 0
     PRIOR = 1

@@ -8,8 +8,19 @@ the reference's own LSTM-512/batch-512 default
 reference: pyprob/model.py:186).  Embedding spec is identical on both
 sides ({'dim': 16} feedforward observe embeddings, default depth).
 
+Defaults reproduce the recorded BASELINE.md r3 condition verbatim
+(25.6k training traces — the numbers in the "Arch-matched reference
+baselines" table).
+
 Usage:
     python tests/extra/reference_baseline.py [lstm_dim] [batch] [train_traces]
+    python tests/extra/reference_baseline.py marsaglia [lstm_dim] [batch] [train_traces]
+
+The ``marsaglia`` mode measures the reference on the VARIABLE-STRUCTURE
+GUM-Marsaglia model (rejection-loop control flow, reference:
+tests/test_inference.py:249-344) — the arch-matched baseline for our
+gather-table training loss and lockstep guided inference
+(tests/extra/lockstep_bench.py uses the same model/arch/embeddings).
 
 Prints one JSON line:
     {"arch": "lstm<D>/batch<B>", "train_traces_per_s": ...,
@@ -50,20 +61,47 @@ class GUM(pyprob.Model):
         return mu
 
 
-def main(lstm_dim=512, batch_size=512, train_traces=5120,
-         posterior_traces=2000):
+class GUMMarsaglia(pyprob.Model):
+    """Same posterior, rejection-sampling control flow — variable-length
+    traces (reference model: tests/test_inference.py:252-269)."""
+
+    def marsaglia(self, mean, stddev):
+        from pyprob.distributions import Uniform
+
+        uniform = Uniform(-1, 1)
+        s = 1
+        while float(s) >= 1:
+            x = pyprob.sample(uniform)
+            y = pyprob.sample(uniform)
+            s = x * x + y * y
+        return mean + stddev * (x * torch.sqrt(-2 * torch.log(s) / s))
+
+    def forward(self):
+        mu = self.marsaglia(1.0, math.sqrt(5.0))
+        likelihood = Normal(mu, math.sqrt(2.0))
+        pyprob.observe(likelihood, name="obs0")
+        pyprob.observe(likelihood, name="obs1")
+        return mu
+
+
+def main(lstm_dim=512, batch_size=512, train_traces=25600,
+         posterior_traces=2000, marsaglia=False):
     pyprob.set_verbosity(0)
     pyprob.seed(123)
-    model = GUM()
+    model = GUMMarsaglia() if marsaglia else GUM()
     observe = {"obs0": 8, "obs1": 9}
 
+    # marsaglia mode mirrors tests/extra/lockstep_bench.py exactly
+    # (dim-32 embeddings, lr 0.002) so the comparison is arch-matched
+    emb_dim = 32 if marsaglia else 16
+    lr = 0.002 if marsaglia else 0.01
     t0 = time.time()
     model.learn_inference_network(
         num_traces=train_traces,
-        observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
+        observe_embeddings={"obs0": {"dim": emb_dim}, "obs1": {"dim": emb_dim}},
         inference_network=InferenceNetwork.LSTM,
         batch_size=batch_size,
-        learning_rate_init=0.01,
+        learning_rate_init=lr,
         lstm_dim=lstm_dim,
     )
     train_s = train_traces / (time.time() - t0)
@@ -81,6 +119,7 @@ def main(lstm_dim=512, batch_size=512, train_traces=5120,
     print(
         json.dumps(
             {
+                "model": "gum_marsaglia" if marsaglia else "gum",
                 "arch": f"lstm{lstm_dim}/batch{batch_size}",
                 "train_traces": train_traces,
                 "train_traces_per_s": round(train_s, 1),
@@ -94,5 +133,8 @@ def main(lstm_dim=512, batch_size=512, train_traces=5120,
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*args)
+    argv = sys.argv[1:]
+    marsaglia = bool(argv) and argv[0] == "marsaglia"
+    if marsaglia:
+        argv = argv[1:]
+    main(*[int(a) for a in argv], marsaglia=marsaglia)
