@@ -24,5 +24,14 @@ autodoc_mock_imports = ["jax", "jaxlib", "optax", "zmq"]
 
 source_suffix = {".rst": "restructuredtext", ".md": "markdown"}
 master_doc = "index"
-exclude_patterns = []
-html_theme = "sphinx_rtd_theme"
+# The executed walkthrough notebook ships as a viewable artifact
+# (examples/make_notebooks.py keeps it in sync with examples/); it is
+# excluded from the strict -W build so rendering needs no nbsphinx.
+exclude_patterns = ["*.ipynb"]
+
+try:  # readthedocs theme where installed; stock theme otherwise
+    import sphinx_rtd_theme  # noqa: F401
+
+    html_theme = "sphinx_rtd_theme"
+except ImportError:
+    html_theme = "alabaster"

@@ -438,6 +438,12 @@ def main():
             client.execute()
         nbf.write(nb, path)
         print("wrote", path)
+        if name == "gaussian_unknown_mean.ipynb":
+            # the docs tree ships the same executed walkthrough
+            # (reference parity: pyprob docs/source/inference.ipynb)
+            docs_path = f"{here}/../docs/source/{name}"
+            nbf.write(nb, docs_path)
+            print("wrote", docs_path)
 
 
 if __name__ == "__main__":

@@ -50,31 +50,77 @@ import jax.numpy as jnp
 _BB = 128  # batch lanes per grid step (f32 lane width)
 
 
+_KB = 8  # column-block width for the shrinking-block formulation
+
+
 def _tile_kernel(a_ref, l_ref, m_ref, P):
+    """Shrinking-block column-loop factorization (v2).
+
+    v1 kept S and R dense [P, P, Bb] through every column, so the two
+    rank-1 updates cost 4*P^3*B flops/tile — 3.2x the live work.  v2
+    walks 8-column blocks keeping only the LIVE rectangle of each state
+    in registers: after block k, rows/cols <= 8k of S are dead (the
+    trailing update never reads them), and columns > j of R are still
+    exactly I (M is lower triangular, so R[:, c] = I[:, c] - L[:, :j] @
+    M[:j, c] with M[:j, c] == 0 for c >= j).  S shrinks [r, r, Bb] with
+    r = P - 8k; R splits into W = R[rows>=base, :base] (grown by concat
+    each block) and Wd = R[rows>=base, base:base+8] (fresh identity
+    block).  Same ~10 vector ops per column; ~1/3 the data touched.
+    """
     import jax.lax as lax
 
     S = a_ref[:]  # [P, P, Bb]
     Bb = S.shape[-1]
-    # R = I broadcast over batch lanes
-    eye = (
-        lax.broadcasted_iota(jnp.int32, (P, P, 1), 0)
-        == lax.broadcasted_iota(jnp.int32, (P, P, 1), 1)
-    )
-    R = jnp.where(eye, jnp.ones((), S.dtype), jnp.zeros((), S.dtype))
-    R = jnp.broadcast_to(R, (P, P, Bb))
-    row = lax.broadcasted_iota(jnp.int32, (P, 1), 0)  # [P, 1]
-    for j in range(P):
-        d = lax.rsqrt(S[j, j, :])  # [Bb]
-        col = S[:, j, :] * d[None, :]  # [P, Bb]
-        colm = jnp.where(row >= j, col, jnp.zeros((), S.dtype))
-        l_ref[:, j, :] = colm
-        # trailing symmetric rank-1 update (rows/cols <= j become dead)
-        S = S - colm[:, None, :] * colm[None, :, :]
-        # row j of M = inv(L): R currently holds I - L[:, :j] @ M[:j, :]
-        mrow = R[j, :, :] * d[None, :]  # [P, Bb]
-        m_ref[j, :, :] = mrow
-        cols = jnp.where(row > j, col, jnp.zeros((), S.dtype))
-        R = R - cols[:, None, :] * mrow[None, :, :]
+    dtype = S.dtype
+    nb = -(-P // _KB)
+    W = None  # R[base:, :base] — absent while base == 0
+    for kb in range(nb):
+        base = kb * _KB
+        r = P - base
+        kw = min(_KB, r)
+        # fresh identity block: R[base:, base:base+kw] before this
+        # block's updates is I restricted to those rows/cols
+        eye = (
+            lax.broadcasted_iota(jnp.int32, (r, kw, 1), 0)
+            == lax.broadcasted_iota(jnp.int32, (r, kw, 1), 1)
+        )
+        Wd = jnp.broadcast_to(
+            jnp.where(eye, jnp.ones((), dtype), jnp.zeros((), dtype)),
+            (r, kw, Bb),
+        )
+        lrow = lax.broadcasted_iota(jnp.int32, (r, 1), 0)  # local rows
+        for j in range(kw):
+            d = lax.rsqrt(S[j, j, :])  # [Bb]
+            col = S[:, j, :] * d[None, :]  # [r, Bb]
+            colm = jnp.where(lrow >= j, col, jnp.zeros((), dtype))
+            l_ref[base:, base + j, :] = colm
+            S = S - colm[:, None, :] * colm[None, :, :]
+            cols = jnp.where(lrow > j, col, jnp.zeros((), dtype))
+            # row base+j of M = d * R[base+j, :base+j+1]
+            mrow_d = Wd[j, :, :] * d[None, :]  # [kw, Bb]
+            m_ref[base + j, base : base + kw, :] = mrow_d
+            Wd = Wd - cols[:, None, :] * mrow_d[None, :, :]
+            if base:
+                mrow_w = W[j, :, :] * d[None, :]  # [base, Bb]
+                m_ref[base + j, :base, :] = mrow_w
+                W = W - cols[:, None, :] * mrow_w[None, :, :]
+        # dead-region fills: L above the diagonal block, M right of it
+        if base:
+            l_ref[:base, base : base + kw, :] = jnp.zeros(
+                (base, kw, Bb), dtype
+            )
+        if base + kw < P:
+            m_ref[base : base + kw, base + kw :, :] = jnp.zeros(
+                (kw, P - base - kw, Bb), dtype
+            )
+        # shrink to the live rectangle for the next block
+        if kb + 1 < nb:
+            S = S[kw:, kw:, :]
+            W = (
+                jnp.concatenate([W[kw:], Wd[kw:]], axis=1)
+                if base
+                else Wd[kw:]
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

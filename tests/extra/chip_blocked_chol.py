@@ -76,6 +76,31 @@ def _time(fn, cov, diff, reps=3):
     return dt, got
 
 
+def _time_in_program(fn, cov, diff, n, k=4, reps=5):
+    """Amortized in-program seconds per factorization: jit a chain of
+    ``k`` data-dependent copies of ``fn``, best-of-``reps`` with forced
+    scalar fetch, differenced against the 1-chain time."""
+
+    def chain(c, d, kk):
+        tot = 0.0
+        for i in range(kk):
+            q, h = fn(c + (1e-6 * i) * jnp.eye(n, dtype=c.dtype), d)
+            tot = tot + jnp.sum(q) + jnp.sum(h)
+        return tot
+
+    def best(kk):
+        f = jax.jit(lambda c, d: chain(c, d, kk))
+        np.asarray(f(cov, diff))  # compile + warm
+        b = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(f(cov, diff))
+            b = min(b, time.time() - t0)
+        return b
+
+    return (best(k) - best(1)) / (k - 1)
+
+
 def main():
     xla = jax.jit(_quad_logdet_reference)
     cases = [
@@ -166,10 +191,19 @@ def main():
                     float(np.max(np.abs(g - r) / (np.abs(r) + 1.0)))
                     for g, r in zip(out, ref_out)
                 )
+                # amortized IN-PROGRAM cost: chain K data-dependent
+                # factorizations inside ONE jit and difference the chain
+                # lengths, removing the per-dispatch tunnel/fetch floor
+                # (~16-23 ms here) that no deployed caller pays — the
+                # factorization runs inside larger jitted particle
+                # programs (GP family), not as its own dispatch.
+                dt_prog = _time_in_program(panel_fn, cov, diff, n)
                 print(
                     f"    panels P={panel:3d} {prec_name:8s}:"
                     f" {dt*1e3:8.1f} ms  {flops/dt/1e9:8.1f} GFLOP/s"
-                    f"  maxrelerr {err:.2e}",
+                    f"  maxrelerr {err:.2e}"
+                    f"  | in-program {dt_prog*1e3:6.1f} ms"
+                    f"  {flops/dt_prog/1e9:8.1f} GFLOP/s",
                     flush=True,
                 )
         if supported_backend() and os.environ.get("PALLAS", "0") == "1":
