@@ -290,24 +290,28 @@ def solve_lower_vec(l, b, base=_BASE, precision=lax.Precision.HIGHEST):
 _PANEL = 64
 
 
+def _tile_kernel_active():
+    """Whether the Pallas batch-on-lanes tile kernel may be used: a
+    PHYSICAL TPU (Mosaic only compiles there — jax.default_backend() is
+    monkeypatched by tests to force the blocked path's numerics on CPU)
+    and no ``PYPROB_TPU_TILE_KERNEL=0`` opt-out."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return (
+        platform == "tpu"
+        and os.environ.get("PYPROB_TPU_TILE_KERNEL", "1") != "0"
+    )
+
+
 def _tile_chol_inv(tile, precision):
     """Joint (L, inv L) of a [..., P, P] diagonal tile.  On TPU at P=64
     the batch-on-lanes Pallas kernel (ops/tile_chol.py) replaces the
     recursive scalar-leaf path — the measured ~53 ms per-op-latency
     floor of the N=256 factorization (BASELINE.md r3/r4);
     ``PYPROB_TPU_TILE_KERNEL=0`` opts out."""
-    # gate on the PHYSICAL device platform (not jax.default_backend(),
-    # which tests monkeypatch to force the blocked path's numerics on
-    # CPU — Mosaic only compiles on a real TPU)
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "cpu"
-    if (
-        tile.shape[-1] == 64
-        and platform == "tpu"
-        and os.environ.get("PYPROB_TPU_TILE_KERNEL", "1") != "0"
-    ):
+    if tile.shape[-1] == 64 and _tile_kernel_active():
         from .tile_chol import chol_inv_tile
 
         return chol_inv_tile(tile)
@@ -354,9 +358,14 @@ def assemble_panels(strips, shape, dtype, panel=_PANEL):
 
 
 def _panel_for(n):
-    """Measured-best panel width per event size (chip table, BASELINE.md
-    r3): P=128 wins at N>=512 (fewer, larger trailing GEMMs), P=64 at
-    the GP family's N=256."""
+    """Measured-best panel width per event size.  With the Pallas tile
+    kernel (TPU, P=64 tiles) the P=64 panels win at EVERY measured N
+    (chip table r4: N=512x2048 in-program 1,439 vs 1,264 GFLOP/s-meter
+    against P=128; N=256x8192 1,039); without it (CPU numerics or the
+    PYPROB_TPU_TILE_KERNEL=0 opt-out) P=128's fewer scalar-leaf diagonal
+    tiles win at N>=512 (chip table r3)."""
+    if _tile_kernel_active():
+        return _PANEL
     return 128 if n >= 512 else _PANEL
 
 

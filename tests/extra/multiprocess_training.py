@@ -16,17 +16,22 @@ import sys
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 WORKER = r"""
-import os, sys
+import os, sys, time
 pid = int(sys.argv[1])
 port = int(sys.argv[2])
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+nprocs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+ndev = 4 // nprocs  # 4-device global mesh at any process count
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=%%d" %% ndev
+)
 sys.path.insert(0, %(repo)r)
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address="127.0.0.1:%%d" %% port, num_processes=2,
-    process_id=pid,
-)
+if nprocs > 1:
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:%%d" %% port, num_processes=nprocs,
+        process_id=pid,
+    )
 import numpy as np
 import pyprob_tpu as pp
 from pyprob_tpu.models import GaussianUnknownMean
@@ -36,6 +41,7 @@ pp.seed(100 + pid)  # independent per-rank data streams
 model = GaussianUnknownMean()
 net_holder = model
 
+t0 = time.time()
 model.learn_inference_network(
     num_traces=4096,
     observe_embeddings={"obs0": {"dim": 8}, "obs1": {"dim": 8}},
@@ -43,8 +49,10 @@ model.learn_inference_network(
     learning_rate_init=0.005,
     distributed_backend="shard_map",  # global mesh spans both processes
 )
+train_s = time.time() - t0
+print(f"RANK{pid} train_s {train_s:.2f}", flush=True)
 net = model._inference_network
-assert net._dp_num_processes() == 2, net._dp_num_processes()
+assert net._dp_num_processes() == nprocs, net._dp_num_processes()
 # parameters must be bit-identical across ranks (replicated updates)
 leaves = jax.tree_util.tree_leaves(
     jax.tree_util.tree_map(
@@ -75,20 +83,22 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def main(timeout=600):
-    """Run the 2-rank training; returns (checksums, rank0 output).
-    Raises on worker failure or rank divergence.  Called by
+def main(timeout=600, nprocs=2):
+    """Run the ``nprocs``-rank training (4-device global mesh split
+    across ranks; ``nprocs=1`` is the single-process control for the
+    throughput split); returns (checksums, rank0 output).  Raises on
+    worker failure or rank divergence.  Called by
     tests/test_multiprocess_training.py (default suite) and as a manual
     script."""
     port = _free_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(i), str(port)],
+            [sys.executable, "-c", WORKER, str(i), str(port), str(nprocs)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outputs = []
     try:
@@ -109,12 +119,13 @@ def main(timeout=600):
         for line in out.splitlines():
             if "params_checksum" in line:
                 checksums.append(float(line.split("params_checksum")[1].split()[0]))
-    assert len(checksums) == 2 and abs(checksums[0] - checksums[1]) < 1e-3, (
-        f"ranks diverged: {checksums}"
-    )
+    assert len(checksums) == nprocs and all(
+        abs(c - checksums[0]) < 1e-3 for c in checksums
+    ), f"ranks diverged: {checksums}"
     print("multiprocess DP training OK: ranks in sync, posterior correct")
     return checksums, outputs[0]
 
 
 if __name__ == "__main__":
-    main()
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    main(nprocs=n)
