@@ -192,11 +192,19 @@ def pack_batch(net, registry, batch):
     Kv = None
 
     # observe shapes must be uniform across traces (they are traced as one
-    # [B, W] array per name)
+    # [B, W] array per name).  Rows MUST follow the sub_batch column
+    # order used by every other packed array below — batch.traces is the
+    # raw generation order, and sub_batches (grouped by trace hash)
+    # permute it; packing obs in trace order paired each trace's sampled
+    # values with ANOTHER trace's observations, which silently destroyed
+    # the observation-conditional training signal (the r4 Marsaglia
+    # regression: loss plateaued at the marginal while the per-type path
+    # learned the conditional).
+    ordered = [tr for sub in batch.sub_batches for tr in sub]
     obs_cols = {name: [] for name in params["observe"].keys()}
     for name in obs_cols:
         w = None
-        for tr in traces:
+        for tr in ordered:
             v = np.asarray(tr.named_value(name), dtype=dtype).reshape(-1)
             if w is None:
                 w = v.shape[0]

@@ -29,10 +29,31 @@ import pyprob_tpu as pp
 from pyprob_tpu.models import LinearGaussianStateSpaceMarkov
 
 
-def run_case(T, num_particles, train_traces=4096):
+def run_case(T, num_particles, train_traces=4096, regime="wellspec"):
+    """``regime``:
+
+    - ``wellspec`` — the r3 condition (default model; prior proposals
+      are near-optimal per step, so guidance can only pay its cost);
+    - ``informative`` — diffuse transitions (stddev 2.0) against precise
+      observations (stddev 0.1): the bootstrap proposal draws from a
+      20x-wider distribution than the per-step posterior, so its weights
+      collapse and resampling degenerates — the regime amortized
+      proposals exist for.  Still linear-Gaussian, so the Kalman
+      filter/evidence stay exact;
+    - ``shifted`` — the informative model with the OBSERVED ys shifted
+      by a +4.0 drift ramp the prior has never seen (data in the prior's
+      tail = model misspecification; ground truth is still exact because
+      the Kalman filter conditions the ASSUMED model on the same
+      shifted data)."""
     pp.seed(11)
-    m = LinearGaussianStateSpaceMarkov(num_steps=T)
+    kw_model = dict(num_steps=T)
+    if regime in ("informative", "shifted"):
+        kw_model.update(transition_stddev=2.0, observation_stddev=0.1)
+    m = LinearGaussianStateSpaceMarkov(**kw_model)
     xs, ys = m.synthesize(rng=2)
+    ys = np.asarray(ys, dtype=np.float64)
+    if regime == "shifted":
+        ys = ys + np.linspace(0.0, 4.0, len(ys))
     obs = m.observes(ys)
     fm, fv = m.kalman_filter(ys)
     lz = m.kalman_log_evidence(ys)
@@ -75,7 +96,8 @@ def run_case(T, num_particles, train_traces=4096):
         ok = mean_err < 4.0 * np.sqrt(fv[-1]) and lz_err < 0.05 * abs(lz) + 2.0
         results[label] = (best, steps_per_s, ess, mean_err, lz_err, ok)
         print(
-            f"T={T} x {num_particles:,} {label:9s}: warm {best:6.2f} s = "
+            f"[{regime}] T={T} x {num_particles:,} {label:9s}: "
+            f"warm {best:6.2f} s = "
             f"{steps_per_s/1e6:5.2f} M particle-steps/s, "
             f"ESS {ess:,.0f}, |mean err| {mean_err:.3f}, "
             f"|logZ err| {lz_err:.2f}, correct={ok} "
@@ -90,8 +112,10 @@ def main():
         tuple(int(x) for x in c.split("x"))
         for c in os.environ.get("CASES", "64x65536,256x65536").split(",")
     ]
-    for T, n in cases:
-        run_case(T, n)
+    regimes = os.environ.get("REGIMES", "wellspec").split(",")
+    for regime in regimes:
+        for T, n in cases:
+            run_case(T, n, regime=regime)
 
 
 if __name__ == "__main__":

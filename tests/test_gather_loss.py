@@ -236,3 +236,67 @@ def test_gather_end_to_end_training_and_posterior():
         vectorized=False,
     )
     assert abs(float(post.mean) - 7.25) < 0.8
+
+
+def test_gather_obs_rows_follow_sub_batch_columns():
+    """Regression (r4): packed observe rows must follow the SUB-BATCH
+    column order used by every other packed array, not batch.traces'
+    raw generation order — the mismatch silently paired each trace's
+    sampled values with another trace's observations, destroying the
+    observation-conditional training signal (loss plateaued at the
+    marginal; Marsaglia IC-LSTM ESS fell to ~1% vs the 1.6% floor)."""
+    model = GaussianUnknownMeanMarsaglia()
+    net = _trained_net(model)
+    batch = _mixed_batch(model, net, n=64)
+    assert len(batch.sub_batches) > 1
+    ordered = [tr for sub in batch.sub_batches for tr in sub]
+    # the permutation must be non-trivial for this test to bite
+    assert ordered != list(batch.traces)
+    prep = net._prepare_gather(batch)
+    assert prep is not None
+    _, _, packed, _, _, _ = prep
+    for name, arr in packed["obs"].items():
+        rows = np.asarray(arr)
+        for b, tr in enumerate(ordered):
+            np.testing.assert_array_equal(
+                rows[b],
+                np.asarray(
+                    tr.named_value(name), dtype=rows.dtype
+                ).reshape(-1),
+                err_msg=f"obs '{name}' row {b} misaligned",
+            )
+
+
+def test_gather_loss_tracks_single_observation_perturbation():
+    """Perturbing ONE trace's observation must shift the gather loss by
+    exactly the per-type loss's shift — loss-VALUE equality on a fixed
+    batch cannot catch row misalignment (undertrained nets are nearly
+    observation-insensitive), but the per-trace pairing shows up the
+    moment one observation moves."""
+    model = GaussianUnknownMeanMarsaglia()
+    net = _trained_net(model, num_traces=2048)
+    batch = _mixed_batch(model, net, n=48)
+    net._gather_fused_update = False
+
+    def both_losses():
+        out = net._try_gather_loss_and_grad(batch)
+        assert out is not None
+        _, loss_g, _ = out
+        ok_r, loss_r, _ = _per_type_loss_and_grad(net, batch)
+        return loss_g, loss_r
+
+    g0, r0 = both_losses()
+    # perturb the LAST sub-batch's first trace (a row whose packed
+    # column differs from its batch.traces position)
+    victim = batch.sub_batches[-1][0]
+    name = next(iter(net._params["observe"].keys()))
+    vars_named = [v for v in victim.variables if v.name == name]
+    assert vars_named, name
+    old = [v.value for v in vars_named]
+    for v in vars_named:
+        v.value = np.asarray(v.value) + 10.0
+    g1, r1 = both_losses()
+    for v, o in zip(vars_named, old):
+        v.value = o
+    assert (g1 - g0) == pytest.approx(r1 - r0, rel=1e-3, abs=1e-5)
+    assert abs(r1 - r0) > 1e-7  # the perturbation was actually visible
