@@ -118,6 +118,26 @@ class _Request:
         self._prior_row = None
 
 
+class _RoundDist:
+    """Round-shared holder of the batched proposal-distribution pytree:
+    stays a DEVICE pytree until a shim actually needs numpy rows (only
+    rejection retries score foreign values), then converts once for the
+    whole round."""
+
+    __slots__ = ("_dev", "_np")
+
+    def __init__(self, dev):
+        self._dev = dev
+        self._np = None
+
+    def numpy(self):
+        if self._np is None:
+            import jax
+
+            self._np = jax.tree_util.tree_map(np.asarray, self._dev)
+        return self._np
+
+
 class _ProposalShim:
     """Stands in for the proposal distribution returned by ``_infer_step``:
     the batched device step already sampled the proposal value and scored
@@ -173,8 +193,11 @@ class _ProposalShim:
             import jax
 
             r = self._row
+            db = self._dist_batch
+            if isinstance(db, _RoundDist):
+                db = db.numpy()
             self._dist = jax.tree_util.tree_map(
-                lambda x: x[r : r + 1], self._dist_batch
+                lambda x: x[r : r + 1], db
             )
         return self._dist
 
@@ -224,6 +247,7 @@ class LockstepCoordinator:
         # sampled values are deterministic per (global seed, ticket)
         # regardless of thread scheduling / bucket composition
         self._base_key = util.next_key()
+        self._carry_mutex = threading.Lock()
         # jit caches live on the network so repeated posterior calls reuse
         # compiled programs (jitted-run-cache invariant)
         if not hasattr(network, "_lockstep_local_jit"):
@@ -231,24 +255,36 @@ class LockstepCoordinator:
         self._jit = network._lockstep_local_jit
         if self._is_lstm:
             depth, H = network._lstm_depth, network._lstm_dim
-            self._hbuf = np.zeros((depth, num_workers, H), np.float32)
-            self._cbuf = np.zeros((depth, num_workers, H), np.float32)
-            self._zero_rows = {}
-        self._zero_idx = None
+            # DEVICE-resident recurrent carry: the per-round jitted step
+            # gathers/scatters worker columns in-program (host
+            # fancy-indexing + per-round transfers were a profiled cost)
+            self._hbuf = jnp.zeros((depth, num_workers, H), util.dtype())
+            self._cbuf = jnp.zeros((depth, num_workers, H), util.dtype())
         self._build_registries()
 
     def get_carry(self, idx):
+        # rare path (rejection_sample state snapshots): host copies of
+        # the worker's device columns
         if not self._is_lstm:
             return None
         return (
-            self._hbuf[:, idx : idx + 1].copy(),
-            self._cbuf[:, idx : idx + 1].copy(),
+            np.asarray(self._hbuf[:, idx : idx + 1]),
+            np.asarray(self._cbuf[:, idx : idx + 1]),
         )
 
     def set_carry(self, idx, v):
         if self._is_lstm:
-            self._hbuf[:, idx : idx + 1] = v[0]
-            self._cbuf[:, idx : idx + 1] = v[1]
+            # rebinding is read-modify-write on the shared buffers: two
+            # workers restoring snapshots concurrently must serialize
+            # (they can never race _answer — it only runs with every
+            # worker parked)
+            with self._carry_mutex:
+                self._hbuf = self._hbuf.at[:, idx : idx + 1].set(
+                    jnp.asarray(v[0], util.dtype())
+                )
+                self._cbuf = self._cbuf.at[:, idx : idx + 1].set(
+                    jnp.asarray(v[1], util.dtype())
+                )
 
     def _build_registries(self):
         """Stack per-address parameters into gatherable tables (SURVEY
@@ -350,7 +386,12 @@ class LockstepCoordinator:
                 raise RuntimeError("lockstep run already failed") from None
             self._requests.append(req)
             self._running -= 1
-            self._cond.notify_all()
+            # only the LAST runner to park wakes the coordinator (it
+            # waits for running == 0): K-1 of the K per-round notifies
+            # were spurious wakeups, a measurable share of the ~80 us
+            # per-site handoff (BASELINE.md r3 breakdown)
+            if self._running == 0:
+                self._cond.notify_all()
         req.event.wait()
         if isinstance(req.out, BaseException):
             raise req.out
@@ -360,7 +401,8 @@ class LockstepCoordinator:
         with self._cond:
             self._running -= 1
             self._done += 1
-            self._cond.notify_all()
+            if self._running == 0:
+                self._cond.notify_all()
 
     def worker_failed(self, exc):
         with self._cond:
@@ -368,7 +410,8 @@ class LockstepCoordinator:
                 self._error = exc
             self._running -= 1
             self._done += 1
-            self._cond.notify_all()
+            if self._running == 0:
+                self._cond.notify_all()
 
     # -- coordinator side ----------------------------------------------
     def run(self, workers):
@@ -425,42 +468,90 @@ class LockstepCoordinator:
             D = net._distribution_type_embedding_dim
             A = net._address_embedding_dim
 
-        def fn(lstm_p, heads, sembs, aemb, demb, obs_emb, rows,
-               cur_head_idx, cur_a_idx, cur_d_idx,
-               prev_semb_idx, prev_a_idx, prev_d_idx, prev_values,
-               prior, prior_dist, seeds, base_key):
-            B = seeds.shape[0]
+        # Per-round host->device traffic is TWO arrays: ``ipack`` [8, Bp]
+        # int32 (seeds + all gather indices + worker columns) and
+        # ``fpack`` [Bp, W] float (prior params, prior-dist leaves,
+        # previous values) sliced by the STATIC ``meta`` — the previous
+        # one-array-per-operand layout cost ~15 device_puts x ~150 us
+        # per round on the CPU backend (profiled r4).  The LSTM carry
+        # stays DEVICE-RESIDENT: columns gather/scatter inside the jit by
+        # worker index instead of host fancy-indexing + 2 transfers + 2
+        # fetches per round.
+        def fn(lstm_p, heads, sembs, aemb, demb, obs_emb, carry,
+               ipack, fpack, prior_dist_arg, base_key, meta):
+            (steady, prior_keys, prior_widths, dist_treedef,
+             dist_shapes, prev_w) = meta
+            seeds = ipack[0]
+            cur_head_idx = ipack[1]
+            B = ipack.shape[1]
+            ofs = 0
+            prior = {}
+            for k, w in zip(prior_keys, prior_widths):
+                prior[k] = fpack[:, ofs : ofs + w]
+                ofs += w
+            if prior_dist_arg is None:
+                leaves = []
+                for shp in dist_shapes:
+                    w = 1
+                    for s in shp:
+                        w *= s
+                    leaves.append(
+                        fpack[:, ofs : ofs + w].reshape((B,) + shp)
+                    )
+                    ofs += w
+                prior_dist = jax.tree_util.tree_unflatten(
+                    dist_treedef, leaves
+                )
+            else:  # non-float dist leaves: passed as its own pytree
+                prior_dist = prior_dist_arg
             emb_b = jnp.broadcast_to(obs_emb[0], (B, obs_emb.shape[1]))
             if is_lstm:
-                if sembs is None:  # trace-start bucket
+                widx = ipack[7]
+                if not steady:  # trace-start bucket: zero recurrent state
                     prev_sample_emb = jnp.zeros((B, S), util.dtype())
                     prev_a = jnp.zeros((B, A), util.dtype())
                     prev_d = jnp.zeros((B, D), util.dtype())
+                    rows = (
+                        jnp.zeros(
+                            (carry[0].shape[0], B, carry[0].shape[2]),
+                            util.dtype(),
+                        ),
+                        jnp.zeros(
+                            (carry[1].shape[0], B, carry[1].shape[2]),
+                            util.dtype(),
+                        ),
+                    )
                 else:
+                    prev_values = fpack[:, ofs : ofs + prev_w]
                     prev_sample_emb = jax.vmap(
                         lambda i, v: mlp_apply(
                             jax.tree_util.tree_map(lambda p: p[i], sembs),
                             v[None],
                         )[0]
-                    )(prev_semb_idx, prev_values)
+                    )(ipack[4], prev_values)
                     prev_sample_emb = prev_sample_emb.reshape(B, -1)
-                    prev_a = aemb[prev_a_idx]
-                    prev_d = demb[prev_d_idx]
+                    prev_a = aemb[ipack[5]]
+                    prev_d = demb[ipack[6]]
+                    rows = (carry[0][:, widx], carry[1][:, widx])
                 x = jnp.concatenate(
                     [
                         emb_b,
                         prev_sample_emb,
                         prev_d,
                         prev_a,
-                        demb[cur_d_idx],
-                        aemb[cur_a_idx],
+                        demb[ipack[3]],
+                        aemb[ipack[2]],
                     ],
                     axis=1,
                 )
                 feats, new_rows = lstm_step(lstm_p, x, rows)
+                new_carry = (
+                    carry[0].at[:, widx].set(new_rows[0]),
+                    carry[1].at[:, widx].set(new_rows[1]),
+                )
             else:
                 feats = emb_b
-                new_rows = ()
+                new_carry = carry
             # per-item head gather: ONE program per round serves every
             # address (their parameters stacked on a group axis)
             d = jax.vmap(
@@ -486,9 +577,11 @@ class LockstepCoordinator:
             prior_lps = jax.vmap(
                 lambda pd, v: jnp.sum(pd.log_prob(v)), in_axes=(0, 0)
             )(prior_dist, values)
-            return values, plps, prior_lps, d, new_rows
+            # one packed fetch serves both log-pdf vectors
+            lp_pack = jnp.stack([plps, prior_lps])
+            return values, lp_pack, d, new_carry
 
-        return jax.jit(fn)
+        return jax.jit(fn, static_argnames=("meta",))
 
     def _answer(self, batch):
         import jax
@@ -538,38 +631,16 @@ class LockstepCoordinator:
         # and those mid-run compiles dominate; padded compute is trivial
         Bp = _next_pow2(self._num_workers)
 
-        zero_idx = self._zero_idx
-        if zero_idx is None or zero_idx.shape[0] != Bp:
-            zero_idx = self._zero_idx = np.zeros((Bp,), np.int32)
-
         for (head_group, prev_group, _prior_sig), items in buckets.items():
             B = len(items)
-
-            def pad(a):
-                if Bp == B:
-                    return a
-                reps = np.repeat(a[-1:], Bp - B, axis=0)
-                return np.concatenate([a, reps], axis=0)
-
-            # ONE pass over the bucket fills every per-item index array
-            # (repeated dict/_head_key lookups were a measurable cost)
             hg = self._head_groups[head_group]
-            seeds = np.empty(Bp, np.uint32)
-            cur_head_idx = np.empty(Bp, np.int32)
-            worker_idx = np.empty(B, np.intp)
             steady = prev_group is not None
-            if is_lstm:
-                cur_a_idx = np.empty(Bp, np.int32)
-                cur_d_idx = np.empty(Bp, np.int32)
-            else:
-                cur_a_idx = cur_d_idx = zero_idx
-            if steady:
-                prev_semb_idx = np.empty(Bp, np.int32)
-                prev_a_idx = np.empty(Bp, np.int32)
-                prev_d_idx = np.empty(Bp, np.int32)
-                pv_rows = []
-            else:
-                prev_semb_idx = prev_a_idx = prev_d_idx = zero_idx
+            # ONE [8, Bp] int array carries seeds + every gather index +
+            # worker columns (rows: seed, head, a, d, prev_semb, prev_a,
+            # prev_d, widx) — a single device_put per round instead of 7
+            ipack = np.zeros((8, Bp), np.int32)
+            fparts = []
+            pv_rows = [] if steady else None
             head_of, a_of, d_of = self._head_of, None, None
             semb_of = None
             if is_lstm:
@@ -577,18 +648,18 @@ class LockstepCoordinator:
                 semb_of = self._semb_of
             head_key = net._head_key
             for row, r in enumerate(items):
-                seeds[row] = r.seed
-                worker_idx[row] = r.idx
+                ipack[0, row] = r.seed
+                ipack[7, row] = r.idx
                 ak = head_key(r.variable.address)
-                cur_head_idx[row] = head_of[ak][1]
+                ipack[1, row] = head_of[ak][1]
                 if is_lstm:
-                    cur_a_idx[row] = a_of[ak]
-                    cur_d_idx[row] = d_of[r.variable.distribution.name]
+                    ipack[2, row] = a_of[ak]
+                    ipack[3, row] = d_of[r.variable.distribution.name]
                 if steady:
                     pk = head_key(r.prev_variable.address)
-                    prev_semb_idx[row] = semb_of[pk][1]
-                    prev_a_idx[row] = a_of[pk]
-                    prev_d_idx[row] = d_of[
+                    ipack[4, row] = semb_of[pk][1]
+                    ipack[5, row] = a_of[pk]
+                    ipack[6, row] = d_of[
                         r.prev_variable.distribution.name
                     ]
                     pv_rows.append(
@@ -597,101 +668,118 @@ class LockstepCoordinator:
                         ).reshape(-1)
                     )
             if Bp != B:
-                seeds[B:] = seeds[B - 1]
-                cur_head_idx[B:] = cur_head_idx[B - 1]
-                if is_lstm:
-                    cur_a_idx[B:] = cur_a_idx[B - 1]
-                    cur_d_idx[B:] = cur_d_idx[B - 1]
-                if steady:
-                    prev_semb_idx[B:] = prev_semb_idx[B - 1]
-                    prev_a_idx[B:] = prev_a_idx[B - 1]
-                    prev_d_idx[B:] = prev_d_idx[B - 1]
+                ipack[:, B:] = ipack[:, B - 1 : B]
 
-            if is_lstm:
-                # gather recurrent columns from the shared carry buffers
-                # with ONE fancy index (trace-start buckets use cached
-                # zero rows: prev None <=> fresh state on every member)
-                if not steady:
-                    zr = self._zero_rows.get(Bp)
-                    if zr is None:
-                        z = jnp.zeros((depth, Bp, H), util.dtype())
-                        zr = self._zero_rows[Bp] = (z, z)
-                    rows = zr
-                else:
-                    h = self._hbuf[:, worker_idx]
-                    c = self._cbuf[:, worker_idx]
-                    if Bp != B:
-                        h = np.concatenate(
-                            [h, np.repeat(h[:, -1:], Bp - B, axis=1)],
-                            axis=1,
-                        )
-                        c = np.concatenate(
-                            [c, np.repeat(c[:, -1:], Bp - B, axis=1)],
-                            axis=1,
-                        )
-                    rows = (jnp.asarray(h), jnp.asarray(c))
-            else:
-                rows = ()
-
-            prior = {}
-            if items[0]._prior_row:
-                for k in items[0]._prior_row:
-                    prior[k] = jnp.asarray(
-                        pad(np.stack([r._prior_row[k] for r in items]))
-                    )
-            # batched PRIOR distribution (tree-stacked item dists) so the
-            # prior's log-pdf of the sampled value computes on device too
-            prior_dist = jax.tree_util.tree_map(
-                lambda *xs: jnp.asarray(
-                    pad(np.stack([np.asarray(x) for x in xs]))
-                ),
-                *[r.variable.distribution for r in items],
+            # ONE [Bp, W] float array carries prior params + prior-dist
+            # leaves + previous values, sliced in-program by the STATIC
+            # meta (one device_put instead of one per operand)
+            prior_keys = tuple(sorted(items[0]._prior_row))
+            prior_widths = tuple(
+                items[0]._prior_row[k].shape[0] for k in prior_keys
             )
+            for k in prior_keys:
+                fparts.append(np.stack([r._prior_row[k] for r in items]))
+            dist_leaves0, dist_treedef = jax.tree_util.tree_flatten(
+                items[0].variable.distribution
+            )
+            packable = all(
+                np.issubdtype(np.asarray(l).dtype, np.floating)
+                for l in dist_leaves0
+            )
+            dist_shapes = tuple(
+                tuple(np.shape(l)) for l in dist_leaves0
+            )
+            prior_dist_arg = None
+            if packable:
+                rows_leaves = [dist_leaves0] + [
+                    jax.tree_util.tree_leaves(r.variable.distribution)
+                    for r in items[1:]
+                ]
+                for j in range(len(dist_leaves0)):
+                    fparts.append(
+                        np.stack(
+                            [
+                                np.asarray(
+                                    lv[j], util.dtype()
+                                ).reshape(-1)
+                                for lv in rows_leaves
+                            ]
+                        )
+                    )
+            else:  # integer-leaved dists: own pytree arg (rare)
+                def _pad0(a):
+                    if Bp == B:
+                        return a
+                    reps = np.repeat(a[-1:], Bp - B, axis=0)
+                    return np.concatenate([a, reps], axis=0)
 
-            if not steady:
-                sembs = None
-                prev_values = None
+                prior_dist_arg = jax.tree_util.tree_map(
+                    lambda *xs: jnp.asarray(
+                        _pad0(np.stack([np.asarray(x) for x in xs]))
+                    ),
+                    *[r.variable.distribution for r in items],
+                )
+                dist_shapes = ()
+            prev_w = 0
+            if steady:
+                pv = np.stack(pv_rows)
+                prev_w = pv.shape[1]
+                fparts.append(pv)
+            if fparts:
+                fpack = np.concatenate(
+                    [p.astype(util.dtype(), copy=False) for p in fparts],
+                    axis=1,
+                )
+                if Bp != B:
+                    fpack = np.concatenate(
+                        [fpack, np.repeat(fpack[-1:], Bp - B, axis=0)],
+                        axis=0,
+                    )
             else:
-                sembs = self._semb_groups[prev_group]["stacked"]
-                prev_values = jnp.asarray(pad(np.stack(pv_rows)))
+                fpack = np.zeros((Bp, 0), util.dtype())
 
-            values, plps, prior_lps, d, new_rows = fn(
+            meta = (
+                steady,
+                prior_keys,
+                prior_widths,
+                dist_treedef if packable else None,
+                dist_shapes,
+                prev_w,
+            )
+            sembs = (
+                self._semb_groups[prev_group]["stacked"] if steady else ()
+            )
+            values, lp_pack, d, new_carry = fn(
                 params["lstm"] if is_lstm else (),
                 hg["stacked"],
                 sembs,
                 self._aemb if is_lstm else (),
                 self._demb if is_lstm else (),
                 self._emb,
-                rows,
-                jnp.asarray(cur_head_idx),
-                jnp.asarray(cur_a_idx),
-                jnp.asarray(cur_d_idx),
-                jnp.asarray(prev_semb_idx),
-                jnp.asarray(prev_a_idx),
-                jnp.asarray(prev_d_idx),
-                prev_values,
-                prior,
-                prior_dist,
-                jnp.asarray(seeds),
+                (self._hbuf, self._cbuf) if is_lstm else (),
+                jnp.asarray(ipack),
+                jnp.asarray(fpack),
+                prior_dist_arg,
                 self._base_key,
+                meta,
             )
-            values_np = np.asarray(values)
-            plps_list = np.asarray(plps, np.float64)[:B].tolist()
-            prior_lps_list = np.asarray(prior_lps, np.float64)[:B].tolist()
-            # the batched dist pytree converts to numpy ONCE; shims slice
-            # their row lazily (only rejection retries ever need it)
-            d_np = jax.tree_util.tree_map(np.asarray, d)
             if is_lstm:
-                # scatter new recurrent rows back into the shared buffers
-                # with one fancy index; workers only flip their fresh flag
-                self._hbuf[:, worker_idx] = np.asarray(new_rows[0])[:, :B]
-                self._cbuf[:, worker_idx] = np.asarray(new_rows[1])[:, :B]
+                # device-resident carry: the jit gathered/scattered the
+                # worker columns; just rebind the buffers
+                self._hbuf, self._cbuf = new_carry
+            values_np = np.asarray(values)
+            lp_np = np.asarray(lp_pack, np.float64)
+            plps_list = lp_np[0, :B].tolist()
+            prior_lps_list = lp_np[1, :B].tolist()
+            # the batched dist pytree stays on device; a shared holder
+            # converts to numpy LAZILY (only rejection retries need it)
+            d_holder = _RoundDist(d)
             for row, r in enumerate(items):
                 r.out = _ProposalShim(
                     values_np[row],
                     plps_list[row],
                     prior_lps_list[row],
-                    d_np,
+                    d_holder,
                     row,
                     r.variable.distribution.name,
                 )

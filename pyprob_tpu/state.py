@@ -439,18 +439,13 @@ def sample(distribution, name=None, address=None, control=True, mask=None):
                     if proposal_log_prob is None
                     else float(log_prob) - float(proposal_log_prob)
                 )
-                variable = Variable(
-                    distribution=distribution,
-                    value=value,
-                    address_base=address_base,
-                    address=full_address,
-                    instance=instance,
-                    log_prob=log_prob,
-                    log_importance_weight=log_importance_weight,
-                    control=control,
-                    name=name,
-                    masked=not active,
-                )
+                # reuse the stub as the trace record (hot path: one
+                # Variable construction per site, not two)
+                variable = stub
+                variable.value = value
+                variable.log_prob = log_prob
+                variable.log_importance_weight = log_importance_weight
+                variable.masked = not active
                 ctx.previous_variable = variable
                 trace.add(variable)
                 return variable.value
