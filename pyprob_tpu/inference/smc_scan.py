@@ -53,6 +53,22 @@ from ..parallel.collectives import (
 _scan_smc_cache = {}
 
 
+def _local_vec(observed):
+    """Flattened per-stage observation vector for the proposal's local
+    slot, in sorted-name order (matches the training-side packing of
+    observes-following-each-site for single-sample-per-step models)."""
+    if not observed:
+        return None
+    import jax.numpy as jnp
+
+    return jnp.concatenate(
+        [
+            jnp.reshape(jnp.asarray(observed[k], util.dtype()), (-1,))
+            for k in sorted(observed)
+        ]
+    )
+
+
 def _handler_run(fn, key, observed, likelihood_importance, fn_args,
                  proposal_step=None, ps_state=None, ps_emb=None):
     """Execute one protocol hook under a fresh VectorizedHandler; returns
@@ -81,6 +97,12 @@ def _handler_run(fn, key, observed, likelihood_importance, fn_args,
             proposal_step.set_embedding(ps_emb)
         if ps_state is not None:
             proposal_step.set_state(ps_state)
+        # per-stage LOCAL observations: nets trained with the
+        # tied-Markov local slot see this stage's observe values
+        # directly at every site (the filtering-proposal input a
+        # whole-sequence embedding cannot localize at large T)
+        if getattr(proposal_step, "local_observe_dim", 0):
+            proposal_step.set_local(_local_vec(observed))
     prev = state._set_handler(handler)
     try:
         out = fn(*fn_args)

@@ -467,6 +467,12 @@ class LockstepCoordinator:
             S = net._sample_embedding_dim
             D = net._distribution_type_embedding_dim
             A = net._address_embedding_dim
+            # nets trained with the per-step local-observation slot
+            # (tied Markov training): stepwise lockstep inference cannot
+            # know the site/observe pairing — zero slot, same as the
+            # sequential interpreter (proposals degrade gracefully,
+            # weights stay exact)
+            W_loc = getattr(net, "_local_observe_dim", 0)
 
         # Per-round host->device traffic is TWO arrays: ``ipack`` [8, Bp]
         # int32 (seeds + all gather indices + worker columns) and
@@ -533,17 +539,17 @@ class LockstepCoordinator:
                     prev_a = aemb[ipack[5]]
                     prev_d = demb[ipack[6]]
                     rows = (carry[0][:, widx], carry[1][:, widx])
-                x = jnp.concatenate(
-                    [
-                        emb_b,
-                        prev_sample_emb,
-                        prev_d,
-                        prev_a,
-                        demb[ipack[3]],
-                        aemb[ipack[2]],
-                    ],
-                    axis=1,
-                )
+                parts = [emb_b]
+                if W_loc:
+                    parts.append(jnp.zeros((B, W_loc), util.dtype()))
+                parts += [
+                    prev_sample_emb,
+                    prev_d,
+                    prev_a,
+                    demb[ipack[3]],
+                    aemb[ipack[2]],
+                ]
+                x = jnp.concatenate(parts, axis=1)
                 feats, new_rows = lstm_step(lstm_p, x, rows)
                 new_carry = (
                     carry[0].at[:, widx].set(new_rows[0]),

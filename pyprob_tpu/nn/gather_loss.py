@@ -217,6 +217,8 @@ def pack_batch(net, registry, batch):
     d_idx = np.zeros((T_pad, B_pad), np.int32)
     semb_idx = np.zeros((T_pad, B_pad), np.int32)
     mask = np.zeros((T_pad, B_pad), dtype)
+    W_loc = getattr(net, "_local_observe_dim", 0)
+    local = np.zeros((T_pad, B_pad, W_loc), dtype) if W_loc else None
     values = None
     prior = None
     addrs_present = set()
@@ -293,6 +295,8 @@ def pack_batch(net, registry, batch):
                 else 1.0
                 for tr in sub
             ]
+        if local is not None:
+            local[:L, cols] = net._local_obs_rows(sub)[:, :, :W_loc]
         # step padding: replicate the last real step (keeps log-densities
         # finite so masked entries cannot poison the sum with nan)
         if L < T_pad:
@@ -301,13 +305,18 @@ def pack_batch(net, registry, batch):
             a_idx[L:, cols] = a_idx[L - 1, cols]
             d_idx[L:, cols] = d_idx[L - 1, cols]
             values[L:, cols] = values[L - 1, cols]
+            if local is not None:
+                local[L:, cols] = local[L - 1, cols]
             for k in prior:
                 prior[k][L:, cols] = prior[k][L - 1, cols]
         b += n
 
     # row padding: replicate the last trace, fully masked
     if B < B_pad:
-        for arr in (head_idx, semb_idx, a_idx, d_idx, values):
+        pads = [head_idx, semb_idx, a_idx, d_idx, values]
+        if local is not None:
+            pads.append(local)
+        for arr in pads:
             arr[:, B:] = arr[:, B - 1 : B]
         for k in prior:
             prior[k][:, B:] = prior[k][:, B - 1 : B]
@@ -362,6 +371,10 @@ def pack_batch(net, registry, batch):
         "active_idx": jnp.asarray(active),
         "active_pad_mask": jnp.asarray(active_pad_mask),
     }
+    if local is not None:
+        packed["local_obs"] = jnp.asarray(local)
+    # NOTE: positional sig entries are consumed by index elsewhere
+    # (speculative compiles, fused-update keys) — only APPEND new ones
     sig = (
         T_pad,
         B_pad,
@@ -376,6 +389,7 @@ def pack_batch(net, registry, batch):
         _next_pow2(len(registry.semb_groups[semb_gkey])),
         _next_pow2(len(registry.a_addrs)),
         _next_pow2(len(registry.d_names)),
+        W_loc,
     )
     return sig, packed, head_gkey, semb_gkey, addrs_present
 
@@ -436,9 +450,14 @@ def make_gather_loss(embed_fn, A, D):
         prev_a = jnp.concatenate([z(A), cur_a[:-1]], axis=0)
         prev_d = jnp.concatenate([z(D), cur_d[:-1]], axis=0)
         obs_b = jnp.broadcast_to(emb[None], (T,) + emb.shape)
-        lstm_in = jnp.concatenate(
-            [obs_b, prev_semb, prev_d, prev_a, cur_d, cur_a], axis=-1
-        )
+        parts = [obs_b]
+        lo = packed.get("local_obs")
+        if lo is not None:
+            # per-step local observations (tied Markov training): the
+            # values of the observes following each controlled site
+            parts.append(lo)
+        parts += [prev_semb, prev_d, prev_a, cur_d, cur_a]
+        lstm_in = jnp.concatenate(parts, axis=-1)
         out, _ = lstm_apply(tables["lstm"], lstm_in)  # [T, B, H]
         heads = tables["heads"]
         # head stage on ACTIVE cells only (the compacted loss-carrying

@@ -558,8 +558,23 @@ class InferenceNetwork:
                     axis=1,
                 )
             obs[name] = jnp.reshape(arr, (batch_size, -1))
+        # per-step local-observation slot (tied Markov training): the
+        # values of NAMED observe sites between each controlled site and
+        # the next, sorted by name (mirrors
+        # InferenceNetworkLSTM._trailing_observe_positions)
+        W_loc = getattr(self, "_local_observe_dim", 0)
+        gaps = []
+        if W_loc:
+            for s in sites:
+                if s.control and not s.observed:
+                    gaps.append([])
+                elif s.observed and s.name is not None and gaps:
+                    gaps[-1].append(s)
+            gaps = [
+                sorted(g, key=lambda s: s.name) for g in gaps
+            ]
         steps = []
-        for s in controlled:
+        for t, s in enumerate(controlled):
             values = jnp.asarray(outputs["values"][s.address])
             leaves = outputs["dist_leaves"][s.address]
             dist = jax.tree_util.tree_unflatten(
@@ -582,6 +597,38 @@ class InferenceNetwork:
                 for k, v in prior_param_arrays(dist).items()
             }
             step = {"values": values, "prior": prior}
+            if W_loc:
+                gap = gaps[t] if t < len(gaps) else []
+                if gap:
+                    lo = jnp.concatenate(
+                        [
+                            jnp.reshape(
+                                jnp.asarray(
+                                    outputs["values"][g.address],
+                                    util.dtype(),
+                                ),
+                                (batch_size, -1),
+                            )
+                            for g in gap
+                        ],
+                        axis=1,
+                    )
+                    if lo.shape[1] > W_loc:
+                        lo = lo[:, :W_loc]
+                    elif lo.shape[1] < W_loc:
+                        lo = jnp.concatenate(
+                            [
+                                lo,
+                                jnp.zeros(
+                                    (batch_size, W_loc - lo.shape[1]),
+                                    util.dtype(),
+                                ),
+                            ],
+                            axis=1,
+                        )
+                else:
+                    lo = jnp.zeros((batch_size, W_loc), util.dtype())
+                step["local_obs"] = lo
             mk = outputs.get("masks", {}).get(s.address)
             if mk is not None:  # sample(mask=) 1/0 activity per trace
                 step["mask"] = jnp.asarray(mk, util.dtype())
@@ -1069,11 +1116,16 @@ class InferenceNetwork:
     # ------------------------------------------------------------------
     # pre-generation (reference: inference_network.py:270-288)
     # ------------------------------------------------------------------
+    def _maybe_init_local_observe(self, example_trace):
+        """Subclass hook (InferenceNetworkLSTM): size the per-step local
+        observation slot for tied-instance training."""
+
     def _pre_generate_layers(self, dataset, batch_size=64, save_file_name_prefix=None):
         if not self._layers_initialized:
             self._init_layers_observe_embedding(
                 self._observe_embeddings_spec, example_trace=dataset[0]
             )
+            self._maybe_init_local_observe(dataset[0])
             self._init_layers()
             self._layers_initialized = True
         self._layers_pre_generated = True
@@ -1254,6 +1306,7 @@ class InferenceNetwork:
             self._init_layers_observe_embedding(
                 self._observe_embeddings_spec, example_trace=dataset[0]
             )
+            self._maybe_init_local_observe(dataset[0])
             self._init_layers()
             self._layers_initialized = True
 

@@ -60,6 +60,15 @@ class InferenceNetworkLSTM(InferenceNetwork):
         self._lstm_dim = lstm_dim
         self._lstm_depth = lstm_depth
         self._lstm_input_dim = None
+        # per-step LOCAL observation slot width (tied-instance Markov
+        # training): raw values of the observes that FOLLOW each
+        # controlled site feed the LSTM input at that site, so filtering
+        # proposals see y_t directly instead of having to localize it
+        # inside a fixed-width whole-sequence embedding (the measured
+        # information bottleneck behind guided scan-SMC's flat ESS at
+        # large T, BASELINE.md r4).  0 = feature off (default for
+        # untied/non-Markov training).
+        self._local_observe_dim = 0
         self._sample_embedding_dim = sample_embedding_dim
         self._address_embedding_dim = address_embedding_dim
         self._distribution_type_embedding_dim = distribution_type_embedding_dim
@@ -79,6 +88,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
             "lstm_dim": self._lstm_dim,
             "lstm_depth": self._lstm_depth,
             "lstm_input_dim": self._lstm_input_dim,
+            "local_observe_dim": self._local_observe_dim,
             "sample_embedding_dim": self._sample_embedding_dim,
             "address_embedding_dim": self._address_embedding_dim,
             "distribution_type_embedding_dim": self._distribution_type_embedding_dim,
@@ -90,6 +100,8 @@ class InferenceNetworkLSTM(InferenceNetwork):
         self._lstm_dim = state["lstm_dim"]
         self._lstm_depth = state["lstm_depth"]
         self._lstm_input_dim = state["lstm_input_dim"]
+        # absent in pre-r4 checkpoints: feature off
+        self._local_observe_dim = state.get("local_observe_dim", 0)
         self._sample_embedding_dim = state["sample_embedding_dim"]
         self._address_embedding_dim = state["address_embedding_dim"]
         self._distribution_type_embedding_dim = state[
@@ -101,12 +113,80 @@ class InferenceNetworkLSTM(InferenceNetwork):
         """(reference: inference_network_lstm.py:29-32)"""
         self._lstm_input_dim = (
             self._observe_embedding_dim
+            + self._local_observe_dim
             + self._sample_embedding_dim
             + 2 * (self._address_embedding_dim + self._distribution_type_embedding_dim)
         )
         self._params["lstm"] = lstm_init(
             util.next_key(), self._lstm_input_dim, self._lstm_dim, self._lstm_depth
         )
+
+    @staticmethod
+    def _trailing_observe_positions(trace):
+        """Per controlled-site index ``t``: positions (into
+        ``trace.variables``) of the OBSERVED variables between controlled
+        site ``t`` and controlled site ``t+1`` (or trace end) — the
+        observations a filtering proposal for site ``t`` should condition
+        on directly (in a MarkovModel's derived trace these are exactly
+        the current step's observes)."""
+        out = []
+        for pos, v in enumerate(trace.variables):
+            if v.control and not v.observed:
+                out.append([])
+            elif v.observed and v.name is not None and out:
+                out[-1].append(pos)
+        # sorted-name order within each gap, matching the inference-side
+        # per-stage flattening (inference only has the observed dict)
+        return [
+            sorted(g, key=lambda p: trace.variables[p].name) for g in out
+        ]
+
+    def _maybe_init_local_observe(self, example_trace):
+        """Auto-size the per-step local-observation slot for
+        tied-instance (Markov) training; ``PYPROB_TPU_LOCAL_OBS=0``
+        opts out."""
+        import os
+
+        if not self._tie_address_instances:
+            return
+        if os.environ.get("PYPROB_TPU_LOCAL_OBS", "1") == "0":
+            return
+        w = 0
+        for positions in self._trailing_observe_positions(example_trace):
+            tw = sum(
+                int(np.asarray(example_trace.variables[p].value).size)
+                for p in positions
+            )
+            w = max(w, tw)
+        self._local_observe_dim = int(w)
+
+    def _local_obs_rows(self, sub_batch):
+        """[T, B, W_loc] local-observation values for a sub-batch (all
+        traces share the type): step t row b = flattened values of the
+        observes following controlled site t in trace b, zero-padded (or
+        truncated) to the slot width."""
+        W = self._local_observe_dim
+        example = sub_batch[0]
+        pos_map = self._trailing_observe_positions(example)
+        T = example.length_controlled
+        B = len(sub_batch)
+        out = np.zeros((T, B, W), util.dtype())
+        for t in range(min(T, len(pos_map))):
+            positions = pos_map[t]
+            if not positions:
+                continue
+            for b, tr in enumerate(sub_batch):
+                vals = np.concatenate(
+                    [
+                        np.asarray(
+                            tr.variables[p].value, util.dtype()
+                        ).reshape(-1)
+                        for p in positions
+                    ]
+                )
+                k = min(W, vals.shape[0])
+                out[t, b, :k] = vals[:k]
+        return out
 
     def _polymorph(self, batch):
         """Grow per-address layers (reference: inference_network_lstm.py:34-80)."""
@@ -195,6 +275,11 @@ class InferenceNetworkLSTM(InferenceNetwork):
     def _pack_sub_batch(self, sub_batch):
         example = sub_batch[0]
         packed = {"obs": self._pack_observes(sub_batch), "steps": []}
+        local = (
+            self._local_obs_rows(sub_batch)
+            if self._local_observe_dim
+            else None
+        )
         for t in range(example.length_controlled):
             values = jnp.asarray(
                 np.stack(
@@ -208,6 +293,8 @@ class InferenceNetworkLSTM(InferenceNetwork):
                 "values": values,
                 "prior": self._sub_batch_prior_params(sub_batch, t),
             }
+            if local is not None:
+                step["local_obs"] = jnp.asarray(local[t])
             sm = self._sub_batch_step_mask(sub_batch, t)
             if sm is not None:
                 step["mask"] = sm
@@ -283,19 +370,18 @@ class InferenceNetworkLSTM(InferenceNetwork):
                         params["dist_type_embedding"][dist_names[t - 1]],
                         (B, D),
                     )
-                inputs.append(
-                    jnp.concatenate(
-                        [
-                            emb,
-                            prev_sample_emb,
-                            prev_dist_emb,
-                            prev_addr_emb,
-                            cur_dist_emb,
-                            cur_addr_emb,
-                        ],
-                        axis=1,
-                    )
-                )
+                parts = [emb]
+                lo = packed["steps"][t].get("local_obs")
+                if lo is not None:
+                    parts.append(lo)
+                parts += [
+                    prev_sample_emb,
+                    prev_dist_emb,
+                    prev_addr_emb,
+                    cur_dist_emb,
+                    cur_addr_emb,
+                ]
+                inputs.append(jnp.concatenate(parts, axis=1))
             lstm_in = jnp.stack(inputs)  # [T, B, I]
             lstm_out, _ = lstm_apply(params["lstm"], lstm_in)  # [T, B, H]
             mask = packed.get("mask")
@@ -657,19 +743,26 @@ class InferenceNetworkLSTM(InferenceNetwork):
         fn = getattr(self, "_infer_step_jit", None)
         if fn is None:
 
+            W_loc = self._local_observe_dim
+
             def _site_step(lstm_p, head_p, obs_emb, prev_sample_emb,
                            prev_dist_emb, prev_addr_emb, cur_dist_emb,
                            cur_addr_emb, lstm_state, prior):
-                x = jnp.concatenate(
-                    [
-                        obs_emb[0],
-                        prev_sample_emb[0],
-                        prev_dist_emb,
-                        prev_addr_emb,
-                        cur_dist_emb,
-                        cur_addr_emb,
-                    ]
-                ).reshape(1, -1)
+                parts = [obs_emb[0]]
+                if W_loc:
+                    # stepwise interpreter inference cannot know which
+                    # future observes pair with this site: the local
+                    # slot stays zero (proposal degrades gracefully,
+                    # weights stay exact; guided scan-SMC feeds it)
+                    parts.append(jnp.zeros((W_loc,), util.dtype()))
+                parts += [
+                    prev_sample_emb[0],
+                    prev_dist_emb,
+                    prev_addr_emb,
+                    cur_dist_emb,
+                    cur_addr_emb,
+                ]
+                x = jnp.concatenate(parts).reshape(1, -1)
                 out, new_state = lstm_step(lstm_p, x, lstm_state)
                 return head_apply(head_p, out, prior), new_state
 
@@ -703,10 +796,13 @@ class InferenceNetworkLSTM(InferenceNetwork):
         )
         state = {}
 
+        W_loc = self._local_observe_dim
+
         def reset():
             state["lstm"] = lstm_zero_state(params["lstm"], (1,))
             state["prev"] = None  # (address, value, dist_name)
             state["emb"] = None
+            state["local"] = None  # per-stage local observation values
 
         def _emb(observed):
             # observe embedding from the *traced* observed dict — computed
@@ -757,16 +853,38 @@ class InferenceNetworkLSTM(InferenceNetwork):
                     prev_sample_emb = jnp.zeros((1, S), util.dtype())
                     prev_addr_emb = jnp.zeros((A,), util.dtype())
                     prev_dist_emb = jnp.zeros((D,), util.dtype())
-            x = jnp.concatenate(
-                [
-                    emb[0],
-                    prev_sample_emb[0],
-                    prev_dist_emb,
-                    prev_addr_emb,
-                    params["dist_type_embedding"][distribution.name],
-                    params["address_embedding"][addr],
-                ]
-            ).reshape(1, -1)
+            parts = [emb[0]]
+            if W_loc:
+                # per-stage local observation slot (guided scan-SMC sets
+                # it to the current stage's observe values via set_local;
+                # paths that cannot know the alignment feed zeros — the
+                # proposal degrades gracefully, weights stay exact)
+                lo = state.get("local")
+                if lo is None:
+                    lo = jnp.zeros((W_loc,), util.dtype())
+                lo = jnp.reshape(
+                    jnp.asarray(lo, util.dtype()), (-1,)
+                )
+                if lo.shape[0] > W_loc:
+                    lo = lo[:W_loc]
+                elif lo.shape[0] < W_loc:
+                    lo = jnp.concatenate(
+                        [
+                            lo,
+                            jnp.zeros(
+                                (W_loc - lo.shape[0],), util.dtype()
+                            ),
+                        ]
+                    )
+                parts.append(lo)
+            parts += [
+                prev_sample_emb[0],
+                prev_dist_emb,
+                prev_addr_emb,
+                params["dist_type_embedding"][distribution.name],
+                params["address_embedding"][addr],
+            ]
+            x = jnp.concatenate(parts).reshape(1, -1)
             out, state["lstm"] = lstm_step(params["lstm"], x, state["lstm"])
             prior = {
                 k: jnp.reshape(jnp.asarray(v, util.dtype()), (1, -1))
@@ -832,9 +950,17 @@ class InferenceNetworkLSTM(InferenceNetwork):
         def set_embedding(e):
             state["emb"] = e
 
+        def set_local(v):
+            # current stage's observe values (flattened [W] or None):
+            # guided scan-SMC aligns them per stage; other callers leave
+            # the slot zero
+            state["local"] = v
+
         proposal_step.reset = reset
         proposal_step.compute_embedding = compute_embedding
         proposal_step.set_embedding = set_embedding
+        proposal_step.set_local = set_local
+        proposal_step.local_observe_dim = W_loc
         proposal_step.get_state = get_state
         proposal_step.set_state = set_state
         proposal_step.supports_defensive = True
