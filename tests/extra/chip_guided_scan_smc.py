@@ -113,9 +113,10 @@ def main():
         for c in os.environ.get("CASES", "64x65536,256x65536").split(",")
     ]
     regimes = os.environ.get("REGIMES", "wellspec").split(",")
+    train = int(os.environ.get("TRAIN", "4096"))
     for regime in regimes:
         for T, n in cases:
-            run_case(T, n, regime=regime)
+            run_case(T, n, train_traces=train, regime=regime)
 
 
 if __name__ == "__main__":
