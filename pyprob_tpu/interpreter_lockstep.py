@@ -237,11 +237,30 @@ class LockstepCoordinator:
         }
         self._emb = network._embed_observe_pure(self._params, obs)  # [1, O]
         self._num_workers = num_workers
+        # worker GROUPS can answer rounds independently: while group A's
+        # batched device step runs (GIL released), group B's workers
+        # interleave their model python — the r4 profile showed the
+        # device step + fetch (~39% of wall) running with EVERY worker
+        # parked, pure serialization.  Sampled values are deterministic
+        # per (seed, ticket), so statistics are identical at any group
+        # count.  Default 1: on this 2-core host the packing python of a
+        # second concurrent round competes for the GIL and measured
+        # neutral-to-negative (BASELINE.md r4); raise
+        # PYPROB_TPU_LOCKSTEP_GROUPS on many-core hosts where worker
+        # python has its own cores to overlap with.
+        import os
+
+        G = int(os.environ.get("PYPROB_TPU_LOCKSTEP_GROUPS", "1"))
+        G = max(1, min(G, num_workers))
+        self._num_groups = G
+        self._group_of = [i % G for i in range(num_workers)]
+        self._Bp = _next_pow2((num_workers + G - 1) // G)
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        self._running = 0
+        self._running = [0] * G
         self._done = 0
-        self._requests = []
+        self._total = 0
+        self._requests = [[] for _ in range(G)]
         self._error = None
         # one base key per run; per-request worker seeds fold into it, so
         # sampled values are deterministic per (global seed, ticket)
@@ -267,10 +286,11 @@ class LockstepCoordinator:
         # the worker's device columns
         if not self._is_lstm:
             return None
-        return (
-            np.asarray(self._hbuf[:, idx : idx + 1]),
-            np.asarray(self._cbuf[:, idx : idx + 1]),
-        )
+        with self._carry_mutex:
+            return (
+                np.asarray(self._hbuf[:, idx : idx + 1]),
+                np.asarray(self._cbuf[:, idx : idx + 1]),
+            )
 
     def set_carry(self, idx, v):
         if self._is_lstm:
@@ -381,75 +401,98 @@ class LockstepCoordinator:
             else util.get_rng().integers(2**31)
         )
         req = _Request(idx, proxy, variable, prev_variable, seed)
+        g = self._group_of[idx]
+        batch = None
         with self._cond:
             if self._error is not None:
                 raise RuntimeError("lockstep run already failed") from None
-            self._requests.append(req)
-            self._running -= 1
-            # only the LAST runner to park wakes the coordinator (it
-            # waits for running == 0): K-1 of the K per-round notifies
-            # were spurious wakeups, a measurable share of the ~80 us
-            # per-site handoff (BASELINE.md r3 breakdown)
-            if self._running == 0:
-                self._cond.notify_all()
+            self._requests[g].append(req)
+            self._running[g] -= 1
+            # the LAST parker of the group answers the round ITSELF —
+            # no coordinator handoff (2 context switches per round in
+            # the r3 breakdown), and the device step it dispatches
+            # overlaps the OTHER groups' worker python
+            if self._running[g] == 0:
+                batch = self._requests[g]
+                self._requests[g] = []
+        if batch is not None:
+            self._answer_round(batch, g)
         req.event.wait()
         if isinstance(req.out, BaseException):
             raise req.out
         return req.out
 
-    def worker_done(self):
+    def worker_done(self, idx):
+        g = self._group_of[idx]
+        batch = None
         with self._cond:
-            self._running -= 1
+            self._running[g] -= 1
             self._done += 1
-            if self._running == 0:
+            if self._done >= self._total:
                 self._cond.notify_all()
+            if (
+                self._running[g] == 0
+                and self._requests[g]
+                and self._error is None
+            ):
+                # the finishing worker answers its group's parked round
+                batch = self._requests[g]
+                self._requests[g] = []
+        if batch is not None:
+            self._answer_round(batch, g)
 
-    def worker_failed(self, exc):
+    def worker_failed(self, idx, exc):
+        unblock = []
         with self._cond:
             if self._error is None:
                 self._error = exc
-            self._running -= 1
+            self._running[self._group_of[idx]] -= 1
             self._done += 1
-            if self._running == 0:
+            # unpark every waiting request with the failure; resumed
+            # workers re-raise, land here, and drain the pool
+            for gi in range(self._num_groups):
+                reqs = self._requests[gi]
+                self._requests[gi] = []
+                self._running[gi] += len(reqs)
+                unblock.extend(reqs)
+            if self._done >= self._total:
                 self._cond.notify_all()
+        err = RuntimeError("lockstep run failed")
+        err.__cause__ = exc
+        for r in unblock:
+            r.out = err
+            r.event.set()
 
     # -- coordinator side ----------------------------------------------
-    def run(self, workers):
-        """Start worker threads and answer site batches until all done."""
+    def _answer_round(self, batch, g):
+        """Answer one group's round on the calling WORKER thread."""
+        try:
+            self._answer(batch)
+            out_exc = None
+        except BaseException as e:  # propagate to workers + caller
+            with self._cond:
+                if self._error is None:
+                    self._error = e
+            out_exc = e
         with self._cond:
-            self._running = len(workers)
+            self._running[g] += len(batch)
+        for r in batch:
+            if out_exc is not None:
+                r.out = out_exc
+            r.event.set()
+
+    def run(self, workers):
+        """Start worker threads and wait for completion (rounds are
+        answered worker-driven, see _answer_round)."""
+        with self._cond:
+            self._total = len(workers)
+            for i in range(len(workers)):
+                self._running[self._group_of[i]] += 1
         for w in workers:
             w.start()
-        while True:
-            with self._cond:
-                while self._running > 0:
-                    self._cond.wait()
-                if self._error is not None:
-                    # unblock any parked workers so threads exit
-                    for r in self._requests:
-                        r.out = RuntimeError("lockstep run failed")
-                        r.event.set()
-                    self._requests = []
-                    break
-                if not self._requests:
-                    if self._done >= len(workers):
-                        break
-                    continue
-                batch = self._requests
-                self._requests = []
-            try:
-                self._answer(batch)
-            except BaseException as e:  # propagate to workers + caller
-                with self._cond:
-                    self._error = e
-                for r in batch:
-                    r.out = e
-                    r.event.set()
-                continue
-            with self._cond:
-                self._running += len(batch)
-            for r in batch:
-                r.event.set()
+        with self._cond:
+            while self._done < self._total:
+                self._cond.wait()
         for w in workers:
             w.join()
         if self._error is not None:
@@ -631,11 +674,11 @@ class LockstepCoordinator:
         if fn is None:
             fn = self._jit["step"] = self._make_step_fn()
 
-        # fixed pad size (pool width): ONE compiled shape per bucket
+        # fixed pad size (group width): ONE compiled shape per bucket
         # signature — per-bucket-size padding would mint a fresh XLA
         # program whenever a rare (signature, size) pair first appeared,
         # and those mid-run compiles dominate; padded compute is trivial
-        Bp = _next_pow2(self._num_workers)
+        Bp = self._Bp
 
         for (head_group, prev_group, _prior_sig), items in buckets.items():
             B = len(items)
@@ -755,24 +798,44 @@ class LockstepCoordinator:
             sembs = (
                 self._semb_groups[prev_group]["stacked"] if steady else ()
             )
-            values, lp_pack, d, new_carry = fn(
-                params["lstm"] if is_lstm else (),
-                hg["stacked"],
-                sembs,
-                self._aemb if is_lstm else (),
-                self._demb if is_lstm else (),
-                self._emb,
-                (self._hbuf, self._cbuf) if is_lstm else (),
-                jnp.asarray(ipack),
-                jnp.asarray(fpack),
-                prior_dist_arg,
-                self._base_key,
-                meta,
-            )
             if is_lstm:
-                # device-resident carry: the jit gathered/scattered the
-                # worker columns; just rebind the buffers
-                self._hbuf, self._cbuf = new_carry
+                # concurrent group rounds + rejection-snapshot restores
+                # both rebind the carry buffers: the read-dispatch-rebind
+                # must be atomic (dispatch is async, so the mutex is held
+                # only microseconds, not for the device compute)
+                with self._carry_mutex:
+                    values, lp_pack, d, new_carry = fn(
+                        params["lstm"],
+                        hg["stacked"],
+                        sembs,
+                        self._aemb,
+                        self._demb,
+                        self._emb,
+                        (self._hbuf, self._cbuf),
+                        jnp.asarray(ipack),
+                        jnp.asarray(fpack),
+                        prior_dist_arg,
+                        self._base_key,
+                        meta,
+                    )
+                    # device-resident carry: the jit gathered/scattered
+                    # the worker columns; just rebind the buffers
+                    self._hbuf, self._cbuf = new_carry
+            else:
+                values, lp_pack, d, new_carry = fn(
+                    (),
+                    hg["stacked"],
+                    sembs,
+                    (),
+                    (),
+                    self._emb,
+                    (),
+                    jnp.asarray(ipack),
+                    jnp.asarray(fpack),
+                    prior_dist_arg,
+                    self._base_key,
+                    meta,
+                )
             values_np = np.asarray(values)
             lp_np = np.asarray(lp_pack, np.float64)
             plps_list = lp_np[0, :B].tolist()
@@ -860,9 +923,9 @@ def lockstep_interpreter_traces(
                 state._begin_trace()
                 result = model.forward(*args, **kwargs)
                 results[t] = state._end_trace(result)
-            coordinator.worker_done()
+            coordinator.worker_done(widx)
         except BaseException as e:
-            coordinator.worker_failed(e)
+            coordinator.worker_failed(widx, e)
         finally:
             state._swap_context(prev_ctx)
 
