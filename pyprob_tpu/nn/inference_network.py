@@ -372,6 +372,21 @@ class InferenceNetwork:
         compiled tier's traced forward, or None if unsupported."""
         return None
 
+    def snapshot_params(self):
+        """Reference to the current parameter pytree (immutable jax
+        arrays, so holding it is free) — pair with ``restore_params``
+        for validation-based checkpoint selection during training."""
+        return self._params
+
+    def restore_params(self, params):
+        """Restore a parameter snapshot taken with ``snapshot_params``
+        (e.g. the best-validation checkpoint).  Invalidates the memoized
+        serving closure: ``cached_vectorized_proposal_step`` bakes the
+        parameters at closure creation and keys only on the train
+        iteration count, which does not change on a restore."""
+        self._params = params
+        self._vps_cache = None
+
     def cached_vectorized_proposal_step(self, observe=None):
         """Memoize the proposal-step closure so repeated posterior calls
         with an unchanged network reuse the compiled program (the closure's

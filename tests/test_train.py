@@ -125,3 +125,41 @@ def test_offline_dataset_training(tmp_path):
     )
     assert abs(float(post.mean) - 7.25) < 0.8
     assert post.effective_sample_size > 0.05 * 2000
+
+
+def test_snapshot_restore_params_checkpoint_selection():
+    """snapshot_params/restore_params: restoring a checkpoint must also
+    invalidate the memoized serving closure
+    (cached_vectorized_proposal_step bakes parameters at creation and
+    keys on the train-iteration count, which a restore does not change)
+    — bench.py's best-of-segments selection depends on this."""
+    import jax
+
+    pp.seed(3)
+    m = GUM()
+    _train(m, num_traces=1024, network=pp.InferenceNetwork.LSTM, lstm_dim=16)
+    net = m._inference_network
+    snap = net.snapshot_params()
+    ps1 = net.cached_vectorized_proposal_step(OBS)
+    _train(m, num_traces=1024, network=pp.InferenceNetwork.LSTM, lstm_dim=16)
+    ps2 = net.cached_vectorized_proposal_step(OBS)
+    assert ps2 is not ps1  # retraining invalidates via the iteration key
+    net.restore_params(snap)
+    ps3 = net.cached_vectorized_proposal_step(OBS)
+    assert ps3 is not ps2  # the restore invalidates too
+    # and the parameters really are the snapshot again
+    for a, b in zip(
+        jax.tree_util.tree_leaves(snap),
+        jax.tree_util.tree_leaves(net._params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored net serves: posterior is finite and sane
+    post = m.posterior_results(
+        1000,
+        observe=OBS,
+        vectorized=True,
+        inference_engine=(
+            pp.InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+        ),
+    )
+    assert np.isfinite(float(post.mean))
