@@ -217,7 +217,7 @@ class LockstepCoordinator:
         import jax.numpy as jnp
 
         self._net = network
-        self._params = network._params
+        self._params = network._serving_params()
         self._is_lstm = network._network_type == "InferenceNetworkLSTM"
         missing = [
             name

@@ -785,6 +785,12 @@ class Model:
         lstm_depth=1,
         proposal_mixture_components=10,
         tie_address_instances=None,
+        ema_decay=None,
+        keep_best=False,
+        keep_best_every=None,
+        keep_best_metric=None,
+        keep_best_observe=None,
+        keep_best_num_traces=100000,
     ):
         """``tie_address_instances``: key proposal heads (and per-address
         embeddings) on the address base instead of the full
@@ -792,7 +798,19 @@ class Model:
         every occurrence of a repeated site — amortization across time,
         and the requirement for guided scan-SMC.  Default: automatic
         (enabled for MarkovModel subclasses, whose step sites repeat by
-        construction; disabled otherwise)."""
+        construction; disabled otherwise).
+
+        ``ema_decay``: Polyak/EMA parameter averaging per optimizer step
+        (e.g. 0.98); proposals are served from the average — stabilizes
+        late constant-lr training (BASELINE.md r5).  ``keep_best``:
+        validation-based checkpoint selection — probe every
+        ``keep_best_every`` traces and restore the best checkpoint at
+        the end.  The metric is ``keep_best_metric`` (callable
+        ``net -> float``, higher is better); or, given
+        ``keep_best_observe`` (an observe dict), the guided-IS
+        effective-sample-size fraction over ``keep_best_num_traces``
+        traces of THIS model; or, given ``dataset_valid_dir``, the
+        negative validation loss."""
         from .nn import (
             InferenceNetworkFeedForward,
             InferenceNetworkLSTM,
@@ -842,6 +860,22 @@ class Model:
         else:
             util.log_print("Continuing to train existing inference network...")
 
+        if keep_best and keep_best_metric is None and (
+            keep_best_observe is not None
+        ):
+            # guided-IS ESS probe on this model: the bench-validated
+            # checkpoint-selection recipe, now a library surface
+            engine = InferenceEngine.IMPORTANCE_SAMPLING_WITH_INFERENCE_NETWORK
+
+            def keep_best_metric(net):
+                probe = self.posterior_results(
+                    num_traces=keep_best_num_traces,
+                    observe=keep_best_observe,
+                    vectorized=True,
+                    inference_engine=engine,
+                )
+                return probe.effective_sample_size / keep_best_num_traces
+
         self._inference_network.optimize(
             num_traces=num_traces,
             dataset=dataset,
@@ -862,6 +896,10 @@ class Model:
             distributed_num_buckets=distributed_num_buckets,
             stop_with_bad_loss=stop_with_bad_loss,
             log_file_name=log_file_name,
+            ema_decay=ema_decay,
+            keep_best=keep_best,
+            keep_best_every=keep_best_every,
+            keep_best_metric=keep_best_metric,
         )
 
     def save_inference_network(self, file_name):

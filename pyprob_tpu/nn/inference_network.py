@@ -104,6 +104,24 @@ class InferenceNetwork:
         self._learning_rate_scheduler_type = None
         self._learning_rate_init = None
         self._learning_rate_end = None
+        # Polyak/EMA parameter averaging (optimize(ema_decay=...)): the
+        # averaged pytree is what the serving paths read when present.
+        # Late constant-lr training at large widths orbits the optimum
+        # (ESS of the last iterate swings 0.38-0.99 run to run at
+        # lstm512 — BASELINE.md r4); iterate averaging is the standard
+        # fix (Polyak-Ruppert) and costs one fused tree_map per step.
+        self._ema_params = None
+        self._ema_decay = None
+        # number of EMA updates folded into _ema_params: the served
+        # average is the DEBIASED ema/(1-d^t) (Adam-style) — without it
+        # the init point keeps weight d^t (8% after 125 steps at d=0.98,
+        # measured ESS 0.07 vs 0.9+ on chip: averaging-in the random
+        # init wrecks the nonlinear net)
+        self._ema_steps = 0
+        # validation-based checkpoint selection (optimize(keep_best=...))
+        self._keep_best_snapshot = None
+        self._keep_best_metric = None
+        self._keep_best_history = []
 
         self._total_train_seconds = 0.0
         self._total_train_traces = 0
@@ -149,6 +167,12 @@ class InferenceNetwork:
         # gather-loss registry holds jax treedefs (unpicklable); rebuilt
         # lazily from params on first use
         "_gather_reg",
+        "_ema_update_fn",
+        "_ema_debias_fn",
+        "_ema_serving_cache",
+        # the keep-best snapshot aliases _params/_ema_params trees; it is
+        # transient per-optimize state, not worth shipping to workers
+        "_keep_best_snapshot",
         # the back-reference to the owning model (training-time dataset
         # plumbing) would recurse; the unpickling side re-links it
         "_model",
@@ -166,7 +190,7 @@ class InferenceNetwork:
         # (unpickling a jax.Array in a spawned child would initialize
         # whatever backend that process resolves — possibly a remote TPU)
         to_np = lambda x: np.asarray(x) if hasattr(x, "shape") else x
-        for k in ("_params", "_opt_state"):
+        for k in ("_params", "_opt_state", "_ema_params"):
             if state.get(k) is not None:
                 state[k] = jax.tree_util.tree_map(to_np, state[k])
         return state
@@ -183,6 +207,16 @@ class InferenceNetwork:
         self._base_optimizer = None
         self._dp_mesh = None
         self._model = None  # re-linked by the unpickling owner if needed
+        self._ema_update_fn = None
+        self._ema_debias_fn = None
+        self._ema_serving_cache = None
+        self._keep_best_snapshot = None
+        # pre-r5 pickles lack the EMA/keep-best fields
+        self.__dict__.setdefault("_ema_params", None)
+        self.__dict__.setdefault("_ema_decay", None)
+        self.__dict__.setdefault("_ema_steps", 0)
+        self.__dict__.setdefault("_keep_best_metric", None)
+        self.__dict__.setdefault("_keep_best_history", [])
 
     # ------------------------------------------------------------------
     # observe embeddings (reference: inference_network.py:80-148)
@@ -332,15 +366,16 @@ class InferenceNetwork:
         ):
             self._infer_observe_embedding = cached[2]
         else:
+            sp = self._serving_params()
             obs = {
                 name: jnp.asarray(
                     np.asarray(observe[name], dtype=util.dtype()).reshape(
                         1, -1
                     )
                 )
-                for name in self._params["observe"].keys()
+                for name in sp["observe"].keys()
             }
-            emb = self._embed_observe_pure(self._params, obs)
+            emb = self._embed_observe_pure(sp, obs)
             self._infer_emb_cache = (key, observe, emb)
             self._infer_observe_embedding = emb
         self._infer_begin_trace()
@@ -373,19 +408,154 @@ class InferenceNetwork:
         return None
 
     def snapshot_params(self):
-        """Reference to the current parameter pytree (immutable jax
-        arrays, so holding it is free) — pair with ``restore_params``
-        for validation-based checkpoint selection during training."""
-        return self._params
+        """Snapshot of the current parameter state — pair with
+        ``restore_params`` for validation-based checkpoint selection
+        during training.  Leaves are copied to host numpy: the fused
+        training step donates its parameter buffers to XLA, so a
+        reference-only snapshot could be invalidated by the next
+        training dispatch on backends that honor donation.  Includes
+        the Polyak/EMA average when averaging is active."""
+        to_np = lambda tree: jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree
+        )
+        return {
+            "__snapshot__": True,
+            "params": to_np(self._params),
+            "ema_params": to_np(self._ema_params),
+            "ema_steps": self._ema_steps,
+        }
 
-    def restore_params(self, params):
+    def restore_params(self, snapshot):
         """Restore a parameter snapshot taken with ``snapshot_params``
         (e.g. the best-validation checkpoint).  Invalidates the memoized
         serving closure: ``cached_vectorized_proposal_step`` bakes the
         parameters at closure creation and keys only on the train
         iteration count, which does not change on a restore."""
-        self._params = params
+        to_dev = lambda tree: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            tree,
+        )
+        if isinstance(snapshot, dict) and snapshot.get("__snapshot__"):
+            self._params = to_dev(snapshot["params"])
+            self._ema_params = to_dev(snapshot["ema_params"])
+            self._ema_steps = snapshot.get("ema_steps", 0)
+        else:  # bare params pytree (pre-r5 snapshot layout)
+            self._params = to_dev(snapshot)
         self._vps_cache = None
+        self._ema_serving_cache = None
+        # the interpreter-tier embedding cache keys on the train-iteration
+        # count too, which a restore does not change
+        self._infer_emb_cache = None
+
+    def _serving_params(self):
+        """Parameters the proposal-serving/evaluation paths read: the
+        DEBIASED Polyak/EMA average ``ema/(1-d^t)`` when averaging is
+        enabled (``optimize(ema_decay=...)``), else the raw training
+        parameters.  Averaged serving is the root fix for late
+        constant-lr oscillation at large widths (BASELINE.md r5)."""
+        if self._ema_params is None or self._ema_steps == 0:
+            return self._params
+        key = (self._ema_steps, self._ema_decay)
+        cache = getattr(self, "_ema_serving_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        fn = getattr(self, "_ema_debias_fn", None)
+        if fn is None:
+            fn = self._ema_debias_fn = jax.jit(
+                lambda t, s: jax.tree_util.tree_map(lambda x: x * s, t)
+            )
+        scale = jnp.asarray(
+            1.0 / (1.0 - float(self._ema_decay) ** self._ema_steps),
+            util.dtype(),
+        )
+        served = fn(self._ema_params, scale)
+        self._ema_serving_cache = (key, served)
+        return served
+
+    # ------------------------------------------------------------------
+    # Polyak/EMA parameter averaging
+    # ------------------------------------------------------------------
+    def _ema_sync_structure(self):
+        """Initialize the EMA pytree, or graft newly-polymorphed leaves
+        into it (new addresses adopt the raw value; existing leaves keep
+        their running average)."""
+        if self._ema_decay is None:
+            return
+        # _ema_params is the RAW (biased) accumulator: e_t = d*e + (1-d)p
+        # from e_0 = 0; serving debiases by 1/(1-d^t).  Leaves grafted at
+        # step t adopt p*(1-d^t) so their debiased value starts at p.
+        # All adopted leaves are materialized fresh buffers, never
+        # aliases of _params: the fused step donates the params and ema
+        # buffers separately ("donate the same buffer twice" otherwise).
+        bias = 1.0 - float(self._ema_decay) ** max(self._ema_steps, 0)
+        adopt = lambda t: jax.tree_util.tree_map(
+            lambda x: x * bias if hasattr(x, "shape") else x, t
+        )
+        if self._ema_params is None:
+            self._ema_params = jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x) if hasattr(x, "shape") else x,
+                self._params,
+            )
+            return
+
+        def merge(e, p):
+            if isinstance(p, dict):
+                if not isinstance(e, dict):
+                    return adopt(p)
+                return {
+                    k: merge(e[k], v) if k in e else adopt(v)
+                    for k, v in p.items()
+                }
+            if isinstance(p, (tuple, list)):
+                if not isinstance(e, type(p)) or len(e) != len(p):
+                    return adopt(p)
+                out = [merge(a, b) for a, b in zip(e, p)]
+                return tuple(out) if isinstance(p, tuple) else out
+            if e is None or p is None:
+                return adopt(p)
+            if getattr(e, "shape", None) != getattr(p, "shape", None):
+                return adopt(p)
+            return e
+
+        self._ema_params = merge(self._ema_params, self._params)
+
+    def _ema_update_host(self):
+        """One EMA step on the per-dispatch training paths (the fused
+        online loop folds the average into its scanned step instead)."""
+        if self._ema_decay is None:
+            return
+        if self._ema_params is None or jax.tree_util.tree_structure(
+            self._ema_params
+        ) != jax.tree_util.tree_structure(self._params):
+            self._ema_sync_structure()
+        fn = getattr(self, "_ema_update_fn", None)
+        if fn is None or getattr(self, "_ema_update_fn_decay", None) != (
+            self._ema_decay
+        ):
+            d = float(self._ema_decay)
+            fn = jax.jit(
+                lambda e, p: jax.tree_util.tree_map(
+                    lambda a, b: d * a + (1.0 - d) * b, e, p
+                )
+            )
+            self._ema_update_fn = fn
+            self._ema_update_fn_decay = self._ema_decay
+        self._ema_params = fn(self._ema_params, self._params)
+        self._ema_steps += 1
+
+    # ------------------------------------------------------------------
+    # validation-based checkpoint selection (keep_best)
+    # ------------------------------------------------------------------
+    def _keep_best_probe(self, eval_fn):
+        """Evaluate the metric (higher is better) on the CURRENT serving
+        state, record it, and snapshot if it is the best seen this
+        optimize() call."""
+        m = float(eval_fn(self))
+        self._keep_best_history.append((self._total_train_traces, m))
+        if self._keep_best_metric is None or m > self._keep_best_metric:
+            self._keep_best_metric = m
+            self._keep_best_snapshot = self.snapshot_params()
+        return m
 
     def cached_vectorized_proposal_step(self, observe=None):
         """Memoize the proposal-step closure so repeated posterior calls
@@ -688,8 +858,10 @@ class InferenceNetwork:
             )
             return outputs
 
+        ema_decay = self._ema_decay
+
         def one_step(carry, inp):
-            params, opt_state = carry
+            params, ema, opt_state = carry
             keys, lr = inp
             outputs = jax.vmap(single)(keys)
             packed, _, _ = pack(outputs, sites, batch_size)
@@ -697,18 +869,26 @@ class InferenceNetwork:
             loss = loss / batch_size
             grads = jax.tree_util.tree_map(lambda g: g / batch_size, grads)
             params, opt_state = update_raw(params, grads, opt_state, lr)
-            return (params, opt_state), loss
+            if ema_decay is not None:
+                # Polyak/EMA average rides the scan carry: one fused
+                # tree_map per step, no extra dispatches
+                ema = jax.tree_util.tree_map(
+                    lambda a, b: ema_decay * a + (1.0 - ema_decay) * b,
+                    ema,
+                    params,
+                )
+            return (params, ema, opt_state), loss
 
-        def multi_step(params, opt_state, keys, lrs):
+        def multi_step(params, ema, opt_state, keys, lrs):
             # keys: [K, B, ...], lrs: [K] — K optimizer steps in ONE
             # dispatch via lax.scan (bounds host round-trips on
             # high-latency device links)
-            (params, opt_state), losses = jax.lax.scan(
-                one_step, (params, opt_state), (keys, lrs)
+            (params, ema, opt_state), losses = jax.lax.scan(
+                one_step, (params, ema, opt_state), (keys, lrs)
             )
-            return params, opt_state, losses
+            return params, ema, opt_state, losses
 
-        return jax.jit(multi_step, donate_argnums=(0, 1))
+        return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
     def _bump_head_iterations(self, addrs):
         """Per-address training-iteration counters, bumped only on actual
@@ -998,6 +1178,9 @@ class InferenceNetwork:
             "class_name": type(self).__name__,
             "params": to_np(self._params),
             "opt_state": to_np(self._opt_state),
+            "ema_params": to_np(self._ema_params),
+            "ema_decay": self._ema_decay,
+            "ema_steps": self._ema_steps,
             "observe_meta": self._observe_meta,
             "observe_embedding_dim": self._observe_embedding_dim,
             "observe_embeddings_spec": self._observe_embeddings_spec,
@@ -1095,6 +1278,9 @@ class InferenceNetwork:
         )
         net._params = to_dev(data["params"])
         net._opt_state = to_dev(data["opt_state"])
+        net._ema_params = to_dev(data.get("ema_params"))
+        net._ema_decay = data.get("ema_decay")
+        net._ema_steps = data.get("ema_steps", 0)
         net._observe_meta = data["observe_meta"]
         net._observe_embedding_dim = data["observe_embedding_dim"]
         net._layers_initialized = data["layers_initialized"]
@@ -1163,6 +1349,8 @@ class InferenceNetwork:
         log_file,
         time_start,
         prev_total_train_seconds,
+        keep_best_eval=None,
+        keep_best_every=None,
     ):
         """Online training with the single-dispatch fused step.  Returns
         True if it ran to completion, False to fall back to the generic
@@ -1183,6 +1371,8 @@ class InferenceNetwork:
                 )
             self._total_train_iterations += 1
             self._total_train_traces += first.size
+            self._ema_update_host()
+        self._ema_sync_structure()  # polymorph may have grown the params
         probe = dataset.next_device_batch(batch_size)
         if probe is None:
             return False
@@ -1206,6 +1396,9 @@ class InferenceNetwork:
         last_auto_save_time = time_start
         time_last_batch = time_start
         step_in_window = 0
+        next_keep_best = (
+            keep_best_every if keep_best_eval is not None else None
+        )
         while trace_count < num_traces:
             # fixed K keeps one compiled program; the trace budget may
             # overshoot by up to K-1 batches (batch-granular, as in the
@@ -1222,17 +1415,24 @@ class InferenceNetwork:
             lrs = jnp.asarray(lrs, util.dtype())
             keys = util.next_keys(k * batch_size)
             keys = keys.reshape((k, batch_size) + keys.shape[1:])
-            self._params, self._opt_state, losses_dev = fused(
-                self._params, self._opt_state, keys, lrs
+            self._params, self._ema_params, self._opt_state, losses_dev = (
+                fused(
+                    self._params, self._ema_params, self._opt_state, keys, lrs
+                )
             )
             loss_dev = losses_dev[-1]
             lr = float(lrs[-1])
+            if self._ema_decay is not None:
+                self._ema_steps += k
             for _ in range(k):
                 self._bump_head_iterations(self._fused_step_addrs)
             self._total_train_iterations += k
             trace_count += k * batch_size
             self._total_train_traces += k * batch_size
             step_in_window += k
+            if next_keep_best is not None and trace_count >= next_keep_best:
+                next_keep_best += keep_best_every
+                self._keep_best_probe(keep_best_eval)
             now = time.time()
             if True:
                 loss = float(loss_dev)
@@ -1316,7 +1516,21 @@ class InferenceNetwork:
         distributed_world_size=1,
         stop_with_bad_loss=False,
         log_file_name=None,
+        ema_decay=None,
+        keep_best=False,
+        keep_best_every=None,
+        keep_best_metric=None,
     ):
+        """``ema_decay``: maintain a Polyak/EMA average of the parameters
+        (e.g. 0.98 per optimizer step) and serve proposals from it — the
+        root fix for late constant-lr oscillation at large widths.
+        ``keep_best``: validation-based checkpoint selection — probe a
+        metric every ``keep_best_every`` traces (``keep_best_metric``: a
+        callable ``net -> float``, higher is better; default with
+        ``dataset_valid``: negative validation loss on the serving
+        parameters), snapshot the best, and restore it before
+        returning.  Reference precedent for the in-loop validation
+        cadence: pyprob/nn/inference_network.py:535-548."""
         if not self._layers_initialized:
             self._init_layers_observe_embedding(
                 self._observe_embeddings_spec, example_trace=dataset[0]
@@ -1437,10 +1651,48 @@ class InferenceNetwork:
             self._learning_rate_end = learning_rate_end
         if self._total_train_traces_end is None:
             self._total_train_traces_end = num_traces_end
+        if ema_decay is not None:
+            self._ema_decay = ema_decay
+
+        # keep_best: per-call state; the final parameters compete in a
+        # last probe before the best snapshot is restored
+        self._keep_best_snapshot = None
+        self._keep_best_metric = None
+        keep_best_eval = None
+        if keep_best:
+            if keep_best_metric is not None:
+                keep_best_eval = keep_best_metric
+            elif dataset_valid is not None:
+
+                def keep_best_eval(net):
+                    # validation loss of the SERVING parameters (the EMA
+                    # average when averaging is on)
+                    raw = net._params
+                    net._params = net._serving_params()
+                    try:
+                        total, nb = 0.0, 0
+                        for idx in valid_sampler:
+                            _, v = net._loss(
+                                Batch([dataset_valid[int(i)] for i in idx])
+                            )
+                            total += v
+                            nb += 1
+                    finally:
+                        net._params = raw
+                    return -total / max(nb, 1)
+
+            else:
+                raise ValueError(
+                    "keep_best requires keep_best_metric (a callable "
+                    "net -> float, higher is better) or dataset_valid"
+                )
+            if keep_best_every is None:
+                keep_best_every = max(batch_size, int(num_traces) // 4)
 
         epoch = 0
         trace_count = 0
         stop = False
+        next_keep_best = keep_best_every if keep_best_eval is not None else None
         did_initial_param_sync = False
         last_auto_save_time = time_start - (save_every_sec or 0)
         last_print = time_start - util._print_refresh_rate
@@ -1473,9 +1725,14 @@ class InferenceNetwork:
                 log_file=log_file,
                 time_start=time_start,
                 prev_total_train_seconds=prev_total_train_seconds,
+                keep_best_eval=keep_best_eval,
+                keep_best_every=keep_best_every,
             )
             if finished:
                 util.progress_end()
+                if keep_best_eval is not None:
+                    self._keep_best_probe(keep_best_eval)
+                    self.restore_params(self._keep_best_snapshot)
                 if log_file is not None:
                     log_file.close()
                 if save_file_name_prefix is not None:
@@ -1523,6 +1780,7 @@ class InferenceNetwork:
                     self._params, self._opt_state = self._update_fn(
                         self._params, grads, self._opt_state, lr
                     )
+                self._ema_update_host()
 
                 if self._loss_init is None:
                     self._loss_init = loss
@@ -1544,6 +1802,10 @@ class InferenceNetwork:
                     / max(time_batch - time_last_batch, 1e-9)
                 )
                 time_last_batch = time_batch
+
+                if next_keep_best is not None and trace_count >= next_keep_best:
+                    next_keep_best += keep_best_every
+                    self._keep_best_probe(keep_best_eval)
 
                 if dataset_valid is not None and (
                     trace_count - last_validation_trace > valid_every
@@ -1604,6 +1866,9 @@ class InferenceNetwork:
                 if stop:
                     break
         util.progress_end()
+        if keep_best_eval is not None:
+            self._keep_best_probe(keep_best_eval)  # final state competes
+            self.restore_params(self._keep_best_snapshot)
         if log_file is not None:
             log_file.close()
         if distributed_rank == 0 and save_file_name_prefix is not None:

@@ -190,7 +190,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         fn = getattr(self, "_infer_step_jit", None)
         if fn is None:
             fn = self._infer_step_jit = jax.jit(head_apply)
-        d = fn(self._params["proposal"][address],
+        d = fn(self._serving_params()["proposal"][address],
                self._infer_observe_embedding, prior)
         return jax.tree_util.tree_map(np.asarray, d)
 
@@ -201,7 +201,7 @@ class InferenceNetworkFeedForward(InferenceNetwork):
         observe embedding is computed from the traced observed dict on the
         first site of each trace, so the compiled program is reused across
         observations."""
-        params = self._params
+        params = self._serving_params()
         head_meta = self._head_meta
         head_key = self._head_key
         embed = self._embed_observe_pure

@@ -688,7 +688,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
     def _infer_step(self, variable, prev_variable=None, proposal_min_train_iterations=None):
         address = self._head_key(variable.address)
         distribution = variable.distribution
-        params = self._params
+        params = self._serving_params()
         S, A, D = (
             self._sample_embedding_dim,
             self._address_embedding_dim,
@@ -785,7 +785,7 @@ class InferenceNetworkLSTM(InferenceNetwork):
     # compiled-tier guided inference: whole trace in one XLA program
     # ------------------------------------------------------------------
     def make_vectorized_proposal_step(self, observe=None):
-        params = self._params
+        params = self._serving_params()
         head_meta = self._head_meta
         head_key = self._head_key
         embed = self._embed_observe_pure

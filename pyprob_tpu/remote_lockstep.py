@@ -67,7 +67,7 @@ class _BatchedProposer:
         import jax.numpy as jnp
 
         self._net = network
-        self._params = network._params
+        self._params = network._serving_params()
         self._num_sims = num_sims
         self._is_lstm = network._network_type == "InferenceNetworkLSTM"
         missing = [

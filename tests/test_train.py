@@ -147,9 +147,10 @@ def test_snapshot_restore_params_checkpoint_selection():
     net.restore_params(snap)
     ps3 = net.cached_vectorized_proposal_step(OBS)
     assert ps3 is not ps2  # the restore invalidates too
-    # and the parameters really are the snapshot again
+    # and the parameters really are the snapshot again (r5: snapshots
+    # carry {params, ema_params, ema_steps} for EMA-aware selection)
     for a, b in zip(
-        jax.tree_util.tree_leaves(snap),
+        jax.tree_util.tree_leaves(snap["params"]),
         jax.tree_util.tree_leaves(net._params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
