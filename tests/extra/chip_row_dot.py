@@ -86,6 +86,15 @@ def rawdot(x, w):
     return jnp.dot(x, w)
 
 
+def pad8(x, w):
+    """Tile the single row to the native 8-sublane M dim: under vmap the
+    batched [8,in]@[in,out] dot is non-degenerate (MXU tile-shaped)."""
+    if x.ndim >= 2 and x.shape[-2] == 1:
+        xt = jnp.broadcast_to(x, x.shape[:-2] + (8,) + x.shape[-1:])
+        return jnp.matmul(xt, w)[..., :1, :]
+    return jnp.dot(x, w)
+
+
 def bench(name, row_dot):
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -116,6 +125,7 @@ def main():
     print(f"# N={N} IN={IN} H={H} SITES={SITES}", flush=True)
     bench("bcast ", bcast)
     bench("vecmat", vecmat)
+    bench("pad8  ", pad8)
     if os.environ.get("RAWDOT"):
         bench("rawdot", rawdot)
 
