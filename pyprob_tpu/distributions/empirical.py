@@ -191,6 +191,12 @@ class Empirical(Distribution):
         if self._type == EmpiricalType.FILE:
             if self._file_read_only:
                 raise RuntimeError("Empirical file opened read-only")
+            # bulk-write mode: per-trace sqlite COMMIT (autocommit) costs
+            # an fsync each — measured DOMINATING ParallelModel chunk
+            # writers at tens of ms/trace (r5).  Hold one transaction and
+            # land it on the existing _FILE_SYNC_EVERY cadence; sync()
+            # and close() commit whatever is pending.
+            self._shelf._in_transaction = True
             self._shelf[f"value_{self._length}"] = value
             self._log_weights.append(log_weight)
             self._length += 1
@@ -212,6 +218,7 @@ class Empirical(Distribution):
         self._shelf["num_values"] = self._length
         self._shelf["log_weights"] = list(self._log_weights)
         self._shelf["metadata"] = self._metadata
+        self._shelf._in_transaction = False
         self._shelf.sync()
         self._adds_since_sync = 0
 
