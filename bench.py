@@ -19,12 +19,14 @@ GUM-Marsaglia pair (rejection-loop control flow — gather-table loss
 training + lockstep guided inference, host CPU, in a subprocess because
 the backend cannot switch platforms post-init; VERDICT r4 #7).
 
-Training serves the DEBIASED Polyak/EMA parameter average
-(ema_decay=0.9, r5): late constant-lr training oscillates at 512d
-(independent streams landed ESS 0.38-0.99, BASELINE.md r4); with EMA
-serving, 5/5 independent 64k-trace streams land ESS >= 0.89 with NO
-checkpoint selection (BASELINE.md r5).  The r4 best-of-4-checkpoint
-probe harness is gone — quality comes from the library, not the bench.
+Training uses the r5 stabilizer pair — POLY1 lr decay over the known
+64k budget + DEBIASED Polyak/EMA serving (ema_decay=0.9): late
+constant-lr training oscillates (independent 512d streams landed ESS
+0.38-0.99 in r4; lstm128 at 64k with EMA alone still spanned
+0.62-0.89).  At this exact recipe 5/5 independent streams per arch
+land ESS 0.859-0.996 (128) / 0.917-0.965 (512) with NO checkpoint
+selection (BASELINE.md r5).  The r4 best-of-4-checkpoint probe harness
+is gone — quality comes from the library, not the bench.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} —
 value/vs_baseline are the LSTM-128 guided-IS pair; the metric string
@@ -72,15 +74,22 @@ def _bench_arch(pp, lstm_dim, batch_size, num_is_runs, learning_rate):
 
     model = GUM()
     observe = {"obs0": 8.0, "obs1": 9.0}
+    total_budget = NUM_TRAIN_TRACES + NUM_TRAIN_MEASURE_TRACES
     train_kwargs = dict(
         observe_embeddings={"obs0": {"dim": 16}, "obs1": {"dim": 16}},
         inference_network=pp.InferenceNetwork.LSTM,
         batch_size=batch_size,
         learning_rate_init=learning_rate,
         lstm_dim=lstm_dim,
-        # debiased Polyak/EMA serving: the r5 root fix for late
-        # constant-lr oscillation (5/5 streams >= 0.89 at 512d,
-        # BASELINE.md r5) — no checkpoint selection anywhere below
+        # the r5 stabilizer pair, no checkpoint selection anywhere below:
+        # POLY1 lr decay over the KNOWN 64k budget (num_traces_end is
+        # latched on the first call; continuations decay on cumulative
+        # traces) + debiased Polyak/EMA serving.  5/5 independent
+        # streams per arch land ESS 0.859-0.996 (128) / 0.917-0.965
+        # (512) at this exact condition — EMA alone left lstm128 a
+        # lottery (0.62-0.89), BASELINE.md r5.
+        learning_rate_scheduler_type=pp.LearningRateScheduler.POLY1,
+        num_traces_end=total_budget,
         ema_decay=EMA_DECAY,
     )
     t0 = time.time()
@@ -247,10 +256,10 @@ def main():
         f"— its own 25.6k ESS collapses to 0.002, BASELINE.md r5); "
         f"fixed-arch ESS guards at our 64k-trace training budget vs the "
         f"reference baseline's 25.6k (equal-budget 25.6k ESS: BASELINE.md "
-        f"r5 — EMA closes the r4 lstm128 gap); served nets = debiased "
-        f"Polyak/EMA average (ema_decay {EMA_DECAY}), NO checkpoint "
-        f"selection (5/5 independent 512d streams >= 0.89 ESS, "
-        f"BASELINE.md r5)"
+        f"r5 — EMA closes the r4 lstm128 gap); served nets = POLY1 lr "
+        f"decay to the 64k budget + debiased Polyak/EMA average "
+        f"(ema_decay {EMA_DECAY}), NO checkpoint selection (5/5 "
+        f"independent streams per arch >= 0.859, BASELINE.md r5)"
         ")"
     )
     print(
