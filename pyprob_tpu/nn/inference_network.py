@@ -1386,8 +1386,12 @@ class InferenceNetwork:
         # the real chip (tests/extra/chip_train.py, GUM+LSTM bench config):
         # K=1 -> 3,815 warm traces/s, K=4 -> 9,494, K=16 -> 15,746 — the
         # tunnel round-trip dominates, so scan deep by default on
-        # accelerators.  On CPU compile cost dominates and K=1 wins.
-        default_k = "1" if jax.default_backend() == "cpu" else "16"
+        # accelerators.  r5 interleaved sweep (12.8k segments, best of
+        # 3): lstm128 K=16/32/64 -> 13.2k/15.4k/16.6k, lstm512 ->
+        # 14.6k/15.1k/15.0k traces/s; K=32 is the default (K=64 only
+        # pays at small widths and doubles the trace-budget overshoot
+        # granularity).  On CPU compile cost dominates and K=1 wins.
+        default_k = "1" if jax.default_backend() == "cpu" else "32"
         steps_per_dispatch = int(
             os.environ.get("PYPROB_TPU_FUSED_STEPS", default_k)
         )
