@@ -1092,3 +1092,18 @@ def model_weights(posteriors, method="stacking", ic="loo", names=None,
             f"got {method!r}"
         )
     return {m: float(wk) for m, wk in zip(model_names, w)}
+
+
+def __getattr__(name):
+    # Module-level Trace/Graph re-exports (reference parity:
+    # pyprob/diagnostics.py:16-17 imports both at module scope).  Lazy
+    # (PEP 562) because graph.py imports this module at its own top level.
+    if name == "Graph":
+        from .graph import Graph
+
+        return Graph
+    if name == "Trace":
+        from .trace import Trace
+
+        return Trace
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -36,6 +36,13 @@ class Bernoulli(Distribution):
     def probs(self):
         return self._probs
 
+    @property
+    def logits(self):
+        """Log-odds accessor (reference parity: torch Bernoulli.logits)."""
+        B = backend.of(self._probs)
+        p = B.clip(self._probs, 1e-12, 1.0 - 1e-12)
+        return B.log(p) - B.log1p(-p)
+
     def _sample_np(self, rng, shape):
         u = rng.random(size=shape + self._batch_shape)
         return (u < np.asarray(self._probs)).astype(util.dtype())

@@ -43,6 +43,13 @@ class Binomial(Distribution):
     def total_count(self):
         return self._total_count
 
+    @property
+    def logits(self):
+        """Log-odds accessor (reference parity: torch Binomial.logits)."""
+        B = backend.of(self._probs)
+        p = B.clip(self._probs, 1e-12, 1.0 - 1e-12)
+        return B.log(p) - B.log1p(-p)
+
     def _sample_np(self, rng, shape):
         n = np.broadcast_to(
             np.asarray(self._total_count, dtype=np.int64), self._batch_shape

@@ -108,6 +108,13 @@ class Distribution:
         B = backend.of(*self._leaves())
         return B.sqrt(self.variance)
 
+    def to(self, device=None, *args, **kwargs):
+        """Migration no-op (reference parity: torch's ``Distribution.to(device)``,
+        used throughout reference pyprob to move parameters between
+        cpu/cuda).  JAX arrays are placed by the backend / sharding layer,
+        so there is nothing to move; returns ``self`` unchanged."""
+        return self
+
     def expectation(self, func):
         raise NotImplementedError()
 
@@ -214,7 +221,24 @@ class Distribution:
 
 def register_distribution(cls):
     """Register a Distribution subclass as a JAX pytree whose leaves are its
-    parameters; aux data is everything needed to rebuild it structurally."""
+    parameters; aux data is everything needed to rebuild it structurally.
+
+    Also generates a read-only accessor property for every ``_param_names``
+    entry that the class does not already define (reference parity: the
+    reference's torch distributions expose constructor parameters as
+    attributes, e.g. ``Normal(0,1).loc`` — reference
+    pyprob/distributions/normal.py:24-30)."""
+
+    for _n in cls._param_names:
+        if not hasattr(cls, _n):
+            setattr(
+                cls,
+                _n,
+                property(
+                    lambda self, _a="_" + _n: getattr(self, _a),
+                    doc=f"Constructor parameter ``{_n}`` (read-only).",
+                ),
+            )
 
     def flatten(d):
         children = tuple(getattr(d, "_" + n) for n in cls._param_names)

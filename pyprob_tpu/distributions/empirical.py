@@ -580,6 +580,55 @@ class Empirical(Distribution):
         out._metadata = list(self._metadata) + [{"op": "unweighted"}]
         return out
 
+    @property
+    def weighted(self):
+        """True when the (normalized) weights are non-uniform (reference:
+        pyprob/distributions/empirical.py:664-665)."""
+        self._check_finalized()
+        if self._length == 0:
+            return False
+        return not np.allclose(self._probs, 1.0 / self._length)
+
+    @staticmethod
+    def from_distribution(distribution, num_samples):
+        """IID-sample another distribution into an unweighted Empirical
+        (reference: pyprob/distributions/empirical.py:295-296)."""
+        return Empirical(
+            values=[distribution.sample() for _ in range(num_samples)]
+        )
+
+    def arg_max(self, map_func):
+        """Value maximizing ``map_func`` over the support (ties: last wins,
+        matching reference pyprob/distributions/empirical.py:730-742)."""
+        self._check_finalized()
+        best_val, best_i = None, None
+        for i in range(self._length):
+            v = map_func(self._get_value(i))
+            if best_val is None or v >= best_val:
+                best_val, best_i = v, i
+        if best_i is None:
+            raise ValueError("arg_max of an empty Empirical")
+        return self._get_value(best_i)
+
+    def arg_min(self, map_func):
+        """Value minimizing ``map_func`` over the support (reference:
+        pyprob/distributions/empirical.py:744-756)."""
+        self._check_finalized()
+        best_val, best_i = None, None
+        for i in range(self._length):
+            v = map_func(self._get_value(i))
+            if best_val is None or v <= best_val:
+                best_val, best_i = v, i
+        if best_i is None:
+            raise ValueError("arg_min of an empty Empirical")
+        return self._get_value(best_i)
+
+    def save_metadata(self, file_name):
+        """Dump the metadata/provenance list to a YAML file (reference:
+        pyprob/distributions/empirical.py:916-918)."""
+        with open(file_name, "w") as f:
+            f.write(self.metadata_yaml())
+
     # ------------------------------------------------------------------
     # statistics (weighted, float64 host math)
     # ------------------------------------------------------------------

@@ -53,6 +53,12 @@ class Mixture(Distribution):
     def mixing_distribution(self):
         return self._mixing
 
+    @property
+    def probs(self):
+        """Mixing probabilities (reference parity:
+        pyprob/distributions/mixture.py Mixture.probs)."""
+        return self._mixing.probs
+
     def _component_log_probs(self, B, value):
         lps = [d.log_prob(value) for d in self._distributions]
         return B.stack(lps, -1)  # [..., K]

@@ -162,6 +162,21 @@ class Graph:
     def add_edge(self, edge):
         self.edges.append(edge)
 
+    def compute_normalized_weights(self):
+        """Store normalized weights on ``weight_normalized`` fields without
+        mutating the raw weights (reference: graph.py:141-154 — node weights
+        normalized over the graph total, edge weights per source node)."""
+        node_total = sum(n.weight for n in self.nodes)
+        for node in self.nodes:
+            edge_total = sum(e.weight for e in node.outgoing_edges)
+            for e in node.outgoing_edges:
+                e.weight_normalized = (
+                    e.weight / edge_total if edge_total > 0 else e.weight
+                )
+            node.weight_normalized = (
+                node.weight / node_total if node_total > 0 else node.weight
+            )
+
     def normalize_weights(self):
         """Normalize each node's outgoing edge weights to sum to 1
         (transition probabilities, reference: graph.py:141-160)."""
@@ -170,6 +185,27 @@ class Graph:
             if total > 0:
                 for e in node.outgoing_edges:
                     e.weight = e.weight / total
+
+    def trace_graphs(self):
+        """Yield ``(trace_id, Graph)`` per trace type, each rendered against
+        this graph as base so node ids line up (reference: graph.py:162-167)."""
+        from .distributions import Empirical
+
+        stats = getattr(self, "_stats", None)
+        if not stats:
+            return
+        for s in stats["trace_stats"].values():
+            sub = Graph(
+                Empirical(values=[s["example_trace"]]),
+                base_graph=self,
+                use_address_base=self._use_address_base,
+            )
+            yield s["trace_id"], sub
+
+    def render_to_graphviz(self, background_graph=None):
+        """DOT source text (reference: graph.py:169-232 returns pydotplus
+        data; here the raw DOT string — feed to ``dot`` or graphviz)."""
+        return self.to_dot(background_graph)
 
     @property
     def addresses(self):

@@ -13,6 +13,19 @@ from .layers import (
     num_params,
 )
 from .proposals import head_kind_for, head_init, head_apply, prior_param_arrays
+from .modules import (
+    EmbeddingFeedForward,
+    EmbeddingCNN2D5C,
+    EmbeddingCNN3D5C,
+    ProposalNormalNormal,
+    ProposalNormalNormalMixture,
+    ProposalUniformBeta,
+    ProposalUniformBetaMixture,
+    ProposalUniformTruncatedNormalMixture,
+    ProposalPoissonTruncatedNormalMixture,
+    ProposalCategoricalCategorical,
+    ProposalBernoulliBernoulli,
+)
 from .optimizer_larc import larc_scale
 from .dataset import (
     Batch,

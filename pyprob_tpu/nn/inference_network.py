@@ -407,6 +407,12 @@ class InferenceNetwork:
         compiled tier's traced forward, or None if unsupported."""
         return None
 
+    def to(self, device=None, *args, **kwargs):
+        """Migration no-op (reference InferenceNetwork inherits torch's
+        ``Module.to(device)``; JAX parameter placement is sharding-managed).
+        Returns ``self`` unchanged."""
+        return self
+
     def snapshot_params(self):
         """Snapshot of the current parameter state — pair with
         ``restore_params`` for validation-based checkpoint selection

@@ -223,6 +223,11 @@ class Trace:
     def clone(self):
         return copy.deepcopy(self)
 
+    def to(self, device=None, *args, **kwargs):
+        """Migration no-op (reference Trace.to(device) moves variable
+        tensors between cpu/cuda; JAX placement is backend-managed)."""
+        return self
+
     def variable_sizes(self):
         vars_sorted = sorted(
             self.variables, key=lambda v: len(pickle.dumps(v)), reverse=True

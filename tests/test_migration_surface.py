@@ -122,3 +122,121 @@ def test_util_compat_surface():
               "init_distributed_print", "set_compute_dtype",
               "safe_log", "clamp_probs", "has_nan_or_inf"]:
         assert hasattr(u, n), n
+
+
+def test_param_accessor_surface():
+    # reference distributions expose constructor params as attributes
+    # (torch convention) — auto-generated from _param_names (r5)
+    from pyprob_tpu.distributions import (
+        Normal, Gamma, LogNormal, VonMises, Weibull, Bernoulli, Binomial,
+        Mixture, Uniform,
+    )
+    import numpy as np
+
+    n = Normal(2.0, 3.0)
+    assert float(n.loc) == 2.0 and float(n.scale) == 3.0
+    g = Gamma(2.0, 5.0)
+    assert float(g.concentration) == 2.0 and float(g.rate) == 5.0
+    ln = LogNormal(0.5, 1.5)
+    assert float(ln.loc) == 0.5 and float(ln.scale) == 1.5
+    vm = VonMises(0.25, 4.0)
+    assert float(vm.loc) == 0.25 and float(vm.concentration) == 4.0
+    w = Weibull(2.0, 1.5)
+    assert float(w.scale) == 2.0 and float(w.concentration) == 1.5
+    b = Bernoulli(0.75)
+    assert np.isclose(float(b.logits), np.log(3.0), atol=1e-5)
+    bi = Binomial(10, 0.25)
+    assert np.isclose(float(bi.logits), np.log(1.0 / 3.0), atol=1e-5)
+    mx = Mixture([Normal(0, 1), Normal(1, 1)], probs=[0.3, 0.7])
+    assert np.allclose(np.asarray(mx.probs), [0.3, 0.7], atol=1e-6)
+    # .to(device) is a documented no-op returning self
+    assert n.to("cuda") is n and Uniform(0, 1).to("cpu") is not None
+
+
+def test_empirical_reference_ops():
+    from pyprob_tpu.distributions import Empirical, Normal
+    import numpy as np, os, tempfile
+
+    e = Empirical(values=[1.0, 2.0, 3.0], log_weights=[0.0, 1.0, 2.0])
+    assert e.weighted
+    assert not e.unweighted().weighted
+    assert float(e.arg_max(lambda x: x)) == 3.0
+    assert float(e.arg_min(lambda x: x)) == 1.0
+    assert float(e.arg_max(lambda x: -x)) == 1.0
+    e2 = Empirical.from_distribution(Normal(0.0, 1.0), 16)
+    assert len(e2) == 16 and not e2.weighted
+    fd, fn = tempfile.mkstemp(suffix=".yaml")
+    os.close(fd)
+    try:
+        e.save_metadata(fn)
+        assert os.path.getsize(fn) > 0
+    finally:
+        os.remove(fn)
+    assert e.to("cuda") is e
+
+
+def test_diagnostics_trace_graph_exports():
+    from pyprob_tpu import diagnostics as d
+    from pyprob_tpu.trace import Trace
+    from pyprob_tpu.graph import Graph
+
+    assert d.Trace is Trace and d.Graph is Graph
+    assert Trace().to("cuda") is not None
+
+
+def test_nn_module_class_surface():
+    # reference-named module classes wrap the functional layers (r5)
+    import numpy as np
+    from pyprob_tpu.nn import (
+        EmbeddingFeedForward,
+        EmbeddingCNN2D5C,
+        EmbeddingCNN3D5C,
+        ProposalNormalNormalMixture,
+        ProposalCategoricalCategorical,
+    )
+    from pyprob_tpu.distributions import Normal, Mixture, Categorical
+
+    x = np.random.randn(4, 8).astype(np.float32)
+    ff = EmbeddingFeedForward((8,), (16,))
+    assert ff(x).shape == (4, 16)
+    assert ff.to("cuda") is ff and ff.num_parameters() > 0
+    img = np.random.randn(4, 1, 16, 16).astype(np.float32)
+    assert EmbeddingCNN2D5C((1, 16, 16), (8,))(img).shape == (4, 8)
+    vol = np.random.randn(2, 1, 8, 8, 8).astype(np.float32)
+    assert EmbeddingCNN3D5C((1, 8, 8, 8), (8,))(vol).shape == (2, 8)
+
+    priors = [Normal(0.0, 1.0) for _ in range(4)]
+    prop = ProposalNormalNormalMixture((8,))
+    dist = prop(x, priors)
+    assert isinstance(dist, Mixture)
+    s = dist.sample()
+    assert np.shape(s)[0] == 4 and np.all(np.isfinite(np.asarray(dist.log_prob(s))))
+    cat = ProposalCategoricalCategorical((8,), 5)(x, priors)
+    assert isinstance(cat, Categorical)
+
+
+def test_graph_reference_methods():
+    from pyprob_tpu.graph import Graph
+    from pyprob_tpu.trace import Trace, Variable
+    from pyprob_tpu.distributions import Empirical
+    import numpy as np
+
+    def make_trace(v):
+        t = Trace()
+        t.add(Variable(value=np.float64(v), address="A1", address_base="A1",
+                       control=True))
+        t.add(Variable(value=np.float64(v + 1), address="A2",
+                       address_base="A2", control=True))
+        t.end(None, 0.0)
+        return t
+
+    g = Graph(Empirical(values=[make_trace(0.0), make_trace(1.0)]))
+    g.compute_normalized_weights()
+    for node in g.nodes:
+        assert hasattr(node, "weight_normalized")
+    subs = list(g.trace_graphs())
+    assert len(subs) >= 1
+    for tid, sub in subs:
+        assert isinstance(sub, Graph) and sub.nodes
+    dot = g.render_to_graphviz()
+    assert dot.startswith("digraph")
