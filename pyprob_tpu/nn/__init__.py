@@ -26,7 +26,7 @@ from .modules import (
     ProposalCategoricalCategorical,
     ProposalBernoulliBernoulli,
 )
-from .optimizer_larc import larc_scale
+from .optimizer_larc import larc_scale, LARC
 from .dataset import (
     Batch,
     OnlineDataset,
@@ -38,6 +38,11 @@ from .dataset import (
     prune_trace,
 )
 from .inference_network import InferenceNetwork
+
+# reference class name for the same base (reference:
+# pyprob/nn/inference_network.py InferenceNetworkBase; the bare
+# "InferenceNetwork" name is the engine-selection enum at package level)
+InferenceNetworkBase = InferenceNetwork
 from .inference_network_feedforward import InferenceNetworkFeedForward
 from .inference_network_lstm import InferenceNetworkLSTM
 

@@ -47,3 +47,46 @@ def larc_scale(
         return g * scale
 
     return jax.tree_util.tree_map(one, grads, params)
+
+
+class LARC:
+    """Optimizer wrapper by the reference's name (reference:
+    pyprob/nn/optimizer_larc.py:9-107 wraps any torch optimizer):
+    ``LARC(base_optimizer)`` is an optax GradientTransformation that
+    applies :func:`larc_scale` to the gradients and then the wrapped
+    optimizer.  Use anywhere an optax transformation fits::
+
+        import optax
+        opt = LARC(optax.adam(1e-3), learning_rate=1e-3)
+        state = opt.init(params)
+        updates, state = opt.update(grads, state, params)
+
+    ``state_dict``/``load_state_dict`` round-trip the optax state pytree
+    for checkpointing.  The torch-only mutators (``step``, ``zero_grad``,
+    ``add_param_group``) have no JAX counterpart — updates are pure.
+    """
+
+    def __init__(self, optimizer, learning_rate=0.01, trust_coefficient=0.02,
+                 clip=True, eps=1e-8, weight_decay=0.0):
+        self._base = optimizer
+        self._lr = learning_rate
+        self._kw = dict(trust_coefficient=trust_coefficient, clip=clip,
+                        eps=eps, weight_decay=weight_decay)
+        self._state = None
+
+    def init(self, params):
+        self._state = self._base.init(params)
+        return self._state
+
+    def update(self, grads, state, params=None):
+        grads = larc_scale(grads, params, self._lr, **self._kw)
+        updates, new_state = self._base.update(grads, state, params)
+        self._state = new_state
+        return updates, new_state
+
+    def state_dict(self):
+        return self._state
+
+    def load_state_dict(self, state):
+        self._state = state
+        return state

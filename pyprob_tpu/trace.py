@@ -74,6 +74,11 @@ class Variable:
     def clone(self):
         return copy.deepcopy(self)
 
+    def to(self, device=None, *args, **kwargs):
+        """Migration no-op (reference Variable.to(device); JAX placement
+        is backend-managed)."""
+        return self
+
     def __hash__(self):
         # Hash raw array bytes rather than stringified contents: Empirical
         # dedup paths (combine_duplicates) hash every variable, and building

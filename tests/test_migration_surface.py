@@ -240,3 +240,57 @@ def test_graph_reference_methods():
         assert isinstance(sub, Graph) and sub.nodes
     dot = g.render_to_graphviz()
     assert dot.startswith("digraph")
+
+
+def test_larc_wrapper_and_remaining_names():
+    import numpy as np
+    import optax
+    import jax.numpy as jnp
+    from pyprob_tpu.nn import LARC, InferenceNetworkBase, InferenceNetwork
+    from pyprob_tpu.trace import Variable
+
+    assert InferenceNetworkBase is InferenceNetwork
+    v = Variable(value=np.float64(1.0), address="A1", address_base="A1")
+    assert v.to("cuda") is v
+
+    opt = LARC(optax.sgd(0.1), learning_rate=0.1)
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), 0.5)}
+    state = opt.init(params)
+    updates, state2 = opt.update(grads, state, params)
+    stepped = optax.apply_updates(params, updates)
+    assert not np.allclose(np.asarray(stepped["w"]), np.asarray(params["w"]))
+    # state round-trips through the torch-named checkpoint surface
+    sd = opt.state_dict()
+    assert opt.load_state_dict(sd) is sd
+
+
+def test_offline_dataset_file_lru_cache():
+    import os, tempfile
+    from pyprob_tpu.nn.dataset import OfflineDatasetFile
+    from pyprob_tpu.concurrency import Shelf
+
+    old_cap = OfflineDatasetFile.cache_capacity
+    OfflineDatasetFile.cache.clear()
+    OfflineDatasetFile.cache_capacity = 2
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            files = []
+            for i in range(4):
+                fn = os.path.join(d, f"f{i}")
+                s = Shelf(fn)
+                s["num_traces"] = 1
+                s["trace_0"] = float(i)
+                s.close()
+                files.append(OfflineDatasetFile(fn))
+            # handle cache stays bounded while every file stays readable
+            assert len(OfflineDatasetFile.cache) <= 2
+            for i, f in enumerate(files):
+                assert f[0] == float(i) and len(f) == 1
+            assert len(OfflineDatasetFile.cache) <= 2
+            for f in files:
+                f.close()
+            assert len(OfflineDatasetFile.cache) == 0
+    finally:
+        OfflineDatasetFile.cache_capacity = old_cap
+        OfflineDatasetFile.cache.clear()
